@@ -1,0 +1,290 @@
+"""Pallas compiler: KernelDefinition → pallas_call executable.
+
+The backend-compiler of the TPU build (SURVEY.md §7.4; replaces the
+reference's cubecl-cpp / cubecl-spirv source printers, e.g.
+``CppCompiler::compile_ir`` cubecl-cpp/src/shared/base.rs:216-320):
+
+1. run the scope passes (L3a) + checked-IO insertion,
+2. run uniformity + affine block planning,
+3. assemble ``pl.pallas_call``: grid = CubeCount (z, y, x — x innermost),
+   blocked buffers get BlockSpecs (Mosaic pipelines HBM→VMEM double
+   buffering automatically), whole-mode buffers are VMEM-resident,
+   scalars ride in SMEM, shared memory becomes VMEM scratch,
+4. the kernel body runs the IR Evaluator (eval.py).
+
+Mutable buffers follow the functional-XLA convention: they are also
+outputs, aliased via ``input_output_aliases`` (donated), and the launcher
+rebinds handles — replacing the reference's in-place CUDA buffers.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+from ...ir import ops as O
+from ...ir.scope import Scope, walk
+from ...ir.value import VarKind
+from ...opt.analysis import UniformityAnalysis, plan_buffers
+from ...opt.checked_io import insert_checked_io
+from ...opt.passes import optimize_scope
+from ..compiler import CompiledKernel, Compiler, KernelDefinition
+
+
+def _grid_dim(sym: str, cube_count):
+    return {"cx": cube_count[0], "cy": cube_count[1], "cz": cube_count[2]}[sym]
+
+
+class PallasCompiler(Compiler):
+    name = "pallas"
+
+    def __init__(self, interpret: bool = False):
+        self.interpret = interpret
+
+    def compile(self, defn: KernelDefinition) -> CompiledKernel:
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from .eval import EV, Cell, Evaluator
+
+        scope = defn.scope
+        cd, cc = defn.cube_dim, defn.cube_count
+        optimize_scope(scope, cd, cc, defn.plane_dim)
+        if defn.options.checked:
+            insert_checked_io(scope, cd, cc)
+            optimize_scope(scope, cd, cc, defn.plane_dim)
+
+        ua = UniformityAnalysis(scope)
+        plans = plan_buffers(scope, ua, cd, cc)
+        state = scope.state
+        U = cd[0] * cd[1] * cd[2]
+
+        # ---------------- assemble specs ----------------------------------
+        grid = (cc[2], cc[1], cc[0])  # (cz, cy, cx); x innermost/fastest
+
+        in_specs: List[Any] = []
+        in_args_meta: List[Tuple[str, int]] = []  # ("scalar"|"buffer", idx)
+        out_specs: List[Any] = []
+        out_shapes: List[Any] = []
+        out_buffer_vids: List[int] = []
+        io_aliases: Dict[int, int] = {}
+
+        def block_spec(plan):
+            L = plan.param.ty.line
+            if plan.mode == "blocked":
+                blk = plan.block_lines * L
+                coeffs = plan.grid_coeffs
+
+                def index_map(cz, cy, cx, _c=dict(coeffs)):
+                    r = 0
+                    vals = {"cz": cz, "cy": cy, "cx": cx}
+                    for s, k in _c.items():
+                        r = r + k * vals[s]
+                    return (r,)
+
+                return pl.BlockSpec((blk,), index_map,
+                                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+        # scalars first (SMEM), then buffers — a stable ABI order like the
+        # reference integrator (buffers, tensor maps, scalars sorted by type)
+        for sp in state.scalars:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            in_args_meta.append(("scalar", sp.value.vid))
+
+        buffer_input_pos: Dict[int, int] = {}
+        for bp in state.buffers:
+            plan = plans[bp.value.vid]
+            needs_input = plan.has_load or (
+                plan.has_store and not (plan.store_covers_all
+                                        and not plan.has_load))
+            needs_output = bp.mutable and plan.has_store
+            if needs_input:
+                buffer_input_pos[bp.value.vid] = len(in_specs)
+                in_specs.append(block_spec(plan))
+                in_args_meta.append(("buffer", bp.value.vid))
+            if needs_output:
+                out_idx = len(out_specs)
+                out_specs.append(block_spec(plan))
+                out_shapes.append(jax.ShapeDtypeStruct(
+                    (bp.length * bp.ty.line,), bp.ty.elem.jnp_dtype()))
+                out_buffer_vids.append(bp.value.vid)
+                if needs_input:
+                    io_aliases[buffer_input_pos[bp.value.vid]] = out_idx
+
+        scratch_shapes = []
+        scratch_meta: List[int] = []
+        for sd in state.shareds:
+            L = sd.ty.line
+            per_unit = isinstance(sd.value.payload, dict) and \
+                sd.value.payload.get("per_unit")
+            shape = (U, sd.shape[0] * L) if per_unit else (sd.shape[0] * L,)
+            scratch_shapes.append(pltpu.VMEM(shape, sd.ty.elem.jnp_dtype()))
+            scratch_meta.append(sd.value.vid)
+
+        n_in = len(in_specs)
+        n_out = len(out_specs)
+        has_return = any(inst.op.opcode in (O.RETURN, O.TERMINATE)
+                         for _s, inst in walk(scope))
+
+        mutable_written = set(out_buffer_vids)
+
+        def kernel(*refs):
+            in_refs = refs[:n_in]
+            out_refs = refs[n_in:n_in + n_out]
+            scratch_refs = refs[n_in + n_out:]
+
+            ref_map: Dict[int, Any] = {}
+            scalar_vals: Dict[int, Any] = {}
+            for spec_ref, (kind, vid) in zip(in_refs, in_args_meta):
+                if kind == "scalar":
+                    scalar_vals[vid] = spec_ref[0]
+                else:
+                    ref_map[vid] = spec_ref
+            for vid, r in zip(out_buffer_vids, out_refs):
+                # rw buffers: single ref = the output block; prologue copies
+                # the input block in so loads see original data
+                if vid in ref_map:
+                    plan = plans[vid]
+                    in_ref = ref_map[vid]
+                    if plan.mode == "blocked" and plan.grid_coeffs:
+                        r[...] = in_ref[...]
+                    else:
+                        # resident across steps: copy only on first visit
+                        first = None
+                        used = set(plan.grid_coeffs)
+                        for i, s in enumerate(("cz", "cy", "cx")):
+                            if s not in used:
+                                c = pl.program_id(i) == 0
+                                first = c if first is None else first & c
+                        if first is None:
+                            r[...] = in_ref[...]
+                        else:
+                            @pl.when(first)
+                            def _copy(r=r, in_ref=in_ref):
+                                r[...] = in_ref[...]
+                ref_map[vid] = r
+            for vid, r in zip(scratch_meta, scratch_refs):
+                ref_map[vid] = r
+
+            ev = Evaluator(defn, plans, ua, ref_map, scalar_vals,
+                           jnp, lax, pl, jax)
+            if has_return:
+                cell = Cell(None)  # becomes the not-returned mask on RETURN
+                ev._kernel_cell = cell
+                ev.masks.append(cell)
+            ev.run(scope)
+
+        # ------------------------------------------------ pallas_call ------
+        flops, mem_bytes, transc = _cost_estimate(scope, cd, cc, plans)
+        dims = defn.options.dimension_semantics or ("arbitrary",) * 3
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=dims,
+        )
+        call = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs if n_out != 1 else out_specs[0],
+            out_shape=out_shapes if n_out != 1 else out_shapes[0],
+            scratch_shapes=scratch_shapes,
+            input_output_aliases=io_aliases,
+            compiler_params=compiler_params,
+            cost_estimate=pl.CostEstimate(
+                flops=max(1, flops), bytes_accessed=max(1, mem_bytes),
+                transcendentals=transc),
+            interpret=self.interpret,
+            name=defn.options.name,
+        )
+
+        param_order = [bp.value.vid for bp in state.buffers]
+        scalar_order = [sp.value.vid for sp in state.scalars]
+        mutable_indices = [i for i, bp in enumerate(state.buffers)
+                           if bp.value.vid in mutable_written]
+
+        def fn(buffers, scalars=()):
+            flat_in = []
+            for (kind, vid) in in_args_meta:
+                if kind == "scalar":
+                    pos = scalar_order.index(vid)
+                    s = jnp.asarray(scalars[pos]).reshape(1)
+                    flat_in.append(s)
+                else:
+                    pos = param_order.index(vid)
+                    arr = buffers[pos]
+                    flat_in.append(arr.reshape(-1))
+            res = call(*flat_in)
+            if n_out == 1:
+                res = (res,)
+            outs = []
+            for idx in mutable_indices:
+                vid = param_order[idx]
+                k = out_buffer_vids.index(vid)
+                outs.append(res[k].reshape(buffers[idx].shape))
+            return tuple(outs)
+
+        src = _dump_source(defn, plans, ua)
+        return CompiledKernel(
+            fn=fn, mutable_indices=mutable_indices, source=src,
+            name=defn.options.name, flops=flops, bytes_accessed=mem_bytes,
+            vmem_estimate=_vmem_estimate(state, plans, U),
+        )
+
+
+def _cost_estimate(scope, cd, cc, plans):
+    """Rough CostEstimate for the Mosaic scheduler (reference Work{} fed to
+    tune/bounds_generator.rs:46)."""
+    U = cd[0] * cd[1] * cd[2]
+    steps = cc[0] * cc[1] * cc[2]
+    flops = 0
+    transc = 0
+    for _s, inst in walk(scope):
+        oc = inst.op.opcode
+        line = inst.out.ty.line if inst.out is not None else 1
+        if oc.startswith("arith.") or oc.startswith("cmp."):
+            flops += U * line
+            if oc in (O.EXP, O.LOG, O.TANH, O.ERF, O.SIN, O.COS, O.POW,
+                      O.EXP2, O.LOG2):
+                transc += U * line
+        elif oc == O.MMA_EXECUTE:
+            a = inst.op.args[0]
+            d = inst.op.args[3]
+            m, k = a.shape
+            n = d.shape[1]
+            flops += 2 * m * n * k
+    mem = 0
+    for plan in plans.values():
+        L = plan.param.ty.line
+        per_step = plan.block_lines * L if plan.mode == "blocked" \
+            else plan.param.length * L
+        n = (1 + (1 if plan.has_store else 0))
+        mem += per_step * plan.param.ty.elem.size * n
+    return flops * steps, mem * steps, transc * steps
+
+
+def _vmem_estimate(state, plans, U):
+    total = 0
+    for plan in plans.values():
+        L = plan.param.ty.line
+        lines = plan.block_lines if plan.mode == "blocked" else plan.param.length
+        total += lines * L * plan.param.ty.elem.size * 2  # double buffering
+    for sd in state.shareds:
+        total += sd.shape[0] * sd.ty.line * sd.ty.elem.size
+    return total
+
+
+def _dump_source(defn, plans, ua) -> str:
+    lines = [f"// pallas kernel {defn.options.name}",
+             f"// cube_dim={defn.cube_dim} cube_count={defn.cube_count} "
+             f"plane={defn.plane_dim}"]
+    for bp in defn.state.buffers:
+        plan = plans[bp.value.vid]
+        lines.append(
+            f"// buffer {bp.name}: {bp.ty!r}[{bp.length}] mode={plan.mode} "
+            f"block={plan.block_lines} grid={plan.grid_coeffs} "
+            f"mut={bp.mutable}")
+    lines.append(repr(defn.scope))
+    return "\n".join(lines)

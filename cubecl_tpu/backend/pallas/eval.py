@@ -1,0 +1,1439 @@
+"""IR evaluator — executes a kernel Scope inside a Pallas kernel function.
+
+This is the TPU lowering of the SIMT execution model (SURVEY.md hard part
+(a), build plan §7.4):
+
+- the **unit axis is vectorized**: every unit-varying scalar is a
+  ``(U, 1)`` array and every unit-varying line a ``(U, L)`` array, so a
+  cube executes in lockstep on the VPU with units on sublanes and the line
+  on lanes (cube_dim 8 × line 128 fills one 8×128 vreg exactly);
+- **uniform values stay scalars** (``()`` / ``(L,)``) — decided by the
+  static uniformity analysis;
+- **divergent control flow is predicated**: branches evaluate both sides
+  under a mask; buffer stores become masked read-modify-writes (the
+  classic SPMD-on-SIMD compilation, like the reference CPU backend's
+  plane=1 sequential fallback but vectorized);
+- **loops** lower to ``lax.fori_loop``/``lax.while_loop`` with mutable
+  locals as carries (the IR's structured phis);
+- **plane ops** reduce over sublane groups;
+- **CMMA fragments** are whole MXU tiles, ``execute`` is ``jnp.dot`` with
+  ``preferred_element_type``;
+- buffer loads/stores use the eval-time affine form of the index
+  (uniform traced part + static unit coefficients) to emit contiguous
+  ``pl.ds`` block accesses instead of gathers.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from ...ir import ops as O
+from ...ir.ops import Instruction
+from ...ir.scope import Scope, walk
+from ...ir.types import Type
+from ...ir.value import Builtin, Value, VarKind
+
+
+# ---------------------------------------------------------------------------
+
+
+class EV:
+    """An evaluated IR value.
+
+    arr     — jnp array / python scalar (None when the value is affine-lazy)
+    varying — varies across units (shape carries a leading U axis)
+    line    — SIMD line width L
+    aff     — optional affine form: (uniform_part, {"ux": c, "uy": c, "uz": c})
+              with uniform_part a python int or traced scalar
+    """
+
+    __slots__ = ("arr", "varying", "line", "aff")
+
+    def __init__(self, arr=None, varying=False, line=1, aff=None):
+        self.arr = arr
+        self.varying = varying
+        self.line = line
+        self.aff = aff
+
+    def __repr__(self):
+        return f"EV(varying={self.varying}, line={self.line}, aff={self.aff})"
+
+
+class Cell:
+    """Mutable mask-stack entry (supports mid-body updates by break/return).
+    ``start`` holds a loop cell's alive mask at iteration start."""
+
+    __slots__ = ("value", "start")
+
+    def __init__(self, value):
+        self.value = value
+        self.start = None
+
+
+def _kernel_fail(msg: str):
+    raise NotImplementedError(f"pallas lowering: {msg}")
+
+
+class Evaluator:
+    def __init__(self, defn, plans, ua, refs, scalar_vals, jnp, lax, pl, jax):
+        self.defn = defn
+        self.plans = plans            # vid -> BufferPlan
+        self.ua = ua                  # UniformityAnalysis
+        self.refs = refs              # vid -> pallas Ref (buffers + shareds)
+        self.scalar_vals = scalar_vals  # vid -> traced scalar
+        self.jnp, self.lax, self.pl, self.jax = jnp, lax, pl, jax
+        cd = defn.cube_dim
+        self.cube_dim = cd
+        self.U = cd[0] * cd[1] * cd[2]
+        self.plane = defn.plane_dim
+        self.env: Dict[int, EV] = {}
+        self.masks: List[Cell] = []
+        self.grid_rank = 3
+
+    # ------------------------------------------------------------ helpers
+
+    def program_id(self, axis: str):
+        # grid is (cz, cy, cx): x is the fastest (innermost) dimension
+        idx = {"cz": 0, "cy": 1, "cx": 2}[axis]
+        return self.pl.program_id(idx)
+
+    def _flat_unit_iota(self):
+        return self.jax.lax.broadcasted_iota(self.jnp.int32, (self.U, 1), 0)
+
+    def materialize(self, ev: EV, dtype=None):
+        """Concrete array in canonical shape."""
+        jnp = self.jnp
+        if ev.arr is None:
+            assert ev.aff is not None
+            uni, coeffs = ev.aff
+            if not coeffs:
+                ev.arr = uni
+                ev.varying = False
+            else:
+                u = self._flat_unit_iota()
+                Ux, Uy, Uz = self.cube_dim
+                val = None
+                cux = coeffs.get("ux", 0)
+                cuy = coeffs.get("uy", 0)
+                cuz = coeffs.get("uz", 0)
+                expr = 0
+                if cux:
+                    expr = expr + cux * (u % Ux)
+                if cuy:
+                    expr = expr + cuy * ((u // Ux) % Uy)
+                if cuz:
+                    expr = expr + cuz * (u // (Ux * Uy))
+                ev.arr = expr + uni
+                ev.varying = True
+        arr = ev.arr
+        if dtype is not None and hasattr(arr, "astype"):
+            if arr.dtype != dtype:
+                arr = arr.astype(dtype)
+        elif dtype is not None:
+            arr = jnp.asarray(arr, dtype)
+        return arr
+
+    def broadcast_to_canon(self, ev: EV, varying: bool, line: int, dtype):
+        """Materialize + broadcast to the canonical shape for (varying, line)."""
+        jnp = self.jnp
+        arr = self.materialize(ev, dtype)
+        arr = jnp.asarray(arr, dtype)
+        if varying and line > 1:
+            shape = (self.U, line)
+        elif varying:
+            shape = (self.U, 1)
+        elif line > 1:
+            shape = (line,)
+        else:
+            shape = ()
+        return jnp.broadcast_to(arr, shape)
+
+    def current_mask(self):
+        """AND of all mask cells; None when unmasked."""
+        m = None
+        for c in self.masks:
+            if c.value is None:
+                continue
+            m = c.value if m is None else m & c.value
+        return m
+
+    def mask_since(self, cell: Cell):
+        """AND of masks pushed after ``cell`` (for break/return)."""
+        m = None
+        seen = False
+        for c in self.masks:
+            if c is cell:
+                seen = True
+                continue
+            if seen and c.value is not None:
+                m = c.value if m is None else m & c.value
+        return m
+
+    def get(self, v: Value) -> EV:
+        jnp = self.jnp
+        if v.kind == VarKind.CONSTANT:
+            c = v.const
+            aff = (int(c), {}) if isinstance(c, int) and not isinstance(c, bool) \
+                and v.ty.elem.is_int else None
+            return EV(arr=c, varying=False, line=v.ty.line, aff=aff)
+        if v.kind == VarKind.BUILTIN:
+            return self._builtin(v.payload)
+        if v.kind == VarKind.SCALAR:
+            s = self.scalar_vals[v.vid]
+            aff = (s, {}) if v.ty.elem.is_int else None
+            return EV(arr=s, varying=False, line=1, aff=aff)
+        ev = self.env.get(v.vid)
+        if ev is None:
+            if v.kind == VarKind.LOCAL_MUT:
+                # read-before-write: zero-init (GPU-undefined made deterministic)
+                z = 0.0 if v.ty.elem.is_float else 0
+                return EV(arr=z, varying=False, line=v.ty.line)
+            raise KeyError(f"undefined IR value {v!r}")
+        return ev
+
+    def _builtin(self, b: Builtin) -> EV:
+        cd = self.cube_dim
+        Ux, Uy, Uz = cd
+        U = self.U
+        jnp = self.jnp
+
+        def aff_ev(uni, coeffs):
+            return EV(aff=(uni, {k: v for k, v in coeffs.items() if v}), varying=bool(
+                {k: v for k, v in coeffs.items() if v}))
+
+        if b == Builtin.UNIT_POS:
+            return aff_ev(0, {"ux": 1, "uy": Ux, "uz": Ux * Uy})
+        if b == Builtin.UNIT_POS_X:
+            return aff_ev(0, {"ux": 1})
+        if b == Builtin.UNIT_POS_Y:
+            return aff_ev(0, {"uy": 1})
+        if b == Builtin.UNIT_POS_Z:
+            return aff_ev(0, {"uz": 1})
+        if b == Builtin.UNIT_POS_PLANE:
+            u = self._flat_unit_iota()
+            return EV(arr=u % self.plane, varying=True)
+        if b == Builtin.PLANE_POS:
+            u = self._flat_unit_iota()
+            return EV(arr=u // self.plane, varying=True)
+        if b == Builtin.CUBE_POS_X:
+            return aff_ev(self.program_id("cx"), {})
+        if b == Builtin.CUBE_POS_Y:
+            return aff_ev(self.program_id("cy"), {})
+        if b == Builtin.CUBE_POS_Z:
+            return aff_ev(self.program_id("cz"), {})
+        cc = self.defn.cube_count
+        if b == Builtin.CUBE_POS:
+            flat = (self.program_id("cz") * cc[1] + self.program_id("cy")) \
+                * cc[0] + self.program_id("cx")
+            return aff_ev(flat, {})
+        if b == Builtin.ABSOLUTE_POS:
+            flat = (self.program_id("cz") * cc[1] + self.program_id("cy")) \
+                * cc[0] + self.program_id("cx")
+            return aff_ev(flat * U, {"ux": 1, "uy": Ux, "uz": Ux * Uy})
+        if b == Builtin.ABSOLUTE_POS_X:
+            return aff_ev(self.program_id("cx") * Ux, {"ux": 1})
+        if b == Builtin.ABSOLUTE_POS_Y:
+            return aff_ev(self.program_id("cy") * Uy, {"uy": 1})
+        if b == Builtin.ABSOLUTE_POS_Z:
+            return aff_ev(self.program_id("cz") * Uz, {"uz": 1})
+        _kernel_fail(f"builtin {b} (should have been const-folded)")
+
+    # -------------------------------------------------- affine index helpers
+
+    def flat_unit_coeff(self, coeffs: Dict[str, int]) -> Optional[int]:
+        """Slope of the affine form along the flattened unit id; None if the
+        per-dim coefficients aren't consistent with x-fastest flattening."""
+        Ux, Uy, Uz = self.cube_dim
+        dims = [(Ux, coeffs.get("ux", 0), 1),
+                (Uy, coeffs.get("uy", 0), Ux),
+                (Uz, coeffs.get("uz", 0), Ux * Uy)]
+        c: Optional[int] = None
+        for n, coeff, factor in dims:
+            if n == 1:
+                continue
+            want = coeff / factor
+            if want != int(want):
+                return None
+            want = int(want)
+            if c is None:
+                c = want
+            elif c != want:
+                return None
+        return 0 if c is None else c
+
+    def index_affine(self, idx: Value) -> Optional[Tuple[Any, int]]:
+        """(uniform_start, unit_coeff) for an index value, or None."""
+        ev = self.get(idx)
+        if ev.aff is None:
+            if not ev.varying:
+                return (self.materialize(ev), 0)
+            return None
+        uni, coeffs = ev.aff
+        c = self.flat_unit_coeff(coeffs)
+        if c is None:
+            return None
+        return (uni, c)
+
+    # ----------------------------------------------------------- buffer IO
+
+    def _buffer_geometry(self, buf: Value):
+        """(ref, line, length_lines, base_expr) — base_expr is the absolute
+        line index of the resident block's first line."""
+        if buf.kind == VarKind.SHARED:
+            ref = self.refs[buf.vid]
+            line = buf.ty.line
+            length = buf.shape[0]
+            return ref, line, length, 0, False
+        plan = self.plans[buf.vid]
+        ref = self.refs[buf.vid]
+        line = plan.param.ty.line
+        if plan.mode == "blocked":
+            base = 0
+            for s, c in plan.grid_coeffs.items():
+                base = base + c * self.program_id(s)
+            return ref, line, plan.block_lines, base * plan.block_lines, False
+        return ref, line, plan.param.length, 0, False
+
+    def load_buffer(self, buf: Value, idx: Value, mask_ev: Optional[EV],
+                    out_line: int):
+        jnp, pl = self.jnp, self.pl
+        per_unit = isinstance(buf.payload, dict) and buf.payload.get("per_unit")
+        aff = self.index_affine(idx)
+        if aff is None:
+            return self._gather_load(buf, idx, mask_ev, out_line)
+        start_u, c = aff
+        ref, line, blk_lines, base, _ = self._buffer_geometry(buf)
+        L = line
+        U = self.U
+        if per_unit:
+            return self._per_unit_access(buf, idx, None, mask_ev, load=True)
+        rel = start_u - base
+        if c == 0:
+            # uniform line load
+            if mask_ev is not None:
+                rel = jnp.clip(rel, 0, blk_lines - 1)
+            val = ref[pl.ds(_as_i32(jnp, rel) * L, L)]
+            ev = EV(arr=val if L > 1 else val[0], varying=False, line=L)
+            return ev
+        if c < 0:
+            _kernel_fail("negative unit stride in buffer index")
+        span = c * U  # lines loaded from rel
+        if mask_ev is not None:
+            rel = jnp.clip(rel, 0, max(0, blk_lines - span))
+        chunk = ref[pl.ds(_as_i32(jnp, rel) * L, span * L)]
+        if c == 1:
+            val = chunk.reshape(U, L)
+        else:
+            val = chunk.reshape(U, c * L)[:, :L]
+        ev = EV(arr=val, varying=True, line=L)
+        return ev
+
+    def store_buffer(self, buf: Value, idx: Value, val_ev: EV,
+                     mask_ev: Optional[EV], ignore_mask: bool = False):
+        jnp, pl = self.jnp, self.pl
+        per_unit = isinstance(buf.payload, dict) and buf.payload.get("per_unit")
+        if per_unit:
+            return self._per_unit_access(buf, idx, val_ev, mask_ev, load=False)
+        aff = self.index_affine(idx)
+        if aff is None:
+            _kernel_fail("non-affine unit-varying store index (use plane ops "
+                         "or contiguous indexing)")
+        start_u, c = aff
+        ref, line, blk_lines, base, _ = self._buffer_geometry(buf)
+        L = line
+        U = self.U
+        dtype = _elem_dtype(self.jnp, buf.ty)
+        rel = start_u - base
+        cmask = None if ignore_mask else self.current_mask()
+        m = None
+        if mask_ev is not None:
+            m = self.materialize(mask_ev)
+        if cmask is not None:
+            m = cmask if m is None else m & cmask
+
+        if c == 0:
+            # uniform index: a varying value means "last unit wins"
+            if val_ev.varying:
+                v = self.materialize(val_ev, dtype)
+                v = v[-1]
+                if m is not None and hasattr(m, "shape") and m.ndim > 0:
+                    m = m.reshape(self.U, -1)[-1].reshape(())
+            else:
+                v = self.broadcast_to_canon(val_ev, False, L, dtype)
+            if m is None:
+                if L > 1:
+                    ref[pl.ds(_as_i32(jnp, rel) * L, L)] = v.reshape(L)
+                else:
+                    ref[pl.ds(_as_i32(jnp, rel), 1)] = jnp.asarray(
+                        v, dtype).reshape(1)
+            else:
+                rel_c = jnp.clip(rel, 0, blk_lines - 1)
+                old = ref[pl.ds(_as_i32(jnp, rel_c) * L, L)]
+                merged = jnp.where(m, jnp.asarray(v, dtype).reshape(L)
+                                   if L > 1 else jnp.asarray(v, dtype), old)
+                ref[pl.ds(_as_i32(jnp, rel_c) * L, L)] = merged.reshape(old.shape)
+            return
+        if c < 0:
+            _kernel_fail("negative unit stride in buffer store")
+        span = c * U
+        v = self.broadcast_to_canon(val_ev, True, L, dtype)  # (U, L)
+        if m is None and c == 1:
+            ref[pl.ds(_as_i32(jnp, rel) * L, U * L)] = v.reshape(U * L)
+            return
+        rel_c = rel
+        if m is not None:
+            rel_c = jnp.clip(rel, 0, max(0, blk_lines - span))
+        start = _as_i32(jnp, rel_c) * L
+        chunk = ref[pl.ds(start, span * L)].reshape(U, c * L)
+        new = v.astype(chunk.dtype)
+        if m is not None:
+            mm = m if getattr(m, "ndim", 0) > 0 else jnp.full((self.U, 1), m)
+            new = jnp.where(mm, new, chunk[:, :L])
+        # dynamic_update_slice (not .at[].set) — scatter index constants
+        # cannot be captured inside pallas kernels
+        chunk = self.lax.dynamic_update_slice(chunk, new, (0, 0))
+        ref[pl.ds(start, span * L)] = chunk.reshape(span * L)
+
+    def _per_unit_access(self, buf, idx, val_ev, mask_ev, load: bool):
+        """Per-unit local Array: scratch shape (U, len*L); uniform index only."""
+        jnp, pl = self.jnp, self.pl
+        ref = self.refs[buf.vid]
+        L = buf.ty.line
+        ev = self.get(idx)
+        if ev.varying:
+            _kernel_fail("per-unit Array with unit-varying index")
+        i = _as_i32(jnp, self.materialize(ev))
+        if load:
+            val = ref[:, pl.ds(i * L, L)]  # (U, L)
+            return EV(arr=val if L > 1 else val, varying=True, line=L)
+        dtype = _elem_dtype(jnp, buf.ty)
+        v = self.broadcast_to_canon(val_ev, True, L, dtype)
+        m = self.current_mask()
+        if mask_ev is not None:
+            mk = self.materialize(mask_ev)
+            m = mk if m is None else m & mk
+        if m is None:
+            ref[:, pl.ds(i * L, L)] = v
+        else:
+            old = ref[:, pl.ds(i * L, L)]
+            mm = m if getattr(m, "ndim", 0) > 0 else jnp.full((self.U, 1), m)
+            ref[:, pl.ds(i * L, L)] = jnp.where(mm, v, old)
+
+    def _gather_load(self, buf, idx, mask_ev, out_line):
+        """Unit-varying non-affine load: one-hot matmul gather over the
+        resident block (exact but O(block) — avoid in hot kernels)."""
+        jnp = self.jnp
+        ref, line, blk_lines, base, _ = self._buffer_geometry(buf)
+        if line != 1:
+            _kernel_fail("non-affine gather only supported for line_size=1")
+        ev = self.get(idx)
+        iv = self.materialize(ev)  # (U, 1) int
+        rel = iv - base
+        data = ref[...]
+        data2d = data.reshape(1, -1)
+        cols = data2d.shape[-1]
+        col = self.jax.lax.broadcasted_iota(jnp.int32, (self.U, cols), 1)
+        onehot = (col == rel).astype(data.dtype)
+        val = jnp.dot(onehot, data2d.reshape(cols, 1),
+                      preferred_element_type=jnp.float32
+                      if data.dtype != jnp.int32 else jnp.int32)
+        val = val.astype(data.dtype)
+        return EV(arr=val, varying=True, line=1)
+
+    # ------------------------------------------------------------ plane ops
+
+    def _plane_reduce(self, x_ev: EV, fn, scan=False, exclusive=False):
+        jnp = self.jnp
+        P = self.plane
+        U = self.U
+        x = self.materialize(x_ev)
+        if not x_ev.varying:
+            x = jnp.broadcast_to(x, (U, max(1, x_ev.line)))
+        L = x.shape[-1] if x.ndim > 1 else 1
+        x = x.reshape(U // P, P, L)
+        if scan:
+            y = fn(x)  # cumulative along axis=1
+            if exclusive:
+                z = jnp.zeros_like(y[:, :1, :])
+                y = jnp.concatenate([z, y[:, :-1, :]], axis=1)
+        else:
+            y = fn(x)  # reduced along axis=1, keepdims
+            y = jnp.broadcast_to(y, x.shape)
+        out = y.reshape(U, L)
+        return EV(arr=out if x_ev.line > 1 else out, varying=True,
+                  line=x_ev.line)
+
+    # --------------------------------------------------------------- runner
+
+    def run(self, scope: Scope) -> None:
+        for inst in scope.instructions:
+            self.eval_inst(inst)
+
+    def writeback_mask(self):
+        """Mask for loop-carry writebacks: like current_mask, but the
+        innermost loop's alive cell contributes its iteration-START value
+        (set in _eval_loop's body_fn), so a mid-iteration break does not
+        cancel the breaking iteration's earlier assignments."""
+        cells = getattr(self, "_loop_cells", [])
+        inner = cells[-1] if cells else None
+        m = None
+        for c in self.masks:
+            val = getattr(c, "start", c.value) if c is inner else c.value
+            if val is None:
+                continue
+            m = val if m is None else m & val
+        return m
+
+    _CURRENT_MASK = object()  # sentinel: use current_mask()
+
+    def set_env(self, v: Value, ev: EV, mask=_CURRENT_MASK) -> None:
+        """Write a value; mut-local writes respect the active mask (pass
+        mask=None to bypass, or an explicit mask array/scalar)."""
+        if v.kind == VarKind.LOCAL_MUT:
+            m = self.current_mask() if mask is Evaluator._CURRENT_MASK else mask
+            if m is not None and v.vid in self.env:
+                old = self.env[v.vid]
+                dtype = _elem_dtype(self.jnp, v.ty)
+                varying = old.varying or ev.varying or (
+                    getattr(m, "ndim", 0) > 0)
+                a = self.broadcast_to_canon(ev, varying, v.ty.line, dtype)
+                b = self.broadcast_to_canon(old, varying, v.ty.line, dtype)
+                merged = self.jnp.where(m, a, b)
+                self.env[v.vid] = EV(arr=merged, varying=varying,
+                                     line=v.ty.line)
+                return
+        self.env[v.vid] = ev
+
+    # -------------------------------------------------------------- dispatch
+
+    def eval_inst(self, inst: Instruction) -> None:
+        jnp, lax = self.jnp, self.lax
+        op = inst.op
+        oc = op.opcode
+        out = inst.out
+
+        # ---- control flow -------------------------------------------------
+        if oc in (O.IF, O.IF_ELSE):
+            self._eval_if(inst)
+            return
+        if oc == O.RANGE_LOOP:
+            self._eval_range_loop(inst)
+            return
+        if oc == O.WHILE:
+            self._eval_while(inst)
+            return
+        if oc == O.LOOP:
+            self._eval_loop(inst)
+            return
+        if oc in (O.BREAK, O.RETURN, O.TERMINATE):
+            self._eval_break(inst)
+            return
+        if oc == O.CONTINUE:
+            _kernel_fail("continue inside a traced loop (restructure with if)")
+        if oc in (O.SYNC_CUBE, O.SYNC_PLANE, O.SYNC_STORAGE, O.COMMENT,
+                  O.BARRIER_INIT, O.BARRIER_ARRIVE, O.BARRIER_WAIT):
+            return  # lockstep execution: ordering is program order
+        if oc == O.PRINT:
+            args = [self.materialize(self.get(a)) for a in op.args]
+            self.pl.debug_print(op.attrs.get("fmt", "{}"), *args)
+            return
+
+        # ---- memory -------------------------------------------------------
+        if oc == O.INDEX:
+            ev = self.load_buffer(op.args[0], op.args[1], None, out.ty.line)
+            self.set_env(out, ev)
+            return
+        if oc == O.INDEX_MASKED:
+            mask_ev = self.get(op.args[2])
+            ev = self.load_buffer(op.args[0], op.args[1], mask_ev, out.ty.line)
+            m = self.materialize(mask_ev)
+            val = self.materialize(ev)
+            zero = jnp.zeros((), dtype=getattr(val, "dtype", None) or jnp.float32)
+            ev2 = EV(arr=jnp.where(m, val, zero), varying=ev.varying
+                     or mask_ev.varying, line=ev.line)
+            self.set_env(out, ev2)
+            return
+        if oc == O.STORE:
+            self.store_buffer(op.args[0], op.args[1], self.get(op.args[2]), None)
+            return
+        if oc == O.STORE_MASKED:
+            self.store_buffer(op.args[0], op.args[1], self.get(op.args[2]),
+                              self.get(op.args[3]))
+            return
+
+        # ---- cmma ---------------------------------------------------------
+        if oc.startswith("mma."):
+            self._eval_mma(inst)
+            return
+
+        # ---- plane --------------------------------------------------------
+        if oc.startswith("plane."):
+            self._eval_plane(inst)
+            return
+
+        # ---- atomics ------------------------------------------------------
+        if oc.startswith("atomic."):
+            self._eval_atomic(inst)
+            return
+
+        # ---- pure ops -----------------------------------------------------
+        ev = self._eval_pure(inst)
+        if out is not None:
+            if oc == O.COPY and op.attrs.get("carry_writeback"):
+                self.set_env(out, ev, mask=self.writeback_mask())
+            else:
+                self.set_env(out, ev)
+
+    # ------------------------------------------------------------- pure ops
+
+    def _eval_pure(self, inst: Instruction) -> EV:
+        jnp, lax = self.jnp, self.lax
+        op = inst.op
+        oc = op.opcode
+        out = inst.out
+        evs = [self.get(a) for a in op.args]
+
+        # affine-preserving integer arithmetic keeps the lazy form so index
+        # math never materializes unit iotas
+        if out is not None and out.ty.elem.is_int and out.ty.line == 1:
+            aff = self._affine_arith(oc, evs)
+            if aff is not None:
+                return EV(aff=aff, varying=bool(aff[1]))
+
+        line = max((e.line for e in evs), default=1)
+        if out is not None:
+            line = max(line, out.ty.line)
+        varying = any(e.varying for e in evs)
+        xs = [self.materialize(e) for e in evs]
+
+        fn = _PURE_LOWERING.get(oc)
+        if fn is None:
+            _kernel_fail(f"op {oc}")
+        arr = fn(self, inst, xs)
+        res_line = out.ty.line if out is not None else line
+        if oc in (O.VEC_EXTRACT, O.VEC_SUM, O.VEC_MAX, O.VEC_MIN, O.DOT):
+            res_line = 1
+        return EV(arr=arr, varying=varying or _result_varying(arr, self.U),
+                  line=res_line)
+
+    def _affine_arith(self, oc, evs) -> Optional[Tuple[Any, Dict[str, int]]]:
+        def aff(e):
+            return e.aff
+
+        if oc == O.ADD and aff(evs[0]) and aff(evs[1]):
+            (u1, c1), (u2, c2) = evs[0].aff, evs[1].aff
+            return (u1 + u2, _merge_coeffs(c1, c2, 1))
+        if oc == O.SUB and aff(evs[0]) and aff(evs[1]):
+            (u1, c1), (u2, c2) = evs[0].aff, evs[1].aff
+            return (u1 - u2, _merge_coeffs(c1, c2, -1))
+        if oc == O.MUL and aff(evs[0]) and aff(evs[1]):
+            (u1, c1), (u2, c2) = evs[0].aff, evs[1].aff
+            if not c1 and isinstance(u1, int):
+                return (u1 * u2, {k: u1 * v for k, v in c2.items()})
+            if not c2 and isinstance(u2, int):
+                return (u2 * u1, {k: u2 * v for k, v in c1.items()})
+            if not c1 and not c2:
+                return (u1 * u2, {})
+        if oc == O.NEG and aff(evs[0]):
+            u1, c1 = evs[0].aff
+            return (-u1, {k: -v for k, v in c1.items()})
+        if oc in (O.COPY, O.CAST) and aff(evs[0]):
+            return evs[0].aff
+        if oc in (O.FLOORDIV, O.DIV, O.MOD) and aff(evs[0]) and aff(evs[1]):
+            u2, c2 = evs[1].aff
+            if not c2 and isinstance(u2, int) and u2 > 0:
+                u1, c1 = evs[0].aff
+                if isinstance(u1, int) and u1 % u2 == 0 and \
+                        all(v % u2 == 0 for v in c1.values()):
+                    if oc == O.MOD:
+                        return (0, {})
+                    return (u1 // u2, {k: v // u2 for k, v in c1.items()})
+                if not c1:  # uniform dynamic divide
+                    if oc == O.MOD:
+                        return (u1 % u2, {})
+                    return (u1 // u2, {})
+        return None
+
+    # ---------------------------------------------------------- control flow
+
+    def _branch_cond(self, inst: Instruction) -> EV:
+        return self.get(inst.op.args[0])
+
+    def _eval_if(self, inst: Instruction) -> None:
+        jnp = self.jnp
+        cond = self._branch_cond(inst)
+        then = inst.op.attrs["then"]
+        orelse = inst.op.attrs.get("orelse")
+        cm = self.materialize(cond)
+        # predicated execution: run both sides under masks (uniform conds use
+        # a scalar mask — still branchless, XLA/Mosaic handles select fusion)
+        cell = Cell(cm)
+        self.masks.append(cell)
+        try:
+            self.run(then)
+        finally:
+            self.masks.pop()
+        if orelse is not None:
+            cell = Cell(~cm if hasattr(cm, "dtype") else jnp.logical_not(cm))
+            self.masks.append(cell)
+            try:
+                self.run(orelse)
+            finally:
+                self.masks.pop()
+
+    def _canon_carry(self, v: Value) -> Tuple[bool, int]:
+        if v.kind == VarKind.MATRIX:
+            return (False, 0)  # matrices carry their own (m, n) shape
+        varying = v.vid in self.ua.varying
+        return (varying, v.ty.line)
+
+    def _carry_get(self, v: Value):
+        jnp = self.jnp
+        if v.kind == VarKind.MATRIX:
+            return self.env[v.vid].arr
+        varying, line = self._canon_carry(v)
+        dtype = _elem_dtype(jnp, v.ty)
+        ev = self.get(v)
+        return self.broadcast_to_canon(ev, varying or ev.varying, line, dtype)
+
+    def _carry_set(self, v: Value, arr) -> None:
+        if v.kind == VarKind.MATRIX:
+            self.env[v.vid] = EV(arr=arr, varying=False, line=1)
+            return
+        varying, line = self._canon_carry(v)
+        varying = varying or (getattr(arr, "ndim", 0) > 0
+                              and arr.shape[:1] == (self.U,))
+        self.env[v.vid] = EV(arr=arr, varying=varying, line=line)
+
+    def _eval_range_loop(self, inst: Instruction) -> None:
+        jnp, lax = self.jnp, self.lax
+        op = inst.op
+        start_ev, stop_ev, step_ev = (self.get(a) for a in op.args)
+        if any(e.varying for e in (start_ev, stop_ev, step_ev)):
+            _kernel_fail("unit-varying loop bounds (use a uniform bound with "
+                         "masking inside the body)")
+        var = op.attrs["var"]
+        body = op.attrs["body"]
+        carries = [v for v in written_mutables(body) if v.vid in self.env]
+        start = self.materialize(start_ev)
+        stop = self.materialize(stop_ev)
+        step = self.materialize(step_ev)
+
+        unroll = op.attrs.get("unroll", False)
+        static = all(isinstance(x, int) for x in (start, stop, step))
+        if static:
+            trip = max(0, -(-(stop - start) // step)) if step > 0 else \
+                max(0, -(-(start - stop) // -step))
+        else:
+            trip = None
+        if unroll and not static:
+            _kernel_fail("#[unroll] loop with traced bounds")
+        if static and (unroll or trip <= 2):
+            for k in range(trip):
+                i = start + k * step
+                self.env[var.vid] = EV(arr=i, varying=False, aff=(i, {}))
+                self.run(body)
+            return
+
+        init = tuple(self._carry_get(v) for v in carries)
+        saved_env = dict(self.env)
+
+        def body_fn(i, carry):
+            self.env = dict(saved_env)
+            for v, c in zip(carries, carry):
+                self._carry_set(v, c)
+            iv = start + i * step
+            self.env[var.vid] = EV(arr=iv, varying=False, aff=(iv, {}))
+            self.run(body)
+            return tuple(self._carry_get(v) for v in carries)
+
+        if static:
+            n = trip
+        else:
+            n = lax.max(0, lax.div(stop - start + step - (1 if True else 0),
+                                   step)) if not isinstance(
+                stop, int) or not isinstance(start, int) else trip
+            # ceil((stop-start)/step) for traced bounds
+            n = (stop - start + step - 1) // step
+        final = lax.fori_loop(0, n, body_fn, init)
+        self.env = saved_env
+        for v, c in zip(carries, final if isinstance(final, tuple) else (final,)):
+            self._carry_set(v, c)
+
+    def _eval_while(self, inst: Instruction) -> None:
+        lax = self.lax
+        op = inst.op
+        body = op.attrs["body"]
+        cond_scope = op.attrs["cond_scope"]
+        cond_value = op.attrs["cond_value"]
+        carries = [v for v in written_mutables(body) if v.vid in self.env]
+        init = tuple(self._carry_get(v) for v in carries)
+        saved_env = dict(self.env)
+
+        def load_carry(carry):
+            self.env = dict(saved_env)
+            for v, c in zip(carries, carry):
+                self._carry_set(v, c)
+
+        def cond_fn(carry):
+            load_carry(carry)
+            self.run(cond_scope)
+            ev = self.get(cond_value)
+            c = self.materialize(ev)
+            if ev.varying:
+                c = self.jnp.any(c)
+            return c
+
+        def body_fn(carry):
+            load_carry(carry)
+            self.run(cond_scope)
+            ev = self.get(cond_value)
+            cell = Cell(self.materialize(ev)) if ev.varying else Cell(None)
+            self.masks.append(cell)
+            try:
+                self.run(body)
+            finally:
+                self.masks.pop()
+            return tuple(self._carry_get(v) for v in carries)
+
+        final = lax.while_loop(cond_fn, body_fn, init)
+        self.env = saved_env
+        for v, c in zip(carries, final):
+            self._carry_set(v, c)
+
+    def _eval_loop(self, inst: Instruction) -> None:
+        """loop { ... break } → while_loop with an alive mask; BREAK clears
+        alive under the current branch mask, predicating the rest of the
+        iteration (correct mid-body break semantics)."""
+        jnp, lax = self.jnp, self.lax
+        body = inst.op.attrs["body"]
+        carries = [v for v in written_mutables(body) if v.vid in self.env]
+        varying_alive = _loop_break_varying(body, self)
+        alive0 = jnp.ones((self.U, 1), jnp.bool_) if varying_alive \
+            else jnp.asarray(True)
+        init = (alive0,) + tuple(self._carry_get(v) for v in carries)
+        saved_env = dict(self.env)
+
+        def cond_fn(carry):
+            alive = carry[0]
+            return jnp.any(alive) if varying_alive else alive
+
+        def body_fn(carry):
+            alive = carry[0]
+            self.env = dict(saved_env)
+            for v, c in zip(carries, carry[1:]):
+                self._carry_set(v, c)
+            cell = Cell(alive)
+            cell.start = alive  # alive at iteration start (writeback mask)
+            self._loop_cells = getattr(self, "_loop_cells", [])
+            self._loop_cells.append(cell)
+            self.masks.append(cell)
+            try:
+                self.run(body)
+            finally:
+                self.masks.pop()
+                self._loop_cells.pop()
+            return (cell.value,) + tuple(self._carry_get(v) for v in carries)
+
+        final = lax.while_loop(cond_fn, body_fn, init)
+        self.env = saved_env
+        for v, c in zip(carries, final[1:]):
+            self._carry_set(v, c)
+
+    def _eval_break(self, inst: Instruction) -> None:
+        """BREAK/RETURN clear the innermost alive cell under the masks pushed
+        inside it — predicating the remainder of the iteration/kernel."""
+        jnp = self.jnp
+        cells = getattr(self, "_loop_cells", [])
+        oc = inst.op.opcode
+        if oc == O.BREAK:
+            if not cells:
+                _kernel_fail("break outside a traced loop")
+            cell = cells[-1]
+        else:  # RETURN / TERMINATE: kernel-level alive cell
+            cell = getattr(self, "_kernel_cell", None)
+            if cell is None:
+                return  # trailing return — nothing left to predicate
+        inner = self.mask_since(cell)
+        alive = cell.value if cell.value is not None else jnp.asarray(True)
+        if inner is None:
+            cell.value = jnp.zeros_like(alive) if hasattr(alive, "dtype") \
+                else jnp.asarray(False)
+        else:
+            cell.value = alive & jnp.logical_not(inner)
+
+    # --------------------------------------------------------------- plane
+
+    def _eval_plane(self, inst: Instruction) -> None:
+        jnp = self.jnp
+        oc = inst.op.opcode
+        out = inst.out
+        if oc == O.PLANE_ELECT:
+            u = self._flat_unit_iota()
+            self.set_env(out, EV(arr=(u % self.plane) == 0, varying=True))
+            return
+        x = self.get(inst.op.args[0])
+        if oc == O.PLANE_SUM:
+            ev = self._plane_reduce(x, lambda a: jnp.sum(a, 1, keepdims=True))
+        elif oc == O.PLANE_PROD:
+            ev = self._plane_reduce(x, lambda a: jnp.prod(a, 1, keepdims=True))
+        elif oc == O.PLANE_MAX:
+            ev = self._plane_reduce(x, lambda a: jnp.max(a, 1, keepdims=True))
+        elif oc == O.PLANE_MIN:
+            ev = self._plane_reduce(x, lambda a: jnp.min(a, 1, keepdims=True))
+        elif oc == O.PLANE_ALL:
+            ev = self._plane_reduce(x, lambda a: jnp.all(a, 1, keepdims=True))
+        elif oc == O.PLANE_ANY:
+            ev = self._plane_reduce(x, lambda a: jnp.any(a, 1, keepdims=True))
+        elif oc == O.PLANE_INCLUSIVE_SUM:
+            ev = self._plane_reduce(x, lambda a: jnp.cumsum(a, 1), scan=True)
+        elif oc == O.PLANE_EXCLUSIVE_SUM:
+            ev = self._plane_reduce(x, lambda a: jnp.cumsum(a, 1), scan=True,
+                                    exclusive=True)
+        elif oc == O.PLANE_INCLUSIVE_PROD:
+            ev = self._plane_reduce(x, lambda a: jnp.cumprod(a, 1), scan=True)
+        elif oc == O.PLANE_EXCLUSIVE_PROD:
+            ev = self._plane_reduce(x, lambda a: jnp.cumprod(a, 1), scan=True,
+                                    exclusive=True)
+        elif oc == O.PLANE_BALLOT:
+            xm = self.materialize(x)
+            xm = jnp.broadcast_to(xm, (self.U, 1)) if not x.varying else xm
+            P = self.plane
+            bits = xm.astype(jnp.uint32).reshape(self.U // P, P)
+            w = jnp.left_shift(
+                jnp.uint32(1),
+                self.jax.lax.broadcasted_iota(jnp.uint32, (1, P), 1))
+            packed = jnp.sum(bits * w, axis=1, keepdims=True)
+            packed = jnp.broadcast_to(packed, (self.U // P, P)).reshape(
+                self.U, 1)
+            ev = EV(arr=packed, varying=True)
+        elif oc == O.PLANE_BROADCAST:
+            lane_ev = self.get(inst.op.args[1])
+            if lane_ev.varying:
+                _kernel_fail("plane_broadcast with varying source lane")
+            lane = self.materialize(lane_ev)
+            xm = self.materialize(x)
+            if not x.varying:
+                ev = x
+            else:
+                P = self.plane
+                L = xm.shape[-1] if xm.ndim > 1 else 1
+                g = xm.reshape(self.U // P, P, L)
+                idx = jnp.asarray(lane, jnp.int32)
+                sel = self.lax.dynamic_index_in_dim(g, idx, axis=1,
+                                                    keepdims=True)
+                y = jnp.broadcast_to(sel, g.shape).reshape(self.U, L)
+                ev = EV(arr=y, varying=True, line=x.line)
+        elif oc in (O.PLANE_SHUFFLE_XOR, O.PLANE_SHUFFLE_UP,
+                    O.PLANE_SHUFFLE_DOWN, O.PLANE_SHUFFLE):
+            ev = self._plane_shuffle(oc, x, inst.op.args[1])
+        else:
+            _kernel_fail(f"plane op {oc}")
+        self.set_env(out, ev)
+
+    def _plane_shuffle(self, oc, x: EV, arg: Value) -> EV:
+        jnp = self.jnp
+        a_ev = self.get(arg)
+        if a_ev.varying:
+            _kernel_fail("shuffle with unit-varying lane argument")
+        a = self.materialize(a_ev)
+        if not isinstance(a, int):
+            _kernel_fail("shuffle lane argument must be comptime on TPU")
+        P = self.plane
+        lanes = list(range(P))
+        if oc == O.PLANE_SHUFFLE_XOR:
+            perm = [l ^ a for l in lanes]
+        elif oc == O.PLANE_SHUFFLE_UP:
+            perm = [max(0, l - a) for l in lanes]
+        elif oc == O.PLANE_SHUFFLE_DOWN:
+            perm = [min(P - 1, l + a) for l in lanes]
+        else:  # PLANE_SHUFFLE with uniform src
+            perm = [a % P for _ in lanes]
+        xm = self.materialize(x)
+        if not x.varying:
+            return x
+        L = xm.shape[-1] if xm.ndim > 1 else 1
+        g = xm.reshape(self.U // P, P, L)
+        y = g[:, jnp.asarray(perm), :].reshape(self.U, L)
+        return EV(arr=y, varying=True, line=x.line)
+
+    # ----------------------------------------------------------------- mma
+
+    def _eval_mma(self, inst: Instruction) -> None:
+        jnp, pl = self.jnp, self.pl
+        oc = inst.op.opcode
+        args = inst.op.args
+        if oc == O.MMA_FILL:
+            mat, val = args
+            v = self.materialize(self.get(val))
+            dtype = _elem_dtype(jnp, mat.ty)
+            self.env[mat.vid] = EV(
+                arr=jnp.full(mat.shape, v, dtype=dtype), varying=False)
+            return
+        if oc == O.MMA_LOAD:
+            mat, buf, off, stride = args[0], args[1], args[2], args[3]
+            rows, cols = mat.shape
+            layout = inst.op.attrs.get("layout", "row_major")
+            arr = self._mma_slab(buf, off, stride, rows, cols, layout)
+            self.env[mat.vid] = EV(arr=arr.astype(_elem_dtype(jnp, mat.ty)),
+                                   varying=False)
+            return
+        if oc == O.MMA_STORE:
+            mat, buf, off, stride = args[0], args[1], args[2], args[3]
+            rows, cols = mat.shape
+            m = self.env[mat.vid].arr
+            self._mma_store_slab(buf, off, stride, m,
+                                 inst.op.attrs.get("layout", "row_major"))
+            return
+        if oc == O.MMA_EXECUTE:
+            a, b, c, d = args
+            am, bm = self.env[a.vid].arr, self.env[b.vid].arr
+            cm = self.env[c.vid].arr
+            acc_dtype = _elem_dtype(jnp, d.ty)
+            prod = jnp.dot(am, bm, preferred_element_type=acc_dtype)
+            self.env[d.vid] = EV(arr=prod + cm.astype(acc_dtype), varying=False)
+            return
+        if oc == O.MMA_EXECUTE_SCALED:
+            a, b, c, d, sa, sb = args
+            am, bm = self.env[a.vid].arr, self.env[b.vid].arr
+            cm = self.env[c.vid].arr
+            sav = self.materialize(self.get(sa))
+            sbv = self.materialize(self.get(sb))
+            acc_dtype = _elem_dtype(jnp, d.ty)
+            prod = jnp.dot(am.astype(jnp.float32) * sav,
+                           bm.astype(jnp.float32) * sbv,
+                           preferred_element_type=acc_dtype)
+            self.env[d.vid] = EV(arr=prod + cm.astype(acc_dtype), varying=False)
+            return
+        if oc == O.MMA_CAST:
+            dst, src = args
+            self.env[dst.vid] = EV(
+                arr=self.env[src.vid].arr.astype(_elem_dtype(jnp, dst.ty)),
+                varying=False)
+            return
+        _kernel_fail(f"mma op {oc}")
+
+    def _mma_slab(self, buf, off, stride, rows, cols, layout):
+        jnp, pl = self.jnp, self.pl
+        ref, line, blk_lines, base, _ = self._buffer_geometry(buf)
+        off_ev = self.get(off)
+        stride_ev = self.get(stride)
+        if off_ev.varying or stride_ev.varying:
+            _kernel_fail("mma load with unit-varying offset/stride")
+        o = self.materialize(off_ev)  # element offset
+        s = self.materialize(stride_ev)
+        if not isinstance(s, int):
+            _kernel_fail("mma stride must be comptime")
+        rel = _as_i32(jnp, o - base * line)
+        if layout == "row_major":
+            slab = ref[pl.ds(rel, rows * s)].reshape(rows, s)[:, :cols]
+        else:
+            slab = ref[pl.ds(rel, cols * s)].reshape(cols, s)[:, :rows].T
+        return slab
+
+    def _mma_store_slab(self, buf, off, stride, m, layout):
+        jnp, pl = self.jnp, self.pl
+        ref, line, blk_lines, base, _ = self._buffer_geometry(buf)
+        rows, cols = m.shape
+        o = self.materialize(self.get(off))
+        s = self.materialize(self.get(stride))
+        if not isinstance(s, int):
+            _kernel_fail("mma stride must be comptime")
+        if layout != "row_major":
+            m = m.T
+            rows, cols = cols, rows
+        rel = _as_i32(jnp, o - base * line)
+        dtype = ref.dtype
+        if s == cols:
+            ref[pl.ds(rel, rows * cols)] = m.astype(dtype).reshape(-1)
+        else:
+            chunk = ref[pl.ds(rel, rows * s)].reshape(rows, s)
+            chunk = self.lax.dynamic_update_slice(chunk, m.astype(dtype),
+                                                  (0, 0))
+            ref[pl.ds(rel, rows * s)] = chunk.reshape(-1)
+
+    # -------------------------------------------------------------- atomics
+
+    def _eval_atomic(self, inst: Instruction) -> None:
+        """Lockstep-exact atomics: per-unit results follow the serialized
+        unit order (exclusive prefix), which matches any valid GPU
+        interleaving. Grid-level atomicity holds because the TPU Pallas grid
+        executes sequentially on a core (SURVEY §2.9 multi-stream caveat)."""
+        jnp = self.jnp
+        oc = inst.op.opcode
+        out = inst.out
+        args = inst.op.args
+        buf, idx = args[0], args[1]
+        idx_ev = self.get(idx)
+        if idx_ev.varying:
+            _kernel_fail("atomic with unit-varying index")
+        old_ev = self.load_buffer(buf, idx, None, buf.ty.line)
+        old = self.materialize(old_ev)
+        if oc == O.ATOMIC_LOAD:
+            self.set_env(out, old_ev)
+            return
+        val_ev = self.get(args[2]) if len(args) > 2 else None
+        m = self.current_mask()
+
+        def masked(v, neutral):
+            if m is None:
+                return v
+            return jnp.where(m, v, neutral)
+
+        if oc == O.ATOMIC_STORE:
+            self.store_buffer(buf, idx, val_ev, None)
+            return
+        dtype = getattr(old, "dtype", None)
+        old2d = jnp.asarray(old).reshape(1, -1)  # (1, L)
+        v = self.broadcast_to_canon(val_ev, True, buf.ty.line, dtype)
+        v = v.reshape(self.U, -1)
+        if oc == O.ATOMIC_ADD or oc == O.ATOMIC_SUB:
+            sgn = 1 if oc == O.ATOMIC_ADD else -1
+            vm = masked(v, jnp.zeros_like(v))
+            prefix = jnp.cumsum(vm, axis=0) - vm
+            total = jnp.sum(vm, axis=0, keepdims=True)
+            if out is not None:
+                self.set_env(out, EV(arr=old2d + sgn * prefix, varying=True,
+                                     line=buf.ty.line))
+            new = old2d + sgn * total
+        elif oc in (O.ATOMIC_MAX, O.ATOMIC_MIN):
+            red = jnp.max if oc == O.ATOMIC_MAX else jnp.min
+            neutral = jnp.broadcast_to(old2d, v.shape)
+            vm = masked(v, neutral)
+            new = red(jnp.concatenate([vm, old2d], axis=0), axis=0,
+                      keepdims=True)
+            if out is not None:
+                # per-unit old value approximated by the initial value (valid
+                # interleaving where all units read before any write)
+                self.set_env(out, EV(arr=jnp.broadcast_to(old2d, v.shape),
+                                     varying=True, line=buf.ty.line))
+        elif oc in (O.ATOMIC_AND, O.ATOMIC_OR, O.ATOMIC_XOR):
+            neutral_val = -1 if oc == O.ATOMIC_AND else 0
+            vm = masked(v, jnp.full_like(v, neutral_val))
+
+            def scan3(fn):
+                acc = old2d
+                for u in range(self.U):
+                    acc = fn(acc, vm[u:u + 1])
+                return acc
+
+            if oc == O.ATOMIC_AND:
+                new = scan3(jnp.bitwise_and)
+            elif oc == O.ATOMIC_OR:
+                new = scan3(jnp.bitwise_or)
+            else:
+                new = scan3(jnp.bitwise_xor)
+            if out is not None:
+                self.set_env(out, EV(arr=jnp.broadcast_to(old2d, v.shape),
+                                     varying=True, line=buf.ty.line))
+        elif oc == O.ATOMIC_SWAP:
+            if m is not None:
+                _kernel_fail("masked atomic swap")
+            new = v[-1:]
+            if out is not None:
+                self.set_env(out, EV(arr=jnp.broadcast_to(old2d, v.shape),
+                                     varying=True, line=buf.ty.line))
+        elif oc == O.ATOMIC_CAS:
+            cmp_ev, val2_ev = self.get(args[2]), self.get(args[3])
+            cmp_v = self.broadcast_to_canon(cmp_ev, False, buf.ty.line, dtype)
+            v2 = self.broadcast_to_canon(val2_ev, False, buf.ty.line, dtype)
+            new = jnp.where(old2d == cmp_v.reshape(1, -1),
+                            v2.reshape(1, -1), old2d)
+            if out is not None:
+                self.set_env(out, EV(arr=old, varying=False, line=buf.ty.line))
+        else:
+            _kernel_fail(f"atomic op {oc}")
+        shape = old.shape if hasattr(old, "shape") else ()
+        new_arr = new.reshape(shape) if shape else new.reshape(())
+        new_ev = EV(arr=new_arr, varying=False, line=buf.ty.line)
+        self.store_buffer(buf, idx, new_ev, None, ignore_mask=True)
+
+
+def _as_i32(jnp, x):
+    if isinstance(x, int):
+        return x
+    return x.astype(jnp.int32) if hasattr(x, "astype") else x
+
+
+def _elem_dtype(jnp, ty: Type):
+    return jnp.dtype(ty.elem.jnp_name)
+
+
+def _merge_coeffs(c1: Dict[str, int], c2: Dict[str, int], sign: int):
+    out = dict(c1)
+    for k, v in c2.items():
+        out[k] = out.get(k, 0) + sign * v
+        if out[k] == 0:
+            del out[k]
+    return out
+
+
+def _result_varying(arr, U: int) -> bool:
+    shape = getattr(arr, "shape", ())
+    return len(shape) >= 1 and shape[0] == U and len(shape) <= 2
+
+
+def _loop_break_varying(scope: Scope, ev: "Evaluator") -> bool:
+    """Does any BREAK in this loop body sit under a unit-varying branch?"""
+    def scan(s: Scope, ctx: bool) -> bool:
+        for inst in s.instructions:
+            oc = inst.op.opcode
+            if oc == O.BREAK and ctx:
+                return True
+            sub_ctx = ctx
+            if oc in (O.IF, O.IF_ELSE, O.SWITCH):
+                sub_ctx = ctx or ev.ua.is_varying_value(inst.op.args[0])
+            for key in ("then", "orelse", "body", "cond_scope"):
+                sub = inst.op.attrs.get(key)
+                if isinstance(sub, Scope) and scan(sub, sub_ctx):
+                    return True
+            for _c, sub in inst.op.attrs.get("cases", []):
+                if scan(sub, sub_ctx):
+                    return True
+        return False
+
+    return scan(scope, False)
+
+
+# ---------------------------------------------------------------------------
+# Pure-op lowering table: opcode -> (evaluator, inst, materialized args) -> arr
+# ---------------------------------------------------------------------------
+
+
+def _mk_pure_table():
+    def simple(fn):
+        return lambda ev, inst, xs: fn(ev.jnp, *xs)
+
+    def j(name):
+        return lambda ev, inst, xs: getattr(ev.jnp, name)(*xs)
+
+    t = {
+        O.ADD: simple(lambda jnp, a, b: a + b),
+        O.SUB: simple(lambda jnp, a, b: a - b),
+        O.MUL: simple(lambda jnp, a, b: a * b),
+        O.FLOORDIV: simple(lambda jnp, a, b: a // b),
+        O.MOD: simple(lambda jnp, a, b: a % b),
+        O.REM: simple(lambda jnp, a, b: a - b * jnp.trunc(a / b)),
+        O.NEG: simple(lambda jnp, a: -a),
+        O.ABS: j("abs"),
+        O.MAX: j("maximum"),
+        O.MIN: j("minimum"),
+        O.CLAMP: simple(lambda jnp, x, lo, hi: jnp.clip(x, lo, hi)),
+        O.POW: simple(lambda jnp, a, b: a ** b),
+        O.EXP: j("exp"),
+        O.EXP2: j("exp2"),
+        O.LOG: j("log"),
+        O.LOG2: j("log2"),
+        O.LOG1P: j("log1p"),
+        O.SQRT: j("sqrt"),
+        O.SIN: j("sin"),
+        O.COS: j("cos"),
+        O.TAN: j("tan"),
+        O.ASIN: j("arcsin"),
+        O.ACOS: j("arccos"),
+        O.ATAN: j("arctan"),
+        O.ATAN2: j("arctan2"),
+        O.SINH: j("sinh"),
+        O.COSH: j("cosh"),
+        O.TANH: j("tanh"),
+        O.FLOOR: j("floor"),
+        O.CEIL: j("ceil"),
+        O.ROUND: j("round"),
+        O.TRUNC: j("trunc"),
+        O.SIGN: j("sign"),
+        O.LOG1P: j("log1p"),
+        O.IS_NAN: j("isnan"),
+        O.IS_INF: j("isinf"),
+        O.EQ: simple(lambda jnp, a, b: a == b),
+        O.NE: simple(lambda jnp, a, b: a != b),
+        O.LT: simple(lambda jnp, a, b: a < b),
+        O.LE: simple(lambda jnp, a, b: a <= b),
+        O.GT: simple(lambda jnp, a, b: a > b),
+        O.GE: simple(lambda jnp, a, b: a >= b),
+        O.BAND: simple(lambda jnp, a, b: a & b),
+        O.BOR: simple(lambda jnp, a, b: a | b),
+        O.BXOR: simple(lambda jnp, a, b: a ^ b),
+        O.BNOT: simple(lambda jnp, a: ~a),
+        O.SHL: simple(lambda jnp, a, b: a << b),
+        O.SHR: simple(lambda jnp, a, b: a >> b),
+        O.AND: simple(lambda jnp, a, b: jnp.logical_and(a, b)),
+        O.OR: simple(lambda jnp, a, b: jnp.logical_or(a, b)),
+        O.NOT: simple(lambda jnp, a: jnp.logical_not(a)),
+        O.POPCOUNT: lambda ev, inst, xs: ev.lax.population_count(
+            xs[0].astype(ev.jnp.uint32)).astype(ev.jnp.int32),
+        O.CLZ: lambda ev, inst, xs: ev.lax.clz(
+            xs[0].astype(ev.jnp.uint32)).astype(ev.jnp.int32),
+        O.COPY: lambda ev, inst, xs: xs[0],
+        O.SELECT: lambda ev, inst, xs: ev.jnp.where(xs[0], xs[1], xs[2]),
+    }
+
+    def _erf(ev, inst, xs):
+        return ev.jax.scipy.special.erf(xs[0])
+
+    t[O.ERF] = _erf
+
+    def _rsqrt(ev, inst, xs):
+        return ev.lax.rsqrt(xs[0])
+
+    t[O.RSQRT] = _rsqrt
+
+    def _recip(ev, inst, xs):
+        approx = inst.modes.get("fast_math", {}).get("allow_reciprocal") \
+            if isinstance(inst.modes.get("fast_math"), dict) else False
+        return 1.0 / xs[0]
+
+    t[O.RECIP] = _recip
+
+    def _div(ev, inst, xs):
+        out = inst.out
+        if out is not None and out.ty.elem.is_int:
+            return xs[0] // xs[1]
+        return xs[0] / xs[1]
+
+    t[O.DIV] = _div
+
+    def _fma(ev, inst, xs):
+        return xs[0] * xs[1] + xs[2]
+
+    t[O.FMA] = _fma
+
+    def _cast(ev, inst, xs):
+        to = inst.op.attrs["to"]
+        return ev.jnp.asarray(xs[0]).astype(_elem_dtype(ev.jnp, to))
+
+    t[O.CAST] = _cast
+
+    def _reinterpret(ev, inst, xs):
+        to = inst.op.attrs["to"]
+        x = ev.jnp.asarray(xs[0])
+        src_bits = x.dtype.itemsize
+        dst = _elem_dtype(ev.jnp, to)
+        if src_bits == dst.itemsize:
+            return ev.lax.bitcast_convert_type(x, dst)
+        flat = ev.lax.bitcast_convert_type(x, ev.jnp.uint8)
+        flat = flat.reshape(*x.shape[:-1], -1) if x.ndim else flat
+        _kernel_fail("reinterpret across different widths")
+
+    t[O.REINTERPRET] = _reinterpret
+
+    def _vec_splat(ev, inst, xs):
+        out = inst.out
+        L = out.ty.line
+        x = ev.jnp.asarray(xs[0])
+        if x.ndim == 0:
+            return ev.jnp.broadcast_to(x, (L,))
+        return ev.jnp.broadcast_to(x.reshape(-1, 1), (x.shape[0], L))
+
+    t[O.VEC_SPLAT] = _vec_splat
+
+    def _vec_init(ev, inst, xs):
+        arrs = [ev.jnp.asarray(x) for x in xs]
+        if any(a.ndim > 0 for a in arrs):
+            U = max(a.shape[0] for a in arrs if a.ndim > 0)
+            arrs = [ev.jnp.broadcast_to(a.reshape(-1, 1) if a.ndim else a,
+                                        (U, 1)) for a in arrs]
+            return ev.jnp.concatenate(arrs, axis=-1)
+        return ev.jnp.stack(arrs)
+
+    t[O.VEC_INIT] = _vec_init
+
+    def _vec_extract(ev, inst, xs):
+        x, i = ev.jnp.asarray(xs[0]), xs[1]
+        if not isinstance(i, int):
+            i = ev.jnp.asarray(i)
+            if i.ndim > 0:
+                _kernel_fail("lane extract with varying lane index")
+        if x.ndim <= 1:
+            return ev.lax.dynamic_index_in_dim(x, i, 0, keepdims=False) \
+                if not isinstance(i, int) else x[i]
+        if isinstance(i, int):
+            return x[:, i:i + 1]
+        return ev.lax.dynamic_slice_in_dim(x, i, 1, axis=1)
+
+    t[O.VEC_EXTRACT] = _vec_extract
+
+    def _vec_insert(ev, inst, xs):
+        x, i, v = (ev.jnp.asarray(xs[0]), xs[1], xs[2])
+        if x.ndim <= 1:
+            v1 = ev.jnp.asarray(v, x.dtype).reshape(1)
+            return ev.lax.dynamic_update_slice(x, v1, (i,))
+        v = ev.jnp.asarray(v)
+        v = ev.jnp.broadcast_to(v.reshape(-1, 1) if v.ndim else v,
+                                (x.shape[0], 1)).astype(x.dtype)
+        return ev.lax.dynamic_update_slice(x, v, (0, i))
+
+    t[O.VEC_INSERT] = _vec_insert
+
+    def _vec_sum(ev, inst, xs):
+        return _line_reduce(ev, xs[0], ev.jnp.sum)
+
+    def _vec_max(ev, inst, xs):
+        return _line_reduce(ev, xs[0], ev.jnp.max)
+
+    def _vec_min(ev, inst, xs):
+        return _line_reduce(ev, xs[0], ev.jnp.min)
+
+    t[O.VEC_SUM] = _vec_sum
+    t[O.VEC_MAX] = _vec_max
+    t[O.VEC_MIN] = _vec_min
+
+    def _dot(ev, inst, xs):
+        a, b = ev.jnp.asarray(xs[0]), ev.jnp.asarray(xs[1])
+        return _line_reduce(ev, a * b, ev.jnp.sum)
+
+    t[O.DOT] = _dot
+
+    def _mulhi(ev, inst, xs):
+        a = xs[0].astype(ev.jnp.int64) if hasattr(xs[0], "astype") else xs[0]
+        b = xs[1]
+        wide = ev.jnp.asarray(a, ev.jnp.int64) * ev.jnp.asarray(b, ev.jnp.int64)
+        return (wide >> 32).astype(ev.jnp.int32)
+
+    t[O.MULHI] = _mulhi
+
+    def _sat(op):
+        def f(ev, inst, xs):
+            out = inst.out
+            jnp = ev.jnp
+            elem = out.ty.elem
+            a = jnp.asarray(xs[0]).astype(jnp.int64)
+            b = jnp.asarray(xs[1]).astype(jnp.int64)
+            r = a + b if op == "add" else a - b
+            lo = 0 if not elem.is_signed else -(1 << (elem.bits - 1))
+            hi = (1 << elem.bits) - 1 if not elem.is_signed \
+                else (1 << (elem.bits - 1)) - 1
+            return jnp.clip(r, lo, hi).astype(_elem_dtype(jnp, out.ty))
+        return f
+
+    t[O.SAT_ADD] = _sat("add")
+    t[O.SAT_SUB] = _sat("sub")
+    return t
+
+
+def _line_reduce(ev, x, red):
+    x = ev.jnp.asarray(x)
+    if x.ndim <= 1:
+        return red(x)
+    return red(x, axis=-1, keepdims=True)
+
+
+_PURE_LOWERING = _mk_pure_table()
+
+
+def written_mutables(scope: Scope) -> List[Value]:
+    """Mut locals and matrices written anywhere in the scope tree (carry
+    discovery for loop lowering)."""
+    seen: Dict[int, Value] = {}
+    for _s, inst in walk(scope):
+        oc = inst.op.opcode
+        if inst.out is not None and inst.out.kind == VarKind.LOCAL_MUT:
+            seen[inst.out.vid] = inst.out
+        if oc in (O.MMA_FILL, O.MMA_LOAD, O.MMA_CAST):
+            m = inst.op.args[0]
+            seen[m.vid] = m
+        elif oc in (O.MMA_EXECUTE, O.MMA_EXECUTE_SCALED):
+            d = inst.op.args[3]
+            seen[d.vid] = d
+    return list(seen.values())

@@ -1,0 +1,158 @@
+"""Buffer containers: Slice, MutSlice, Array, SharedMemory.
+
+Reference: slices as kernel buffers (cubecl-core/src/frontend/container/
+slice/base.rs, launch.rs ``BufferArg::from_raw_parts``), ``Array<E>``
+(array/base.rs:13) and ``Shared<E>`` (shared_memory.rs:22).
+
+TPU adaptation: buffer lengths are **static per compilation** (the XLA
+model), so ``.len()`` returns a comptime Python int instead of the
+reference's runtime metadata read (codegen/metadata.rs). Shared memory is
+VMEM scratch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Union
+
+from ..ir import ops as O
+from ..ir.ops import Operation
+from ..ir.types import ElemType, Type
+from ..ir.value import Value, VarKind
+from .element import CubeVal, active_builder, as_value, emit, is_comptime
+
+
+class Slice:
+    """Read-only view over a kernel buffer of lines.
+
+    ``buf[i]`` loads line ``i`` (a CubeVal with the buffer's line size);
+    ``buf.len()`` is the comptime number of lines.
+    """
+
+    _mutable = False
+
+    def __init__(self, value: Value, length: int, line_size: int,
+                 offset: Any = 0):
+        assert value.kind in (VarKind.BUFFER, VarKind.SHARED)
+        self.value = value
+        self._length = length
+        self._line = line_size
+        self._offset = offset  # comptime int or CubeVal, in lines
+
+    # -- metadata (comptime) ------------------------------------------------
+    def len(self) -> int:
+        return self._length
+
+    def __len__(self) -> int:
+        return self._length
+
+    @property
+    def line_size(self) -> int:
+        return self._line
+
+    @property
+    def ty(self) -> Type:
+        return Type(self.value.ty.elem, self._line)
+
+    def buffer_len(self) -> int:
+        return self._length
+
+    # -- access ---------------------------------------------------------------
+    def _index(self, idx):
+        if isinstance(idx, slice):
+            return self.slice(idx.start or 0,
+                              self._length if idx.stop is None else idx.stop)
+        if is_comptime(self._offset) and self._offset == 0:
+            return idx
+        return idx + self._offset
+
+    def __getitem__(self, idx):
+        if isinstance(idx, slice):
+            return self._index(idx)
+        idx = self._index(idx)
+        return emit(O.INDEX, self.value, idx, out_ty=self.ty)
+
+    def read_masked(self, idx, mask, fallback=None):
+        """Masked read (reference io.rs read_masked): out-of-bounds lanes
+        yield ``fallback`` (zero by default)."""
+        idx = self._index(idx)
+        v = emit(O.INDEX_MASKED, self.value, idx, mask, out_ty=self.ty)
+        if fallback is not None:
+            return emit(O.SELECT, mask, v, fallback, out_ty=self.ty)
+        return v
+
+    def __setitem__(self, idx, v):
+        raise TypeError(
+            "buffer is read-only; declare the parameter as MutSlice/MutTensor "
+            "or pass it as a mutable arg")
+
+    def slice(self, start, end) -> "Slice":
+        """Sub-view (reference mem.slice). Comptime bounds keep the static
+        length exact; traced starts keep length = end - start if comptime."""
+        if not (is_comptime(start) and is_comptime(end)):
+            raise TypeError("slice bounds must be comptime on TPU "
+                            "(static shapes); use index arithmetic instead")
+        cls = type(self)
+        return cls(self.value, end - start, self._line,
+                   offset=self._offset + start)
+
+    def with_line_size(self, line: int):
+        """Reinterpret the buffer with a different line width (reference
+        slice reinterpretation). Total element count is preserved."""
+        if not is_comptime(self._offset):
+            raise TypeError("cannot re-line a traced-offset slice")
+        total = self._length * self._line
+        off = self._offset * self._line
+        assert total % line == 0 and off % line == 0
+        cls = type(self)
+        return cls(self.value, total // line, line, offset=off // line)
+
+
+class MutSlice(Slice):
+    """Read-write buffer view (reference &mut [T])."""
+
+    _mutable = True
+
+    def __setitem__(self, idx, v):
+        idx = self._index(idx)
+        b = active_builder()
+        val = as_value(v, self.ty)
+        b.scope.register(None, Operation(
+            O.STORE, (self.value, as_value(idx), val)))
+
+    def write_masked(self, idx, v, mask):
+        idx = self._index(idx)
+        b = active_builder()
+        b.scope.register(None, Operation(
+            O.STORE_MASKED,
+            (self.value, as_value(idx), as_value(v, self.ty), as_value(mask))))
+
+
+class SharedMemory(MutSlice):
+    """Shared memory → VMEM scratch (reference Shared::new_slice,
+    shared_memory.rs:22; SURVEY §2.9 CubeDim axis)."""
+
+    def __init__(self, elem: ElemType, length: int, line_size: int = 1):
+        b = active_builder()
+        ty = Type(elem, line_size)
+        v = b.scope.create_shared(ty, (length,))
+        super().__init__(v, length, line_size)
+
+    @staticmethod
+    def new(elem: ElemType, length: int, line_size: int = 1) -> "SharedMemory":
+        return SharedMemory(elem, length, line_size)
+
+
+class Array(MutSlice):
+    """Per-unit local array (reference Array<E>, array/base.rs:13). Lowered
+    to a VMEM register tile indexed per unit."""
+
+    def __init__(self, elem: ElemType, length: int, line_size: int = 1):
+        b = active_builder()
+        ty = Type(elem, line_size)
+        v = b.scope.create_shared(ty, (length,))  # lowered like scratch
+        v.payload = {"per_unit": True}
+        super().__init__(v, length, line_size)
+
+    @staticmethod
+    def new(elem: ElemType, length: int, line_size: int = 1) -> "Array":
+        return Array(elem, length, line_size)

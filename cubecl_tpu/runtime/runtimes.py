@@ -1,0 +1,81 @@
+"""Concrete runtimes: TPU and CPU-interpreter.
+
+Reference: the per-platform runtime crates (cubecl-cuda/src/runtime.rs
+``CudaRuntime::client`` init flow, SURVEY §3.2): device lookup → device
+actor → server with properties/features registered per generation.
+
+``CpuRuntime`` is the DummyServer/CPU-MLIR analogue
+(cubecl-cpu/src/lib.rs:19, cubecl-runtime/tests/dummy/): it runs the same
+Pallas kernels in interpreter mode on host CPU so the whole test matrix
+runs without a TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..backend.pallas.emitter import PallasCompiler
+from ..ir.features import cpu_device_properties, tpu_device_properties
+from .actor import DeviceHandle, get_or_create
+from .base import Runtime
+from .client import ComputeClient
+from .config import runtime_config
+from .logging import ServerLogger
+from .server import JaxServer
+
+
+def _make_client(kind: str, device_index: int) -> ComputeClient:
+    import jax
+
+    cfg = runtime_config()
+    multi_threading = cfg.get("streaming", {}).get("multi_threading", False)
+
+    def factory() -> DeviceHandle:
+        if kind == "tpu":
+            devices = [d for d in jax.devices() if d.platform != "cpu"]
+            if not devices:
+                raise RuntimeError("no TPU device available; use CpuRuntime")
+            device = devices[device_index % len(devices)]
+            props = tpu_device_properties(
+                getattr(device, "device_kind", "tpu"), str(device))
+            compiler = PallasCompiler(interpret=False)
+            name = f"tpu:{device_index}"
+        else:
+            cpus = jax.devices("cpu")
+            device = cpus[device_index % len(cpus)]
+            props = cpu_device_properties(f"cpu-interpret:{device_index}")
+            compiler = PallasCompiler(interpret=True)
+            name = f"cpu-interpret:{device_index}"
+        logger = ServerLogger.from_config(cfg, name)
+        server = JaxServer(device, compiler, props, name, logger, cfg)
+        return DeviceHandle(server, multi_threading=multi_threading)
+
+    handle = get_or_create((kind, device_index), factory)
+    return ComputeClient(handle)
+
+
+class TpuRuntime(Runtime):
+    name = "tpu"
+
+    @classmethod
+    def client(cls, device: int = 0) -> ComputeClient:
+        return _make_client("tpu", device)
+
+
+class CpuRuntime(Runtime):
+    name = "cpu-interpret"
+
+    @classmethod
+    def client(cls, device: int = 0) -> ComputeClient:
+        return _make_client("cpu", device)
+
+
+def default_client(device: int = 0) -> ComputeClient:
+    """TPU when present, else the CPU interpreter (CI fallback)."""
+    import jax
+
+    try:
+        has_accel = any(d.platform != "cpu" for d in jax.devices())
+    except Exception:
+        has_accel = False
+    return TpuRuntime.client(device) if has_accel else CpuRuntime.client(device)

@@ -1,0 +1,193 @@
+"""Compute servers.
+
+Reference: ``ComputeServer`` trait (cubecl-runtime/src/server/base.rs:359)
+with the CUDA implementation (cubecl-cuda/src/compute/server.rs:169) as the
+model: per-device state, compile-if-miss (context.rs:106-230), lazy error
+queues drained at sync (server/base.rs:294; tests/dummy/server.rs:36-41).
+
+``TpuServer`` owns one jax device. Kernel execution is functional: the
+compiled pallas callable returns updated mutable buffers and the server
+rebinds handles; XLA donation makes this in-place on device."""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..backend.compiler import CompiledKernel, Compiler, KernelDefinition
+from ..ir.features import DeviceProperties
+from .handle import Handle
+from .kernel import KernelId, KernelTask
+from .memory import MemoryManagement
+
+
+class ServerError(RuntimeError):
+    pass
+
+
+class ComputeServer:
+    """Server interface (reference server/base.rs:359-554)."""
+
+    name = "abstract"
+
+    # memory
+    def create(self, data) -> Handle: ...
+    def empty(self, shape, dtype) -> Handle: ...
+    def read(self, handles: Sequence[Handle]) -> List[np.ndarray]: ...
+    def write(self, handle: Handle, data) -> None: ...
+    # execution
+    def launch(self, task: KernelTask, buffers: Sequence[Handle],
+               scalars: Sequence[Any]) -> None: ...
+    def sync(self) -> None: ...
+    def flush(self) -> None: ...
+    # info
+    def properties(self) -> DeviceProperties: ...
+    def memory_usage(self): ...
+
+
+class JaxServer(ComputeServer):
+    """Shared implementation for the TPU server and the CPU-interpret server
+    (the DummyServer analogue for TPU-less CI,
+    reference cubecl-runtime/tests/dummy/server.rs:29-42)."""
+
+    def __init__(self, device, compiler: Compiler, props: DeviceProperties,
+                 name: str, logger=None, config: Optional[dict] = None):
+        import jax
+
+        self.jax = jax
+        self.device = device
+        self.compiler = compiler
+        self.props = props
+        self.name = name
+        self.logger = logger
+        self.memory = MemoryManagement(config)
+        self.error_queue: List[BaseException] = []
+        self._cache: Dict[str, Tuple[CompiledKernel, Callable]] = {}
+        self._persistent = None  # set by runtime (persistent kernel store)
+        self._stream_cursor = 0
+        self.compile_count = 0
+        self.launch_count = 0
+
+    # ------------------------------------------------------------- memory
+
+    def create(self, data) -> Handle:
+        import jax
+
+        arr = jax.device_put(data, self.device)
+        h = Handle(arr, self)
+        self.memory.on_alloc(h.id, h.size_bytes)
+        return h
+
+    def empty(self, shape, dtype) -> Handle:
+        import jax
+        import jax.numpy as jnp
+
+        with jax.default_device(self.device):
+            arr = jnp.zeros(shape, dtype)
+        h = Handle(arr, self)
+        self.memory.on_alloc(h.id, h.size_bytes)
+        return h
+
+    def read(self, handles: Sequence[Handle]) -> List[np.ndarray]:
+        self._drain_errors()
+        return [np.asarray(h.array) for h in handles]
+
+    def write(self, handle: Handle, data) -> None:
+        import jax
+
+        handle.array = jax.device_put(np.asarray(data), self.device)
+
+    def free(self, handle: Handle) -> None:
+        self.memory.on_free(handle.id)
+        handle.array = None
+
+    # ---------------------------------------------------------- execution
+
+    def compile_kernel(self, task: KernelTask) -> Tuple[CompiledKernel, Callable]:
+        """Compile-if-miss (reference CudaContext::compile_kernel,
+        context.rs:106): in-memory cache → persistent store → trace+compile."""
+        key = str(task.kernel_id)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        import jax
+
+        defn = task.define()
+        compiled = self.compiler.compile(defn)
+        self.compile_count += 1
+        if self.logger is not None:
+            self.logger.log_compile(task, compiled)
+
+        mut = compiled.mutable_indices
+        raw = compiled.fn
+
+        def packed(ro_bufs, mut_bufs, scalars):
+            bufs = []
+            ro_i = mut_i = 0
+            for i in range(len(ro_bufs) + len(mut_bufs)):
+                if i in mut:
+                    bufs.append(mut_bufs[mut_i])
+                    mut_i += 1
+                else:
+                    bufs.append(ro_bufs[ro_i])
+                    ro_i += 1
+            return raw(bufs, tuple(scalars))
+
+        jfn = jax.jit(packed, donate_argnums=(1,))
+        entry = (compiled, jfn)
+        self._cache[key] = entry
+        return entry
+
+    def launch(self, task: KernelTask, buffers: Sequence[Handle],
+               scalars: Sequence[Any] = ()) -> None:
+        compiled, jfn = self.compile_kernel(task)
+        mut = set(compiled.mutable_indices)
+        ro = [h.array for i, h in enumerate(buffers) if i not in mut]
+        mu = [h.array for i, h in enumerate(buffers) if i in mut]
+        try:
+            outs = jfn(ro, mu, tuple(scalars))
+        except Exception as e:  # compile/shape errors surface immediately
+            raise ServerError(
+                f"kernel {compiled.name} launch failed: {e}") from e
+        self.launch_count += 1
+        k = 0
+        for i, h in enumerate(buffers):
+            if i in mut:
+                h.array = outs[k]
+                k += 1
+        self._pending = outs if outs else getattr(self, "_pending", ())
+
+    def sync(self) -> None:
+        """Block until dispatched work completes; surfaces queued errors
+        (the reference's lazy-error contract, tests/dummy/server.rs:36-41)."""
+        self._drain_errors()
+        import jax
+
+        pending = getattr(self, "_pending", ())
+        if pending:
+            try:
+                jax.block_until_ready(pending)
+            except Exception as e:  # noqa: BLE001
+                self.error_queue.append(e)
+            self._pending = ()
+        self._drain_errors()
+
+    def flush(self) -> None:
+        pass
+
+    def _drain_errors(self) -> None:
+        if self.error_queue:
+            errs = list(self.error_queue)
+            self.error_queue.clear()
+            raise ServerError(f"{len(errs)} queued server error(s): {errs[0]}")
+
+    # --------------------------------------------------------------- info
+
+    def properties(self) -> DeviceProperties:
+        return self.props
+
+    def memory_usage(self):
+        return self.memory.memory_usage()
