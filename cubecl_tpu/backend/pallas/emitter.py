@@ -73,20 +73,21 @@ class PallasCompiler(Compiler):
         io_aliases: Dict[int, int] = {}
 
         def block_spec(plan):
+            # line>1 buffers are 2D (lines, L): lanes explicit, rows are
+            # sublane-aligned slices; line==1 buffers stay 1D
             L = plan.param.ty.line
             if plan.mode == "blocked":
-                blk = plan.block_lines * L
                 coeffs = plan.grid_coeffs
 
-                def index_map(cz, cy, cx, _c=dict(coeffs)):
+                def index_map(cz, cy, cx, _c=dict(coeffs), _L=L):
                     r = 0
                     vals = {"cz": cz, "cy": cy, "cx": cx}
                     for s, k in _c.items():
                         r = r + k * vals[s]
-                    return (r,)
+                    return (r, 0) if _L > 1 else (r,)
 
-                return pl.BlockSpec((blk,), index_map,
-                                    memory_space=pltpu.VMEM)
+                shape = (plan.block_lines, L) if L > 1 else (plan.block_lines,)
+                return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
             return pl.BlockSpec(memory_space=pltpu.VMEM)
 
         # scalars first (SMEM), then buffers — a stable ABI order like the
@@ -109,8 +110,10 @@ class PallasCompiler(Compiler):
             if needs_output:
                 out_idx = len(out_specs)
                 out_specs.append(block_spec(plan))
+                oshape = (bp.length, bp.ty.line) if bp.ty.line > 1 \
+                    else (bp.length,)
                 out_shapes.append(jax.ShapeDtypeStruct(
-                    (bp.length * bp.ty.line,), bp.ty.elem.jnp_dtype()))
+                    oshape, bp.ty.elem.jnp_dtype()))
                 out_buffer_vids.append(bp.value.vid)
                 if needs_input:
                     io_aliases[buffer_input_pos[bp.value.vid]] = out_idx
@@ -121,7 +124,12 @@ class PallasCompiler(Compiler):
             L = sd.ty.line
             per_unit = isinstance(sd.value.payload, dict) and \
                 sd.value.payload.get("per_unit")
-            shape = (U, sd.shape[0] * L) if per_unit else (sd.shape[0] * L,)
+            if per_unit:
+                shape = (U, sd.shape[0] * L)
+            elif L > 1:
+                shape = (sd.shape[0], L)
+            else:
+                shape = (sd.shape[0],)
             scratch_shapes.append(pltpu.VMEM(shape, sd.ty.elem.jnp_dtype()))
             scratch_meta.append(sd.value.vid)
 
@@ -205,6 +213,8 @@ class PallasCompiler(Compiler):
         mutable_indices = [i for i, bp in enumerate(state.buffers)
                            if bp.value.vid in mutable_written]
 
+        lines_of = {bp.value.vid: bp.ty.line for bp in state.buffers}
+
         def fn(buffers, scalars=()):
             flat_in = []
             for (kind, vid) in in_args_meta:
@@ -215,7 +225,9 @@ class PallasCompiler(Compiler):
                 else:
                     pos = param_order.index(vid)
                     arr = buffers[pos]
-                    flat_in.append(arr.reshape(-1))
+                    L = lines_of[vid]
+                    flat_in.append(arr.reshape(-1, L) if L > 1
+                                   else arr.reshape(-1))
             res = call(*flat_in)
             if n_out == 1:
                 res = (res,)

@@ -276,76 +276,151 @@ class Evaluator:
             return None
         return (uni, c)
 
+    def static_rel(self, static_aff, blocked: bool):
+        """(rel_uniform, unit_coeff) from the *planner's* affine form.
+
+        For blocked buffers the grid terms cancel against the block base by
+        plan construction, so they are dropped symbolically — Mosaic then
+        sees constant (or loop-var-only) offsets it can prove aligned,
+        instead of opaque program_id arithmetic."""
+        if static_aff is None:
+            return None
+        rel: Any = static_aff.const
+        for sym, k in static_aff.coeffs.items():
+            if sym in ("ux", "uy", "uz"):
+                continue
+            if sym in ("cx", "cy", "cz"):
+                if blocked:
+                    continue  # cancelled against the block base
+                rel = rel + k * self.program_id(sym)
+            elif sym.startswith("L") or sym.startswith("D"):
+                vid = int(sym[1:])
+                if sym.startswith("D"):
+                    v = self.scalar_vals[vid]
+                else:
+                    ev = self.env.get(vid)
+                    if ev is None:
+                        return None
+                    v = self.materialize(ev)
+                rel = rel + k * v
+            else:
+                return None
+        c = self.flat_unit_coeff(
+            {s: k for s, k in static_aff.coeffs.items()
+             if s in ("ux", "uy", "uz")})
+        if c is None:
+            return None
+        return (rel, c)
+
     # ----------------------------------------------------------- buffer IO
 
     def _buffer_geometry(self, buf: Value):
-        """(ref, line, length_lines, base_expr) — base_expr is the absolute
-        line index of the resident block's first line."""
+        """(ref, line, length_lines, blocked)."""
         if buf.kind == VarKind.SHARED:
-            ref = self.refs[buf.vid]
-            line = buf.ty.line
-            length = buf.shape[0]
-            return ref, line, length, 0, False
+            return self.refs[buf.vid], buf.ty.line, buf.shape[0], False
         plan = self.plans[buf.vid]
         ref = self.refs[buf.vid]
         line = plan.param.ty.line
         if plan.mode == "blocked":
-            base = 0
-            for s, c in plan.grid_coeffs.items():
-                base = base + c * self.program_id(s)
-            return ref, line, plan.block_lines, base * plan.block_lines, False
-        return ref, line, plan.param.length, 0, False
+            return ref, line, plan.block_lines, True
+        return ref, line, plan.param.length, False
 
-    def load_buffer(self, buf: Value, idx: Value, mask_ev: Optional[EV],
-                    out_line: int):
-        jnp, pl = self.jnp, self.pl
-        per_unit = isinstance(buf.payload, dict) and buf.payload.get("per_unit")
+    def _block_base(self, buf: Value):
+        """Absolute line index of the resident block's first line."""
+        if buf.kind == VarKind.SHARED:
+            return 0
+        plan = self.plans[buf.vid]
+        if plan.mode != "blocked":
+            return 0
+        base = 0
+        for s, c in plan.grid_coeffs.items():
+            base = base + c * self.program_id(s)
+        return base * plan.block_lines
+
+    def _resolve_rel(self, buf: Value, idx: Value, static_aff):
+        """(rel_line_index, unit_coeff) of an access, or None if non-affine.
+        Prefers the planner's symbolic form (grid terms cancelled) so Mosaic
+        can prove offset alignment."""
+        blocked = buf.kind == VarKind.BUFFER and \
+            self.plans[buf.vid].mode == "blocked"
+        sr = self.static_rel(static_aff, blocked) if static_aff is not None \
+            else None
+        if sr is not None:
+            return sr
         aff = self.index_affine(idx)
         if aff is None:
-            return self._gather_load(buf, idx, mask_ev, out_line)
+            return None
         start_u, c = aff
-        ref, line, blk_lines, base, _ = self._buffer_geometry(buf)
-        L = line
-        U = self.U
+        return (start_u - self._block_base(buf), c)
+
+    def _hint(self, start, mult: int):
+        """pl.multiple_of alignment hint for traced offsets."""
+        if isinstance(start, int):
+            return start
+        return self.pl.multiple_of(start, mult)
+
+    def _clip_rel(self, rel, lo: int, hi: int):
+        """Clamp a line offset; stays a python int when static so Mosaic
+        sees constant indices."""
+        if isinstance(rel, int):
+            return min(max(rel, lo), max(lo, hi))
+        return self.jnp.clip(rel, lo, max(lo, hi))
+
+    def load_buffer(self, buf: Value, idx: Value, mask_ev: Optional[EV],
+                    out_line: int, static_aff=None):
+        """Buffers with line>1 are 2D refs (lines, L): loads are row slices
+        (sublane-aligned by construction, lanes fully utilized). line==1
+        buffers are 1D refs."""
+        jnp, pl = self.jnp, self.pl
+        per_unit = isinstance(buf.payload, dict) and buf.payload.get("per_unit")
         if per_unit:
             return self._per_unit_access(buf, idx, None, mask_ev, load=True)
-        rel = start_u - base
+        ra = self._resolve_rel(buf, idx, static_aff)
+        if ra is None:
+            return self._gather_load(buf, idx, mask_ev, out_line)
+        rel, c = ra
+        ref, L, blk_lines, _blocked = self._buffer_geometry(buf)
+        U = self.U
         if c == 0:
             # uniform line load
             if mask_ev is not None:
-                rel = jnp.clip(rel, 0, blk_lines - 1)
-            val = ref[pl.ds(_as_i32(jnp, rel) * L, L)]
-            ev = EV(arr=val if L > 1 else val[0], varying=False, line=L)
-            return ev
+                rel = self._clip_rel(rel, 0, blk_lines - 1)
+            row = self._hint(_as_i32(jnp, rel), 1)
+            if L > 1:
+                val = ref[pl.ds(row, 1), :].reshape(L)
+            else:
+                val = ref[pl.ds(row, 1)][0]
+            return EV(arr=val, varying=False, line=L)
         if c < 0:
             _kernel_fail("negative unit stride in buffer index")
-        span = c * U  # lines loaded from rel
+        span = c * U  # lines (rows) loaded from rel
         if mask_ev is not None:
-            rel = jnp.clip(rel, 0, max(0, blk_lines - span))
-        chunk = ref[pl.ds(_as_i32(jnp, rel) * L, span * L)]
-        if c == 1:
-            val = chunk.reshape(U, L)
+            rel = self._clip_rel(rel, 0, blk_lines - span)
+        row = self._hint(_as_i32(jnp, rel), U if c == 1 else 1)
+        if L > 1:
+            chunk = ref[pl.ds(row, span), :]          # (span, L)
+            val = chunk if c == 1 else chunk.reshape(U, c, L)[:, 0, :]
         else:
-            val = chunk.reshape(U, c * L)[:, :L]
-        ev = EV(arr=val, varying=True, line=L)
-        return ev
+            chunk = ref[pl.ds(row, span)]             # (span,)
+            val = chunk.reshape(U, 1) if c == 1 else \
+                chunk.reshape(U, c)[:, :1]
+        return EV(arr=val, varying=True, line=L)
 
     def store_buffer(self, buf: Value, idx: Value, val_ev: EV,
-                     mask_ev: Optional[EV], ignore_mask: bool = False):
+                     mask_ev: Optional[EV], ignore_mask: bool = False,
+                     static_aff=None):
         jnp, pl = self.jnp, self.pl
         per_unit = isinstance(buf.payload, dict) and buf.payload.get("per_unit")
         if per_unit:
             return self._per_unit_access(buf, idx, val_ev, mask_ev, load=False)
-        aff = self.index_affine(idx)
-        if aff is None:
+        ra = self._resolve_rel(buf, idx, static_aff)
+        if ra is None:
             _kernel_fail("non-affine unit-varying store index (use plane ops "
                          "or contiguous indexing)")
-        start_u, c = aff
-        ref, line, blk_lines, base, _ = self._buffer_geometry(buf)
-        L = line
+        rel, c = ra
+        ref, L, blk_lines, _blocked = self._buffer_geometry(buf)
         U = self.U
         dtype = _elem_dtype(self.jnp, buf.ty)
-        rel = start_u - base
         cmask = None if ignore_mask else self.current_mask()
         m = None
         if mask_ev is not None:
@@ -362,39 +437,67 @@ class Evaluator:
                     m = m.reshape(self.U, -1)[-1].reshape(())
             else:
                 v = self.broadcast_to_canon(val_ev, False, L, dtype)
+            if m is not None:
+                rel = self._clip_rel(rel, 0, blk_lines - 1)
+            row = self._hint(_as_i32(jnp, rel), 1)
+            vv = jnp.asarray(v, dtype).reshape(1, L) if L > 1 else \
+                jnp.asarray(v, dtype).reshape(1)
             if m is None:
                 if L > 1:
-                    ref[pl.ds(_as_i32(jnp, rel) * L, L)] = v.reshape(L)
+                    ref[pl.ds(row, 1), :] = vv
                 else:
-                    ref[pl.ds(_as_i32(jnp, rel), 1)] = jnp.asarray(
-                        v, dtype).reshape(1)
+                    ref[pl.ds(row, 1)] = vv
             else:
-                rel_c = jnp.clip(rel, 0, blk_lines - 1)
-                old = ref[pl.ds(_as_i32(jnp, rel_c) * L, L)]
-                merged = jnp.where(m, jnp.asarray(v, dtype).reshape(L)
-                                   if L > 1 else jnp.asarray(v, dtype), old)
-                ref[pl.ds(_as_i32(jnp, rel_c) * L, L)] = merged.reshape(old.shape)
+                if L > 1:
+                    old = ref[pl.ds(row, 1), :]
+                    ref[pl.ds(row, 1), :] = jnp.where(m, vv, old)
+                else:
+                    old = ref[pl.ds(row, 1)]
+                    ref[pl.ds(row, 1)] = jnp.where(m, vv, old)
             return
         if c < 0:
             _kernel_fail("negative unit stride in buffer store")
         span = c * U
         v = self.broadcast_to_canon(val_ev, True, L, dtype)  # (U, L)
-        if m is None and c == 1:
-            ref[pl.ds(_as_i32(jnp, rel) * L, U * L)] = v.reshape(U * L)
+        if m is not None:
+            rel = self._clip_rel(rel, 0, blk_lines - span)
+        row = self._hint(_as_i32(jnp, rel), U if c == 1 else 1)
+        if c == 1:
+            new = v if L > 1 else v.reshape(U)
+            if m is None:
+                if L > 1:
+                    ref[pl.ds(row, U), :] = new
+                else:
+                    ref[pl.ds(row, U)] = new
+            else:
+                mm = m if getattr(m, "ndim", 0) > 0 else jnp.full((U, 1), m)
+                if L > 1:
+                    old = ref[pl.ds(row, U), :]
+                    ref[pl.ds(row, U), :] = jnp.where(mm, new, old)
+                else:
+                    old = ref[pl.ds(row, U)]
+                    ref[pl.ds(row, U)] = jnp.where(
+                        mm.reshape(U), new, old)
             return
-        rel_c = rel
-        if m is not None:
-            rel_c = jnp.clip(rel, 0, max(0, blk_lines - span))
-        start = _as_i32(jnp, rel_c) * L
-        chunk = ref[pl.ds(start, span * L)].reshape(U, c * L)
-        new = v.astype(chunk.dtype)
-        if m is not None:
-            mm = m if getattr(m, "ndim", 0) > 0 else jnp.full((self.U, 1), m)
-            new = jnp.where(mm, new, chunk[:, :L])
-        # dynamic_update_slice (not .at[].set) — scatter index constants
-        # cannot be captured inside pallas kernels
-        chunk = self.lax.dynamic_update_slice(chunk, new, (0, 0))
-        ref[pl.ds(start, span * L)] = chunk.reshape(span * L)
+        # strided store (c > 1): read-modify-write the covering rows
+        if L > 1:
+            chunk = ref[pl.ds(row, span), :].reshape(U, c, L)
+            new = v.astype(chunk.dtype)[:, None, :]
+            if m is not None:
+                mm = m if getattr(m, "ndim", 0) > 0 else jnp.full((U, 1), m)
+                new = jnp.where(mm[:, None, :], new, chunk[:, :1, :])
+            lane0 = self.jax.lax.broadcasted_iota(jnp.int32, (1, c, 1), 1)
+            merged = jnp.where(lane0 == 0, new, chunk)
+            ref[pl.ds(row, span), :] = merged.reshape(span, L)
+        else:
+            chunk = ref[pl.ds(row, span)].reshape(U, c)
+            new = v.reshape(U, 1).astype(chunk.dtype)
+            if m is not None:
+                mm = m if getattr(m, "ndim", 0) > 0 else jnp.full((U, 1), m)
+                new = jnp.where(mm, new, chunk[:, :1])
+            pos0 = self.jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+            merged = jnp.where(pos0 == 0, new, chunk)
+            ref[pl.ds(row, span)] = merged.reshape(span)
 
     def _per_unit_access(self, buf, idx, val_ev, mask_ev, load: bool):
         """Per-unit local Array: scratch shape (U, len*L); uniform index only."""
@@ -425,12 +528,12 @@ class Evaluator:
         """Unit-varying non-affine load: one-hot matmul gather over the
         resident block (exact but O(block) — avoid in hot kernels)."""
         jnp = self.jnp
-        ref, line, blk_lines, base, _ = self._buffer_geometry(buf)
+        ref, line, blk_lines, _blocked = self._buffer_geometry(buf)
         if line != 1:
             _kernel_fail("non-affine gather only supported for line_size=1")
         ev = self.get(idx)
         iv = self.materialize(ev)  # (U, 1) int
-        rel = iv - base
+        rel = iv - self._block_base(buf)
         data = ref[...]
         data2d = data.reshape(1, -1)
         cols = data2d.shape[-1]
@@ -542,12 +645,14 @@ class Evaluator:
 
         # ---- memory -------------------------------------------------------
         if oc == O.INDEX:
-            ev = self.load_buffer(op.args[0], op.args[1], None, out.ty.line)
+            ev = self.load_buffer(op.args[0], op.args[1], None, out.ty.line,
+                                  op.attrs.get("affine"))
             self.set_env(out, ev)
             return
         if oc == O.INDEX_MASKED:
             mask_ev = self.get(op.args[2])
-            ev = self.load_buffer(op.args[0], op.args[1], mask_ev, out.ty.line)
+            ev = self.load_buffer(op.args[0], op.args[1], mask_ev, out.ty.line,
+                                  op.attrs.get("affine"))
             m = self.materialize(mask_ev)
             val = self.materialize(ev)
             zero = jnp.zeros((), dtype=getattr(val, "dtype", None) or jnp.float32)
@@ -556,11 +661,13 @@ class Evaluator:
             self.set_env(out, ev2)
             return
         if oc == O.STORE:
-            self.store_buffer(op.args[0], op.args[1], self.get(op.args[2]), None)
+            self.store_buffer(op.args[0], op.args[1], self.get(op.args[2]),
+                              None, static_aff=op.attrs.get("affine"))
             return
         if oc == O.STORE_MASKED:
             self.store_buffer(op.args[0], op.args[1], self.get(op.args[2]),
-                              self.get(op.args[3]))
+                              self.get(op.args[3]),
+                              static_aff=op.attrs.get("affine"))
             return
 
         # ---- cmma ---------------------------------------------------------
@@ -1015,44 +1122,75 @@ class Evaluator:
             return
         _kernel_fail(f"mma op {oc}")
 
-    def _mma_slab(self, buf, off, stride, rows, cols, layout):
-        jnp, pl = self.jnp, self.pl
-        ref, line, blk_lines, base, _ = self._buffer_geometry(buf)
+    def _mma_geometry(self, buf, off, stride, rows):
+        """Resolve an MMA slab access on a (lines, L) 2D or (N,) 1D ref.
+        Offsets/strides are in elements; returns (ref, row_offset,
+        row_stride_elems, L)."""
+        jnp = self.jnp
+        ref, L, blk_lines, _blocked = self._buffer_geometry(buf)
+        base = self._block_base(buf)
         off_ev = self.get(off)
         stride_ev = self.get(stride)
         if off_ev.varying or stride_ev.varying:
-            _kernel_fail("mma load with unit-varying offset/stride")
-        o = self.materialize(off_ev)  # element offset
+            _kernel_fail("mma access with unit-varying offset/stride")
+        o = self.materialize(off_ev)
         s = self.materialize(stride_ev)
         if not isinstance(s, int):
             _kernel_fail("mma stride must be comptime")
-        rel = _as_i32(jnp, o - base * line)
-        if layout == "row_major":
-            slab = ref[pl.ds(rel, rows * s)].reshape(rows, s)[:, :cols]
+        if L > 1:
+            if s % L != 0:
+                _kernel_fail(f"mma stride {s} not divisible by line size {L}")
+            if isinstance(o, int):
+                assert o % L == 0, f"mma offset {o} not aligned to line {L}"
+                o_row = o // L
+            else:
+                o_row = o // L
+            o_row = o_row - base
         else:
-            slab = ref[pl.ds(rel, cols * s)].reshape(cols, s)[:, :rows].T
-        return slab
+            o_row = o - base
+        return ref, _as_i32(jnp, o_row), s, L
+
+    def _mma_slab(self, buf, off, stride, rows, cols, layout):
+        jnp, pl = self.jnp, self.pl
+        if layout != "row_major":
+            slabT = self._mma_slab(buf, off, stride, cols, rows, "row_major")
+            return slabT.T
+        ref, o_row, s, L = self._mma_geometry(buf, off, stride, rows)
+        s_rows = s // L if L > 1 else s
+        row = self._hint(o_row, 1)
+        if L > 1:
+            chunk = ref[pl.ds(row, rows * s_rows), :]
+            return chunk.reshape(rows, s_rows * L)[:, :cols]
+        return ref[pl.ds(row, rows * s)].reshape(rows, s)[:, :cols]
 
     def _mma_store_slab(self, buf, off, stride, m, layout):
         jnp, pl = self.jnp, self.pl
-        ref, line, blk_lines, base, _ = self._buffer_geometry(buf)
         rows, cols = m.shape
-        o = self.materialize(self.get(off))
-        s = self.materialize(self.get(stride))
-        if not isinstance(s, int):
-            _kernel_fail("mma stride must be comptime")
         if layout != "row_major":
             m = m.T
             rows, cols = cols, rows
-        rel = _as_i32(jnp, o - base * line)
+        ref, o_row, s, L = self._mma_geometry(buf, off, stride, rows)
+        s_rows = s // L if L > 1 else s
+        row = self._hint(o_row, 1)
         dtype = ref.dtype
-        if s == cols:
-            ref[pl.ds(rel, rows * cols)] = m.astype(dtype).reshape(-1)
+        width = s_rows * L if L > 1 else s
+        if width == cols:
+            out = m.astype(dtype).reshape(rows * s_rows, L) if L > 1 \
+                else m.astype(dtype).reshape(rows * s)
+            if L > 1:
+                ref[pl.ds(row, rows * s_rows), :] = out
+            else:
+                ref[pl.ds(row, rows * s)] = out
         else:
-            chunk = ref[pl.ds(rel, rows * s)].reshape(rows, s)
-            chunk = self.lax.dynamic_update_slice(chunk, m.astype(dtype),
-                                                  (0, 0))
-            ref[pl.ds(rel, rows * s)] = chunk.reshape(-1)
+            n = rows * s_rows if L > 1 else rows * s
+            chunk = ref[pl.ds(row, n), :] if L > 1 else ref[pl.ds(row, n)]
+            chunk = chunk.reshape(rows, width)
+            chunk = jnp.concatenate([m.astype(dtype), chunk[:, cols:]], axis=1)
+            out = chunk.reshape(n, L) if L > 1 else chunk.reshape(n)
+            if L > 1:
+                ref[pl.ds(row, n), :] = out
+            else:
+                ref[pl.ds(row, n)] = out
 
     # -------------------------------------------------------------- atomics
 
@@ -1270,7 +1408,22 @@ def _mk_pure_table():
     }
 
     def _erf(ev, inst, xs):
-        return ev.jax.scipy.special.erf(xs[0])
+        # Mosaic has no erf primitive; expand to the Abramowitz–Stegun
+        # 7.1.26 rational approximation (|err| < 1.5e-7, fine for f32) —
+        # the same strategy as the reference's ErfTransform IR transformer
+        # (cubecl-spirv/src/compiler.rs:255).
+        jnp = ev.jnp
+        x = jnp.asarray(xs[0])
+        dt = x.dtype
+        xf = x.astype(jnp.float32)
+        a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+        a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+        s = jnp.sign(xf)
+        ax = jnp.abs(xf)
+        t_ = 1.0 / (1.0 + p * ax)
+        poly = ((((a5 * t_ + a4) * t_) + a3) * t_ + a2) * t_ + a1
+        y = 1.0 - poly * t_ * jnp.exp(-ax * ax)
+        return (s * y).astype(dt)
 
     t[O.ERF] = _erf
 
@@ -1355,14 +1508,18 @@ def _mk_pure_table():
     t[O.VEC_EXTRACT] = _vec_extract
 
     def _vec_insert(ev, inst, xs):
-        x, i, v = (ev.jnp.asarray(xs[0]), xs[1], xs[2])
+        # lane insert via iota mask (scatter/DUS don't lower in Mosaic)
+        jnp = ev.jnp
+        x, i, v = (jnp.asarray(xs[0]), xs[1], xs[2])
         if x.ndim <= 1:
-            v1 = ev.jnp.asarray(v, x.dtype).reshape(1)
-            return ev.lax.dynamic_update_slice(x, v1, (i,))
-        v = ev.jnp.asarray(v)
-        v = ev.jnp.broadcast_to(v.reshape(-1, 1) if v.ndim else v,
-                                (x.shape[0], 1)).astype(x.dtype)
-        return ev.lax.dynamic_update_slice(x, v, (0, i))
+            lanes = ev.jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1),
+                                                0).squeeze(-1)
+            return jnp.where(lanes == i, jnp.asarray(v, x.dtype), x)
+        lanes = ev.jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        v = jnp.asarray(v)
+        v = jnp.broadcast_to(v.reshape(-1, 1) if v.ndim else v,
+                             (x.shape[0], 1)).astype(x.dtype)
+        return jnp.where(lanes == i, v, x)
 
     t[O.VEC_INSERT] = _vec_insert
 

@@ -282,18 +282,21 @@ class CubeBuilder:
             if all(v is pre[i] for v in vals):
                 continue
             # comptime values that diverge across runtime branches get
-            # promoted to traced selects (mut local written by each side)
-            traced = [v for v in vals if isinstance(v, CubeVal)]
+            # promoted to traced selects (mut local written by each side);
+            # slots only assigned in one branch (UNSET elsewhere) keep the
+            # assigned value — reading it on the untaken path is undefined,
+            # like an uninitialized GPU register
+            known = [v for v in vals if not isinstance(v, _Unset)]
+            traced = [v for v in known if isinstance(v, CubeVal)]
             if not traced:
-                if all(_ct_eq(v, vals[0]) for v in vals):
-                    merged[i] = vals[0]
+                if known and all(_ct_eq(v, known[0]) for v in known):
+                    merged[i] = known[0]
                     continue
-                nums = [v for v in vals if isinstance(v, (int, float, bool))]
-                if len(nums) != len(vals):
+                if not all(isinstance(v, (int, float, bool)) for v in known):
                     raise TypeError(
                         "non-numeric comptime value diverges across a runtime "
                         "branch; branch at comptime instead")
-            ty = traced[0].ty if traced else _number_ty(vals[0])
+            ty = traced[0].ty if traced else _number_ty(known[0])
             m = parent.create_local_mut(ty)
             init = pre[i]
             if isinstance(init, CubeVal) or isinstance(init, (int, float, bool)):
