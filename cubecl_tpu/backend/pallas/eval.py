@@ -429,12 +429,22 @@ class Evaluator:
             m = cmask if m is None else m & cmask
 
         if c == 0:
-            # uniform index: a varying value means "last unit wins"
+            # uniform index with a varying value: the store happens iff any
+            # unit's mask is live, and the stored value is the masked unit's
+            # (sum over exclusively-masked lanes — the `if UNIT_POS == n:
+            # out[i] = v` idiom; multiple live units on one address is a
+            # data race on the reference GPUs too)
             if val_ev.varying:
-                v = self.materialize(val_ev, dtype)
-                v = v[-1]
-                if m is not None and hasattr(m, "shape") and m.ndim > 0:
-                    m = m.reshape(self.U, -1)[-1].reshape(())
+                v = self.materialize(val_ev, dtype).reshape(U, -1)
+                if m is not None and getattr(m, "ndim", 0) > 0:
+                    mm = m.reshape(U, -1)
+                    picked = jnp.where(mm, v.astype(jnp.float32)
+                                       if v.dtype == jnp.bool_ else v, 0)
+                    v = jnp.sum(picked, axis=0).astype(dtype)
+                    m = jnp.any(mm)
+                else:
+                    v = v[0]
+                v = v.reshape(L) if L > 1 else v.reshape(())
             else:
                 v = self.broadcast_to_canon(val_ev, False, L, dtype)
             if m is not None:
@@ -1150,6 +1160,16 @@ class Evaluator:
             o_row = o - base
         return ref, _as_i32(jnp, o_row), s, L
 
+    def _slab_span(self, rows, cols, s_rows, L):
+        """Exact row span of a (rows, cols) fragment with row stride
+        ``s_rows`` rows of ``L`` elements: the last row only needs
+        ceil(cols/L) rows — loading the full stride would overrun the
+        buffer end."""
+        import math as _m
+
+        tail = -(-cols // L)
+        return (rows - 1) * s_rows + tail
+
     def _mma_slab(self, buf, off, stride, rows, cols, layout):
         jnp, pl = self.jnp, self.pl
         if layout != "row_major":
@@ -1158,10 +1178,18 @@ class Evaluator:
         ref, o_row, s, L = self._mma_geometry(buf, off, stride, rows)
         s_rows = s // L if L > 1 else s
         row = self._hint(o_row, 1)
+        span = self._slab_span(rows, cols, s_rows, L if L > 1 else 1)
+        pad = rows * s_rows - span
         if L > 1:
-            chunk = ref[pl.ds(row, rows * s_rows), :]
+            chunk = ref[pl.ds(row, span), :]
+            if pad:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((pad, L), chunk.dtype)], axis=0)
             return chunk.reshape(rows, s_rows * L)[:, :cols]
-        return ref[pl.ds(row, rows * s)].reshape(rows, s)[:, :cols]
+        chunk = ref[pl.ds(row, span)]
+        if pad:
+            chunk = jnp.concatenate([chunk, jnp.zeros((pad,), chunk.dtype)])
+        return chunk.reshape(rows, s)[:, :cols]
 
     def _mma_store_slab(self, buf, off, stride, m, layout):
         jnp, pl = self.jnp, self.pl
@@ -1181,16 +1209,27 @@ class Evaluator:
                 ref[pl.ds(row, rows * s_rows), :] = out
             else:
                 ref[pl.ds(row, rows * s)] = out
+            return
+        # strided store: exact-span RMW (pad rows only exist in registers)
+        Lr = L if L > 1 else 1
+        span = self._slab_span(rows, cols, s_rows, Lr)
+        pad = rows * s_rows - span
+        chunk = ref[pl.ds(row, span), :] if L > 1 else ref[pl.ds(row, span)]
+        if pad:
+            z = jnp.zeros((pad, L), chunk.dtype) if L > 1 else \
+                jnp.zeros((pad,), chunk.dtype)
+            full = jnp.concatenate([chunk, z], axis=0)
         else:
-            n = rows * s_rows if L > 1 else rows * s
-            chunk = ref[pl.ds(row, n), :] if L > 1 else ref[pl.ds(row, n)]
-            chunk = chunk.reshape(rows, width)
-            chunk = jnp.concatenate([m.astype(dtype), chunk[:, cols:]], axis=1)
-            out = chunk.reshape(n, L) if L > 1 else chunk.reshape(n)
-            if L > 1:
-                ref[pl.ds(row, n), :] = out
-            else:
-                ref[pl.ds(row, n)] = out
+            full = chunk
+        full = full.reshape(rows, width)
+        full = jnp.concatenate([m.astype(dtype), full[:, cols:]], axis=1)
+        out = full.reshape(rows * s_rows, L) if L > 1 \
+            else full.reshape(rows * s_rows)
+        out = out[:span] if pad else out
+        if L > 1:
+            ref[pl.ds(row, span), :] = out
+        else:
+            ref[pl.ds(row, span)] = out
 
     # -------------------------------------------------------------- atomics
 

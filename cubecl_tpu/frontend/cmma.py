@@ -66,26 +66,30 @@ def fill(mat: Matrix, value) -> None:
         O.MMA_FILL, (mat.value, as_value(value, mat.value.ty))))
 
 
-def load(mat: Matrix, slice_, stride, layout: Optional[str] = None) -> None:
-    """Load a fragment from a buffer slice with a row stride (elements)."""
+def load(mat: Matrix, slice_, stride, offset=0,
+         layout: Optional[str] = None) -> None:
+    """Load a fragment from a buffer with a row stride; ``offset`` is the
+    element offset of the fragment's first element (traced values allowed —
+    the tile-loop pattern ``offset = row*k + kk*tile``)."""
     b = active_builder()
-    off = slice_._offset if hasattr(slice_, "_offset") else 0
+    base = slice_._offset if hasattr(slice_, "_offset") else 0
+    if is_comptime(base) and base:
+        offset = offset + base * slice_.line_size
     b.scope.register(None, Operation(
         O.MMA_LOAD,
-        (mat.value, slice_.value, as_value(off * slice_.line_size
-                                           if is_comptime(off) else off),
-         as_value(stride)),
+        (mat.value, slice_.value, as_value(offset), as_value(stride)),
         {"layout": layout or mat.layout, "line_size": slice_.line_size}))
 
 
-def store(mat: Matrix, slice_, stride, layout: str = ROW_MAJOR) -> None:
+def store(mat: Matrix, slice_, stride, offset=0,
+          layout: str = ROW_MAJOR) -> None:
     b = active_builder()
-    off = slice_._offset if hasattr(slice_, "_offset") else 0
+    base = slice_._offset if hasattr(slice_, "_offset") else 0
+    if is_comptime(base) and base:
+        offset = offset + base * slice_.line_size
     b.scope.register(None, Operation(
         O.MMA_STORE,
-        (mat.value, slice_.value, as_value(off * slice_.line_size
-                                           if is_comptime(off) else off),
-         as_value(stride)),
+        (mat.value, slice_.value, as_value(offset), as_value(stride)),
         {"layout": layout, "line_size": slice_.line_size}))
 
 

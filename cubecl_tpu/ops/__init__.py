@@ -1,0 +1,21 @@
+"""cubecl_tpu.ops — the kernel library (reference: examples/ + the cubek
+kernel crates the reference ecosystem splits out; README.md:164)."""
+
+from .fusion import FUSABLE, fused_chain, launch_fused
+from .gelu import gelu_array, gelu_scalar, launch_gelu
+from .matmul import matmul_autotuned, matmul_cmma, matmul_pallas
+from .normalization import (
+    launch_layernorm,
+    launch_normalize,
+    launch_softmax,
+    layernorm_rows,
+    normalize_rows,
+    softmax_rows,
+)
+from .reduce import (
+    reduce_max,
+    reduce_mean,
+    reduce_sum,
+    reduce_sum_autotuned,
+    reduce_sum_naive,
+)

@@ -1,0 +1,205 @@
+"""Autotuned tiled MXU matmul (BASELINE config 4).
+
+Two implementations behind one autotuned entry point:
+
+1. ``matmul_pallas`` — hand-written Pallas kernel (the ``intrinsic!``-style
+   std-kernel path, like the cubek matmul the reference ecosystem uses):
+   grid (M/TM, N/TN, K/TK), f32 accumulation in VMEM scratch, bf16/f32
+   inputs on the MXU, K innermost ("arbitrary") so the accumulator block
+   stays resident, M/N "parallel". Autotune searches tile shapes under a
+   VMEM budget with roofline time bounds.
+
+2. ``matmul_cmma`` — the DSL CMMA path (frontend/cmma.py → MXU jnp.dot),
+   numerics-parity path exercised by the shared test suite.
+
+Target: ≥90% of MXU peak at bf16 4096³ (BASELINE.md §3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..frontend import ArrayArg, MutSlice, ScalarArg, Slice, cube, cube_range
+from ..frontend import cmma
+from ..frontend.topology import CUBE_POS_X, CUBE_POS_Y
+from ..ir.types import bf16, f32
+from ..runtime.base import CubeCount, CubeDim
+from ..runtime.handle import Handle
+from ..runtime.kernel import KernelId, NativeKernelTask
+from ..backend.compiler import CompiledKernel
+from ..tune import LocalTuner, TunableSet, TuneGroup
+from ..tune.anchor import anchor
+
+
+# ---------------------------------------------------------------------------
+# 1. hand-written Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _build_matmul(m: int, n: int, k: int, tm: int, tn: int, tk: int,
+                  in_dtype: str, out_dtype: str, acc_dtype: str
+                  ) -> CompiledKernel:
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid = (m // tm, n // tn, k // tk)
+    acc_dt = jnp.dtype(acc_dtype)
+
+    def kernel(a_ref, b_ref, o_ref, acc_ref):
+        @pl.when(pl.program_id(2) == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc_ref[...] += jnp.dot(a_ref[...], b_ref[...],
+                                preferred_element_type=acc_dt)
+
+        @pl.when(pl.program_id(2) == grid[2] - 1)
+        def _done():
+            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.dtype(out_dtype)),
+        scratch_shapes=[pltpu.VMEM((tm, tn), acc_dt)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=(m * k + k * n) * np.dtype(in_dtype).itemsize
+            + m * n * np.dtype(out_dtype).itemsize,
+            transcendentals=0),
+        name=f"matmul_{tm}x{tn}x{tk}",
+    )
+
+    def fn(buffers, scalars=()):
+        a, b, o = buffers
+        out = call(a.reshape(m, k).astype(jnp.dtype(in_dtype)),
+                   b.reshape(k, n).astype(jnp.dtype(in_dtype)))
+        return (out.reshape(o.shape),)
+
+    return CompiledKernel(
+        fn=fn, mutable_indices=[2], source=f"pallas matmul {m}x{n}x{k} "
+        f"tiles {tm}x{tn}x{tk} {in_dtype}->{out_dtype}",
+        name=f"matmul_{tm}x{tn}x{tk}", flops=2 * m * n * k)
+
+
+def matmul_pallas(client, a: Handle, b: Handle, out: Handle,
+                  m: int, n: int, k: int,
+                  tm: int = 512, tn: int = 512, tk: int = 512,
+                  in_dtype: Optional[str] = None,
+                  acc_dtype: str = "float32") -> None:
+    in_dtype = in_dtype or str(a.dtype)
+    kid = KernelId.build("matmul_pallas", m, n, k, tm, tn, tk, in_dtype,
+                         str(out.dtype), acc_dtype)
+    task = NativeKernelTask(
+        kid, lambda: _build_matmul(m, n, k, tm, tn, tk, in_dtype,
+                                   str(out.dtype), acc_dtype),
+        name="matmul_pallas")
+    client.launch(task, [a, b, out])
+
+
+def _tile_candidates(m: int, n: int, k: int, in_bytes: int):
+    """Tile shapes: MXU-aligned, VMEM-budgeted (double-buffered A/B blocks
+    + acc must fit in ~16MB)."""
+    VMEM = 14 * 1024 * 1024
+    out = []
+    for tm in (128, 256, 512, 1024):
+        for tn in (128, 256, 512, 1024):
+            for tk in (128, 256, 512, 1024, 2048):
+                if m % tm or n % tn or k % tk:
+                    continue
+                vmem = 2 * (tm * tk + tk * tn) * in_bytes + tm * tn * 4 * 2
+                if vmem > VMEM:
+                    continue
+                out.append((tm, tn, tk))
+    return out
+
+
+_matmul_tuner = LocalTuner("matmul")
+
+
+def matmul_autotuned(client, a: Handle, b: Handle, out: Handle,
+                     m: int, n: int, k: int,
+                     in_dtype: Optional[str] = None) -> None:
+    """Autotuned entry: searches tile shapes on first use per anchored key
+    (reference LocalTuner::execute flow, SURVEY §3.4)."""
+    in_dtype = in_dtype or str(a.dtype)
+    in_bytes = np.dtype(in_dtype).itemsize
+
+    def key_fn(client_, a_, b_, out_):
+        return ("matmul", anchor(m), anchor(n), anchor(k), in_dtype)
+
+    gen = client.properties().generation
+
+    def work(key):
+        flops = 2 * m * n * k
+        bytes_ = (m * k + k * n) * in_bytes + m * n * 4
+        return (flops, bytes_)
+
+    ts = TunableSet("matmul", key_fn)
+    for (tm, tn, tk) in _tile_candidates(m, n, k, in_bytes):
+        ts.with_tunable(
+            functools.partial(_run_tile, tm=tm, tn=tn, tk=tk, m=m, n=n, k=k,
+                              in_dtype=in_dtype),
+            name=f"t{tm}x{tn}x{tk}", work=lambda key: work(key))
+    if not ts.tunables:
+        return matmul_pallas(client, a, b, out, m, n, k,
+                             tm=min(128, m), tn=min(128, n), tk=min(128, k),
+                             in_dtype=in_dtype)
+    _matmul_tuner.execute(client, ts, client, a, b, out)
+
+
+def _run_tile(client, a, b, out, tm, tn, tk, m, n, k, in_dtype):
+    matmul_pallas(client, a, b, out, m, n, k, tm, tn, tk, in_dtype)
+
+
+# ---------------------------------------------------------------------------
+# 2. DSL CMMA path (numerics parity; reference cmma::execute flow)
+# ---------------------------------------------------------------------------
+
+
+@cube
+def matmul_cmma_kernel(a: Slice, b: Slice, out: MutSlice,
+                       m: int, n: int, k: int, tile: int, elem):
+    """One cube per (tile, tile) output tile; K-loop of MXU executes.
+    m/n/k/tile/elem are comptime (static shapes); offsets are traced.
+    Reference flow: cmma::{fill,load,execute,store} (cmma.rs:850-953)."""
+    row = CUBE_POS_Y * tile
+    col = CUBE_POS_X * tile
+    acc = cmma.Matrix("accumulator", tile, tile, tile, f32)
+    cmma.fill(acc, 0.0)
+    ma = cmma.Matrix("a", tile, tile, tile, elem)
+    mb = cmma.Matrix("b", tile, tile, tile, elem)
+    for kk in cube_range(0, k // tile):
+        cmma.load(ma, a, k, offset=row * k + kk * tile)
+        cmma.load(mb, b, n, offset=(kk * tile) * n + col)
+        cmma.execute(ma, mb, acc, acc)
+    cmma.store(acc, out, n, offset=row * n + col)
+
+
+def matmul_cmma(client, a: Handle, b: Handle, out: Handle,
+                m: int, n: int, k: int, tile: int = 128) -> None:
+    """DSL CMMA matmul. Buffers are whole-VMEM-resident (the nd-tensor
+    window planner will lift this); suited to parity tests and fused small
+    matmuls — use matmul_autotuned for large shapes."""
+    from ..ir.types import elem_from_dtype
+
+    elem = elem_from_dtype(a.dtype)
+    matmul_cmma_kernel.launch_unchecked(
+        client, CubeCount(n // tile, m // tile), CubeDim.new_1d(8),
+        ArrayArg(a), ArrayArg(b), ArrayArg(out, mutable=True),
+        m, n, k, tile, elem)

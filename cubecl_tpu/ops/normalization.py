@@ -1,0 +1,132 @@
+"""Normalization suite: layernorm + softmax + L2-normalize.
+
+Reference: examples/normalization (normalize/magnitude vector ops,
+src/lib.rs:4-15) — BASELINE config 3 extends it to layernorm + softmax
+with line vectorization.
+
+TPU plan: one cube per row (or several rows per cube grid); the row is
+tiled (8 sublanes × line lanes); row statistics fold via line + plane
+reductions (cube dim == plane dim == 8).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..frontend import (
+    CUBE_POS_X,
+    UNIT_POS,
+    ArrayArg,
+    MutSlice,
+    ScalarArg,
+    Slice,
+    Vector,
+    cube,
+    cube_range,
+    exp,
+    line_max,
+    line_sum,
+    max_,
+    plane_max,
+    plane_sum,
+    rsqrt,
+    sqrt,
+)
+from ..ir.types import f32
+from ..runtime.base import CubeCount, CubeDim
+from ..runtime.handle import Handle
+
+CD = 8
+
+
+@cube
+def layernorm_rows(inp: Slice, gamma: Slice, beta: Slice, out: MutSlice,
+                   iters: int, inv_n: float, eps: float):
+    """One cube per row; row length = iters * 8 * line lines."""
+    base = CUBE_POS_X * (iters * 8)
+    acc = Vector.zeros(f32, inp.line_size)
+    acc2 = Vector.zeros(f32, inp.line_size)
+    for k in cube_range(0, iters):
+        v = inp[base + k * 8 + UNIT_POS]
+        acc = acc + v
+        acc2 = acc2 + v * v
+    mean = plane_sum(line_sum(acc)) * inv_n
+    ex2 = plane_sum(line_sum(acc2)) * inv_n
+    inv_std = rsqrt(ex2 - mean * mean + eps)
+    for k in cube_range(0, iters):
+        idx = base + k * 8 + UNIT_POS
+        g = gamma[k * 8 + UNIT_POS]
+        b = beta[k * 8 + UNIT_POS]
+        out[idx] = (inp[idx] - mean) * inv_std * g + b
+
+
+@cube
+def softmax_rows(inp: Slice, out: MutSlice, iters: int):
+    """Numerically-stable row softmax (max-subtract, two-pass)."""
+    base = CUBE_POS_X * (iters * 8)
+    m = inp[base + UNIT_POS]
+    for k in cube_range(1, iters):
+        m = max_(m, inp[base + k * 8 + UNIT_POS])
+    row_max = plane_max(line_max(m))
+    s = Vector.zeros(f32, inp.line_size)
+    for k in cube_range(0, iters):
+        s = s + exp(inp[base + k * 8 + UNIT_POS] - row_max)
+    denom = plane_sum(line_sum(s))
+    inv = 1.0 / denom
+    for k in cube_range(0, iters):
+        idx = base + k * 8 + UNIT_POS
+        out[idx] = exp(inp[idx] - row_max) * inv
+
+
+@cube
+def normalize_rows(inp: Slice, out: MutSlice, iters: int, eps: float):
+    """L2 normalize (reference normalize/magnitude)."""
+    base = CUBE_POS_X * (iters * 8)
+    acc = Vector.zeros(f32, inp.line_size)
+    for k in cube_range(0, iters):
+        v = inp[base + k * 8 + UNIT_POS]
+        acc = acc + v * v
+    mag = sqrt(plane_sum(line_sum(acc)) + eps)
+    inv = 1.0 / mag
+    for k in cube_range(0, iters):
+        idx = base + k * 8 + UNIT_POS
+        out[idx] = inp[idx] * inv
+
+
+def _row_plan(row: int, line_size: int):
+    line = line_size
+    while line > 1 and row % (line * CD) != 0:
+        line //= 2
+    if row % (line * CD) != 0:
+        raise ValueError(f"row length {row} not tileable by 8 lines")
+    return line, row // (line * CD)
+
+
+def launch_layernorm(client, inp: Handle, gamma: Handle, beta: Handle,
+                     out: Handle, rows: int, row: int,
+                     line_size: int = 128, eps: float = 1e-5) -> None:
+    line, iters = _row_plan(row, line_size)
+    layernorm_rows.launch_unchecked(
+        client, CubeCount(rows), CubeDim.new_1d(CD),
+        ArrayArg(inp, line_size=line), ArrayArg(gamma, line_size=line),
+        ArrayArg(beta, line_size=line), ArrayArg(out, line_size=line,
+                                                 mutable=True),
+        iters, 1.0 / row, eps)
+
+
+def launch_softmax(client, inp: Handle, out: Handle, rows: int, row: int,
+                   line_size: int = 128) -> None:
+    line, iters = _row_plan(row, line_size)
+    softmax_rows.launch_unchecked(
+        client, CubeCount(rows), CubeDim.new_1d(CD),
+        ArrayArg(inp, line_size=line),
+        ArrayArg(out, line_size=line, mutable=True), iters)
+
+
+def launch_normalize(client, inp: Handle, out: Handle, rows: int, row: int,
+                     line_size: int = 128, eps: float = 0.0) -> None:
+    line, iters = _row_plan(row, line_size)
+    normalize_rows.launch_unchecked(
+        client, CubeCount(rows), CubeDim.new_1d(CD),
+        ArrayArg(inp, line_size=line),
+        ArrayArg(out, line_size=line, mutable=True), iters, eps)

@@ -1,0 +1,190 @@
+"""Reductions: tree + plane sum/max/min/prod over large arrays.
+
+Reference: examples/sum_things (sum_basic/sum_subgroup/sum_trait variants,
+src/lib.rs:6-100) and the book's reduction progression (BASELINE §1).
+
+TPU-native plan (SURVEY §2.9): each cube owns a contiguous chunk; inside
+the cube, units×lines tile the VPU (8 sublanes × wide lanes); the grid
+loop accumulates (U, L) tiles; lanes fold with line_sum, sublanes with
+plane ops. Two-phase tree: per-cube partials then a final cube. The cube
+dim is the plane dim (8) so plane ops span the whole cube.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..frontend import (
+    ABSOLUTE_POS,
+    CUBE_POS_X,
+    UNIT_POS,
+    ArrayArg,
+    MutSlice,
+    Slice,
+    Vector,
+    cube,
+    cube_range,
+    line_max,
+    line_min,
+    line_sum,
+    max_,
+    plane_max,
+    plane_min,
+    plane_sum,
+)
+from ..ir.types import f32
+from ..runtime.base import CubeCount, CubeDim
+from ..runtime.handle import Handle
+from ..tune import TunableSet, LocalTuner
+
+CD = 8  # cube dim == plane dim: plane ops reduce the whole cube
+
+
+@cube
+def reduce_sum_partial(inp: Slice, partials: MutSlice, iters: int):
+    """Each cube reduces iters×CUBE_DIM lines into one scalar partial."""
+    acc = Vector.zeros(f32, inp.line_size)
+    base = CUBE_POS_X * (iters * 8)
+    for k in cube_range(0, iters):
+        acc = acc + inp[base + k * 8 + UNIT_POS]
+    s = plane_sum(line_sum(acc))
+    if UNIT_POS == 0:
+        partials[CUBE_POS_X] = s
+
+
+@cube
+def reduce_max_partial(inp: Slice, partials: MutSlice, iters: int):
+    base = CUBE_POS_X * (iters * 8)
+    acc = inp[base + UNIT_POS]
+    for k in cube_range(1, iters):
+        acc = max_(acc, inp[base + k * 8 + UNIT_POS])
+    s = plane_max(line_max(acc))
+    if UNIT_POS == 0:
+        partials[CUBE_POS_X] = s
+
+
+@cube
+def reduce_final_sum(partials: Slice, out: MutSlice, iters: int):
+    """Single-cube final fold over the partials (line_size 1)."""
+    acc = 0.0
+    for k in cube_range(0, iters):
+        idx = k * 8 + UNIT_POS
+        if idx < partials.len():
+            acc = acc + partials[idx]
+    s = plane_sum(acc)
+    if UNIT_POS == 0:
+        out[0] = s
+
+
+@cube
+def reduce_final_max(partials: Slice, out: MutSlice, iters: int):
+    acc = partials[0]
+    for k in cube_range(0, iters):
+        idx = k * 8 + UNIT_POS
+        if idx < partials.len():
+            acc = max_(acc, partials[idx])
+    s = plane_max(acc)
+    if UNIT_POS == 0:
+        out[0] = s
+
+
+@cube
+def reduce_sum_naive(inp: Slice, out: MutSlice):
+    """The book's naive single-unit reduction (benchmark.md baseline) —
+    kept for the 220× progression story."""
+    acc = Vector.zeros(f32, inp.line_size)
+    for k in cube_range(0, inp.len()):
+        acc = acc + inp[k]
+    if UNIT_POS == 0:
+        out[0] = line_sum(acc)
+
+
+def _plan(n_lines: int, line: int, target_cubes: int = 512):
+    """Pick (cubes, iters) so cubes*iters*CD == n_lines."""
+    per_cube = max(CD, n_lines // target_cubes)
+    iters = max(1, per_cube // CD)
+    while n_lines % (iters * CD) != 0 and iters > 1:
+        iters -= 1
+    cubes = n_lines // (iters * CD)
+    return cubes, iters
+
+
+def reduce_sum(client, inp: Handle, line_size: int = 512,
+               target_cubes: int = 512) -> Handle:
+    """sum(inp) -> scalar handle, two-phase tree."""
+    n = int(np.prod(inp.shape))
+    line = line_size if n % line_size == 0 else 1
+    n_lines = n // line
+    assert n_lines % CD == 0, "length must be a multiple of 8 lines"
+    cubes, iters = _plan(n_lines, line, target_cubes)
+    partials = client.empty((cubes,), str(inp.dtype))
+    reduce_sum_partial.launch_unchecked(
+        client, CubeCount(cubes), CubeDim.new_1d(CD),
+        ArrayArg(inp, line_size=line), ArrayArg(partials, mutable=True),
+        iters)
+    out = client.empty((1,), str(inp.dtype))
+    f_iters = -(-cubes // CD)
+    reduce_final_sum.launch(
+        client, CubeCount(1), CubeDim.new_1d(CD),
+        ArrayArg(partials), ArrayArg(out, mutable=True), f_iters)
+    return out
+
+
+def reduce_max(client, inp: Handle, line_size: int = 512,
+               target_cubes: int = 512) -> Handle:
+    n = int(np.prod(inp.shape))
+    line = line_size if n % line_size == 0 else 1
+    n_lines = n // line
+    assert n_lines % CD == 0
+    cubes, iters = _plan(n_lines, line, target_cubes)
+    partials = client.empty((cubes,), str(inp.dtype))
+    reduce_max_partial.launch_unchecked(
+        client, CubeCount(cubes), CubeDim.new_1d(CD),
+        ArrayArg(inp, line_size=line), ArrayArg(partials, mutable=True),
+        iters)
+    out = client.empty((1,), str(inp.dtype))
+    f_iters = -(-cubes // CD)
+    reduce_final_max.launch(
+        client, CubeCount(1), CubeDim.new_1d(CD),
+        ArrayArg(partials), ArrayArg(out, mutable=True), f_iters)
+    return out
+
+
+def reduce_mean(client, inp: Handle, **kw) -> Handle:
+    import jax.numpy as jnp
+
+    s = reduce_sum(client, inp, **kw)
+    n = int(np.prod(inp.shape))
+    s.array = s.array / n
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Autotuned line size / chunking (reference LocalTuner usage pattern)
+# ---------------------------------------------------------------------------
+
+_sum_tuner = LocalTuner("reduce_sum")
+
+
+def reduce_sum_autotuned(client, inp: Handle) -> Handle:
+    from ..tune.anchor import anchor
+
+    n = int(np.prod(inp.shape))
+
+    def key_fn(client_, inp_):
+        return ("sum", anchor(int(np.prod(inp_.shape))), str(inp_.dtype))
+
+    ts = TunableSet("reduce_sum", key_fn)
+    for line in (128, 256, 512, 1024):
+        for tc in (256, 512, 1024):
+            if n % line == 0 and (n // line) % CD == 0:
+                ts.with_tunable(
+                    lambda c, h, _l=line, _t=tc: reduce_sum(
+                        c, h, line_size=_l, target_cubes=_t),
+                    name=f"line{line}_cubes{tc}",
+                    work=lambda key, _n=n: (_n, _n * 4))
+    if not ts.tunables:
+        return reduce_sum(client, inp, line_size=1)
+    return _sum_tuner.execute(client, ts, client, inp)

@@ -47,3 +47,16 @@ class KernelTask:
 
     def define(self) -> KernelDefinition:
         return self._define()
+
+
+class NativeKernelTask(KernelTask):
+    """A kernel authored directly at the Pallas level but launched through
+    the same server/cache path — the analogue of the reference's
+    ``intrinsic!`` escape hatch (cubecl-macros/src/lib.rs:196-210) used by
+    cubecl-std for hand-optimized primitives. ``build`` returns a
+    CompiledKernel."""
+
+    def __init__(self, kernel_id: KernelId,
+                 build: Callable[[], CompiledKernel], name: str = "native"):
+        super().__init__(kernel_id, lambda: None, name)
+        self.build = build

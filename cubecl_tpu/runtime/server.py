@@ -115,8 +115,13 @@ class JaxServer(ComputeServer):
             return hit
         import jax
 
-        defn = task.define()
-        compiled = self.compiler.compile(defn)
+        from .kernel import NativeKernelTask
+
+        if isinstance(task, NativeKernelTask):
+            compiled = task.build()
+        else:
+            defn = task.define()
+            compiled = self.compiler.compile(defn)
         self.compile_count += 1
         if self.logger is not None:
             self.logger.log_compile(task, compiled)
