@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Headline benchmark: autotuned bf16 4096^3 matmul as % of MXU peak.
+
+BASELINE.md §3 target: >= 90% of MXU peak on the available TPU.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Timing notes: through the axon tunnel, block_until_ready does not reliably
+block, so completion is forced with a 1-element D2H readback and the
+per-iteration time comes from the slope between a short and a long chained
+run (subtracting fixed dispatch/transfer overhead).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _bench_chain(f, a, b, iters, repeats=3):
+    c = f(a, b)
+    _ = np.asarray(c[:1, :1])  # warm + force completion
+    best = float("inf")
+    for _r in range(repeats):
+        t0 = time.time()
+        c = a
+        for _i in range(iters):
+            c = f(c, b)
+        _ = np.asarray(c[:1, :1])
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from cubecl_tpu import TpuRuntime, CpuRuntime
+    from cubecl_tpu.ops.matmul import _build_matmul, _tile_candidates
+
+    try:
+        client = TpuRuntime.client()
+        on_tpu = True
+    except Exception:
+        client = CpuRuntime.client()
+        on_tpu = False
+
+    gen = client.properties().generation
+    peak = gen.bf16_flops
+    dev = client._dev.call(lambda s: s.device)
+
+    M = N = K = 4096 if on_tpu else 512
+    A = (np.random.randn(M, K) * 0.1).astype(np.float32)
+    B = (np.random.randn(K, N) * 0.1).astype(np.float32)
+    a = jax.device_put(jnp.asarray(A, jnp.bfloat16), dev)
+    b = jax.device_put(jnp.asarray(B, jnp.bfloat16), dev)
+
+    # small autotune sweep over the strongest tile candidates
+    cands = [(1024, 1024, 512), (512, 1024, 512), (1024, 1024, 1024)]
+    cands = [t for t in cands if M % t[0] == 0 and N % t[1] == 0
+             and K % t[2] == 0]
+    best = None
+    short_i, long_i = 4, 36
+    for tm, tn, tk in cands:
+        try:
+            ck = _build_matmul(M, N, K, tm, tn, tk, "bfloat16", "bfloat16",
+                               "float32")
+            f = jax.jit(lambda x, y, _c=ck: _c.fn([x, y, y], ())[0])
+            d_short = _bench_chain(f, a, b, short_i)
+            d_long = _bench_chain(f, a, b, long_i)
+            # slope removes the fixed dispatch + readback overhead
+            per = (d_long - d_short) / (long_i - short_i) \
+                if d_long > d_short else d_long / long_i
+            tflops = 2 * M * N * K / per / 1e12
+            if best is None or tflops > best[1]:
+                best = ((tm, tn, tk), tflops, per)
+        except Exception as e:  # noqa: BLE001
+            print(f"# tile {tm}x{tn}x{tk} failed: {e}", file=sys.stderr)
+
+    if best is None:
+        print(json.dumps({"metric": "bf16_4096_matmul_pct_mxu_peak",
+                          "value": 0.0, "unit": "%", "vs_baseline": 0.0}))
+        return 1
+
+    (tile, tflops, per) = best
+    pct = 100.0 * tflops * 1e12 / peak
+    result = {
+        "metric": "bf16_4096_matmul_pct_mxu_peak",
+        "value": round(pct, 1),
+        "unit": "%",
+        "vs_baseline": round(pct / 90.0, 3),
+        "detail": {
+            "tflops": round(tflops, 1),
+            "ms_per_matmul": round(per * 1e3, 3),
+            "tile": list(tile),
+            "device": gen.name,
+            "peak_tflops": peak / 1e12,
+            "shape": [M, N, K],
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

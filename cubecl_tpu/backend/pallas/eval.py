@@ -394,14 +394,29 @@ class Evaluator:
         if c < 0:
             _kernel_fail("negative unit stride in buffer index")
         span = c * U  # lines (rows) loaded from rel
+        span_eff = span
         if mask_ev is not None:
-            rel = self._clip_rel(rel, 0, blk_lines - span)
+            # a masked load may cover a buffer shorter than one full span
+            # (e.g. tree-reduction tails): load what exists, pad the rest —
+            # padded lanes are mask-selected away
+            span_eff = min(span, blk_lines)
+            rel = self._clip_rel(rel, 0, blk_lines - span_eff)
+        elif span > blk_lines:
+            _kernel_fail(
+                f"unmasked load of {span} lines from a {blk_lines}-line "
+                f"buffer; guard the access or use launch() (checked)")
         row = self._hint(_as_i32(jnp, rel), U if c == 1 else 1)
         if L > 1:
-            chunk = ref[pl.ds(row, span), :]          # (span, L)
+            chunk = ref[pl.ds(row, span_eff), :]       # (span_eff, L)
+            if span_eff < span:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((span - span_eff, L), chunk.dtype)])
             val = chunk if c == 1 else chunk.reshape(U, c, L)[:, 0, :]
         else:
-            chunk = ref[pl.ds(row, span)]             # (span,)
+            chunk = ref[pl.ds(row, span_eff)]          # (span_eff,)
+            if span_eff < span:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((span - span_eff,), chunk.dtype)])
             val = chunk.reshape(U, 1) if c == 1 else \
                 chunk.reshape(U, c)[:, :1]
         return EV(arr=val, varying=True, line=L)
@@ -470,9 +485,9 @@ class Evaluator:
         span = c * U
         v = self.broadcast_to_canon(val_ev, True, L, dtype)  # (U, L)
         if m is not None:
-            rel = self._clip_rel(rel, 0, blk_lines - span)
+            rel = self._clip_rel(rel, 0, max(0, blk_lines - span))
         row = self._hint(_as_i32(jnp, rel), U if c == 1 else 1)
-        if c == 1:
+        if c == 1 and span <= blk_lines:
             new = v if L > 1 else v.reshape(U)
             if m is None:
                 if L > 1:
@@ -488,6 +503,44 @@ class Evaluator:
                     old = ref[pl.ds(row, U)]
                     ref[pl.ds(row, U)] = jnp.where(
                         mm.reshape(U), new, old)
+            return
+        if span > blk_lines:
+            if m is None:
+                _kernel_fail(
+                    f"unmasked store of {span} lines into a {blk_lines}-line "
+                    f"buffer; guard the access or use launch() (checked)")
+            # short-buffer masked store: row-range RMW over what exists
+            span_eff = blk_lines
+            rel2 = self._clip_rel(rel, 0, 0)
+            row2 = self._hint(_as_i32(jnp, rel2), 1)
+            if L > 1:
+                chunk = ref[pl.ds(row2, span_eff), :]
+                full = jnp.concatenate(
+                    [chunk, jnp.zeros((span - span_eff, L), chunk.dtype)])
+            else:
+                chunk = ref[pl.ds(row2, span_eff)]
+                full = jnp.concatenate(
+                    [chunk, jnp.zeros((span - span_eff,), chunk.dtype)])
+            full2 = full.reshape(U, c * L if L > 1 else c)
+            new2 = v.astype(full.dtype) if L > 1 else \
+                v.reshape(U, 1).astype(full.dtype)
+            if m is not None:
+                mm = m if getattr(m, "ndim", 0) > 0 else jnp.full((U, 1), m)
+                lead = new2 if L > 1 else new2
+                old_lead = full2[:, :L] if L > 1 else full2[:, :1]
+                sel = jnp.where(mm, lead, old_lead)
+            else:
+                sel = new2
+            if c == 1:
+                merged = sel
+            else:
+                merged = jnp.concatenate(
+                    [sel, full2[:, (L if L > 1 else 1):]], axis=1)
+            flat = merged.reshape(span, L) if L > 1 else merged.reshape(span)
+            if L > 1:
+                ref[pl.ds(row2, span_eff), :] = flat[:span_eff]
+            else:
+                ref[pl.ds(row2, span_eff)] = flat[:span_eff]
             return
         # strided store (c > 1): read-modify-write the covering rows
         if L > 1:

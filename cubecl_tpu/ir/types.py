@@ -156,7 +156,14 @@ def elem_from_dtype(dtype) -> ElemType:
     """Map a numpy/jnp dtype to the IR element type."""
     import numpy as np
 
-    name = np.dtype(dtype).name
+    if isinstance(dtype, str) and dtype in _JNP_TO_ELEM:
+        return _JNP_TO_ELEM[dtype]
+    try:
+        name = np.dtype(dtype).name
+    except TypeError:
+        import ml_dtypes  # registers bfloat16/float8 with numpy
+
+        name = np.dtype(getattr(ml_dtypes, str(dtype), dtype)).name
     try:
         return _JNP_TO_ELEM[name]
     except KeyError:

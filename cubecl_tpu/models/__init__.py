@@ -1,0 +1,12 @@
+"""cubecl_tpu.models — flagship downstream models exercising the kernel
+framework end-to-end."""
+
+from .transformer import (
+    TransformerConfig,
+    forward,
+    init_params,
+    loss_fn,
+    make_sharded_train_step,
+    make_train_step,
+    param_shardings,
+)

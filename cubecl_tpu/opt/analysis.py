@@ -176,6 +176,7 @@ class Access:
     is_store: bool
     line: int
     span: int = 1                # lines touched from the base index (mma tiles)
+    conditional: bool = False    # masked or under control flow
 
 
 @dataclass
@@ -349,26 +350,41 @@ def plan_buffers(scope: Scope, ua: UniformityAnalysis,
     env, get = analyze_affine(scope, ua, loop_ranges, cube_dim, cube_count)
 
     accesses: Dict[int, List[Access]] = {}
-    for _s, inst in walk(scope):
-        oc = inst.op.opcode
-        if oc in (O.INDEX, O.INDEX_MASKED, O.STORE, O.STORE_MASKED):
-            buf = inst.op.args[0]
-            if buf.kind != VarKind.BUFFER:
-                continue
-            idx = inst.op.args[1]
-            aff = get(idx)
-            is_store = oc in (O.STORE, O.STORE_MASKED)
-            line = buf.ty.line
-            acc = Access(inst, aff, is_store, line)
-            inst.op.attrs["affine"] = aff
-            accesses.setdefault(buf.vid, []).append(acc)
-        elif oc in (O.MMA_LOAD, O.MMA_STORE):
-            buf = inst.op.args[1]
-            if buf.kind != VarKind.BUFFER:
-                continue
-            # offsets are in elements; conservatively whole-mode for now
-            accesses.setdefault(buf.vid, []).append(
-                Access(inst, None, oc == O.MMA_STORE, buf.ty.line))
+
+    def visit_accesses(s: Scope, depth: int) -> None:
+        for inst in s.instructions:
+            oc = inst.op.opcode
+            for key in ("then", "orelse", "body", "cond_scope"):
+                sub = inst.op.attrs.get(key)
+                if isinstance(sub, Scope):
+                    # loop bodies at depth 0 still execute unconditionally
+                    d = depth + (0 if oc == O.RANGE_LOOP else 1)
+                    visit_accesses(sub, d)
+            for _c, sub in inst.op.attrs.get("cases", []):
+                visit_accesses(sub, depth + 1)
+            if oc in (O.INDEX, O.INDEX_MASKED, O.STORE, O.STORE_MASKED):
+                buf = inst.op.args[0]
+                if buf.kind != VarKind.BUFFER:
+                    continue
+                idx = inst.op.args[1]
+                aff = get(idx)
+                is_store = oc in (O.STORE, O.STORE_MASKED)
+                cond = depth > 0 or oc in (O.INDEX_MASKED, O.STORE_MASKED)
+                acc = Access(inst, aff, is_store, buf.ty.line,
+                             conditional=cond)
+                inst.op.attrs["affine"] = aff
+                accesses.setdefault(buf.vid, []).append(acc)
+            elif oc in (O.MMA_LOAD, O.MMA_STORE):
+                buf = inst.op.args[1]
+                if buf.kind != VarKind.BUFFER:
+                    continue
+                accesses.setdefault(buf.vid, []).append(
+                    Access(inst, None, oc == O.MMA_STORE, buf.ty.line,
+                           conditional=depth > 0))
+
+    has_return = any(inst.op.opcode in (O.RETURN, O.TERMINATE)
+                     for _s, inst in walk(scope))
+    visit_accesses(scope, 1 if has_return else 0)
 
     U = cube_dim[0] * cube_dim[1] * cube_dim[2]
     plans: Dict[int, BufferPlan] = {}
@@ -451,13 +467,15 @@ def plan_buffers(scope: Scope, ua: UniformityAnalysis,
         plan.block_lines = block
         plan.grid_coeffs = {s: c // block for s, c in grid.items()}
         plan.base_const = 0
-        # store coverage: exact tiling when the grid sweeps all blocks
+        # store coverage: exact tiling, grid sweeps all blocks, and every
+        # store unconditional (a masked/branched store must RMW old data)
         n_blocks = (bp.length + block - 1) // block
         sweep = 1
         for s, c in plan.grid_coeffs.items():
             dim = {"cx": cube_count[0], "cy": cube_count[1],
                    "cz": cube_count[2]}[s]
             sweep *= dim
+        all_uncond = all(not a.conditional for a in accs if a.is_store)
         plan.store_covers_all = (plan.has_store and sweep >= n_blocks
-                                 and bp.length % block == 0)
+                                 and bp.length % block == 0 and all_uncond)
     return plans

@@ -1,0 +1,5 @@
+"""cubecl_tpu.parallel — meshes + collectives (reference:
+ServerCommunication / NCCL, SURVEY §2.9/§5)."""
+
+from .comm import CommunicationId, Communicator, ReduceOperation
+from .mesh import auto_mesh, make_mesh, named_sharding, shard_array

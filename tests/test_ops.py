@@ -1,0 +1,146 @@
+"""Kernel-library tests vs numpy oracles (BASELINE configs 1-5)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from cubecl_tpu.ops import (
+    launch_fused,
+    launch_gelu,
+    launch_layernorm,
+    launch_normalize,
+    launch_softmax,
+    matmul_cmma,
+    reduce_max,
+    reduce_mean,
+    reduce_sum,
+)
+
+
+def test_gelu(client):
+    n = 2048
+    x = np.random.randn(n).astype(np.float32)
+    i = client.create(x)
+    o = client.empty((n,), "float32")
+    launch_gelu(client, i, o, line_size=128, cube_dim=8)
+    exp = x * (1 + np.array([math.erf(v / math.sqrt(2)) for v in x])) / 2
+    np.testing.assert_allclose(client.read_one(o), exp, atol=1e-5)
+
+
+def test_gelu_tail(client):
+    n = 1000  # forces guarded path
+    x = np.random.randn(n).astype(np.float32)
+    i = client.create(x)
+    o = client.empty((n,), "float32")
+    launch_gelu(client, i, o, line_size=128, cube_dim=8, checked=True)
+    exp = x * (1 + np.array([math.erf(v / math.sqrt(2)) for v in x])) / 2
+    np.testing.assert_allclose(client.read_one(o), exp, atol=1e-5)
+
+
+def test_reduce_sum(client):
+    x = np.random.randn(1 << 14).astype(np.float32)
+    h = client.create(x)
+    s = client.read_one(reduce_sum(client, h, line_size=128, target_cubes=8))
+    np.testing.assert_allclose(s[0], x.sum(), rtol=1e-4)
+
+
+def test_reduce_max_negative(client):
+    x = (-np.abs(np.random.randn(4096))).astype(np.float32)  # all negative
+    h = client.create(x)
+    m = client.read_one(reduce_max(client, h, line_size=128, target_cubes=8))
+    np.testing.assert_allclose(m[0], x.max())
+
+
+def test_reduce_mean(client):
+    x = np.random.randn(4096).astype(np.float32)
+    h = client.create(x)
+    m = client.read_one(reduce_mean(client, h, line_size=128, target_cubes=8))
+    np.testing.assert_allclose(m[0], x.mean(), rtol=1e-4)
+
+
+def test_softmax(client):
+    rows, R = 3, 1024
+    x = np.random.randn(rows, R).astype(np.float32) * 3
+    i = client.create(x.reshape(-1))
+    o = client.empty((rows * R,), "float32")
+    launch_softmax(client, i, o, rows, R, line_size=128)
+    r = client.read_one(o).reshape(rows, R)
+    e = np.exp(x - x.max(1, keepdims=True))
+    e /= e.sum(1, keepdims=True)
+    np.testing.assert_allclose(r, e, atol=1e-6)
+
+
+def test_layernorm(client):
+    rows, R = 3, 1024
+    x = np.random.randn(rows, R).astype(np.float32)
+    g = np.random.rand(R).astype(np.float32)
+    b = np.random.randn(R).astype(np.float32)
+    i = client.create(x.reshape(-1))
+    o = client.empty((rows * R,), "float32")
+    launch_layernorm(client, i, client.create(g), client.create(b), o,
+                     rows, R, line_size=128)
+    r = client.read_one(o).reshape(rows, R)
+    mu = x.mean(1, keepdims=True)
+    var = x.var(1, keepdims=True)
+    e = (x - mu) / np.sqrt(var + 1e-5) * g + b
+    np.testing.assert_allclose(r, e, atol=1e-3)
+
+
+def test_normalize(client):
+    rows, R = 2, 1024
+    x = np.random.randn(rows, R).astype(np.float32)
+    i = client.create(x.reshape(-1))
+    o = client.empty((rows * R,), "float32")
+    launch_normalize(client, i, o, rows, R, line_size=128)
+    r = client.read_one(o).reshape(rows, R)
+    e = x / np.linalg.norm(x, axis=1, keepdims=True)
+    np.testing.assert_allclose(r, e, atol=1e-5)
+
+
+def test_fusion_chain(client):
+    n = 1024
+    a, b, c = (np.random.randn(n).astype(np.float32) for _ in range(3))
+    hs = [client.create(v) for v in (a, b, c)]
+    o = client.empty((n,), "float32")
+    launch_fused(client, hs, o, ["add", "mul", "relu"], cube_dim=8)
+    np.testing.assert_allclose(client.read_one(o),
+                               np.maximum((a + b) * c, 0), atol=1e-6)
+
+
+def test_fusion_gelu(client):
+    n = 1024
+    a, b = (np.random.randn(n).astype(np.float32) for _ in range(2))
+    hs = [client.create(v) for v in (a, b)]
+    o = client.empty((n,), "float32")
+    launch_fused(client, hs, o, ["add", "gelu"], cube_dim=8)
+    s = a + b
+    exp = s * (1 + np.array([math.erf(v / math.sqrt(2)) for v in s])) / 2
+    np.testing.assert_allclose(client.read_one(o), exp, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(128, 128, 128), (256, 128, 256)])
+def test_matmul_cmma(client, shape):
+    M, N, K = shape
+    A = np.random.randn(M, K).astype(np.float32)
+    B = np.random.randn(K, N).astype(np.float32)
+    hA = client.create(A.reshape(-1))
+    hB = client.create(B.reshape(-1))
+    hO = client.empty((M * N,), "float32")
+    matmul_cmma(client, hA, hB, hO, M, N, K, tile=128)
+    r = client.read_one(hO).reshape(M, N)
+    np.testing.assert_allclose(r, A @ B, atol=1e-3, rtol=1e-4)
+
+
+def test_matmul_pallas_small(client):
+    from cubecl_tpu.ops.matmul import matmul_pallas
+
+    M = N = K = 256
+    A = np.random.randn(M, K).astype(np.float32)
+    B = np.random.randn(K, N).astype(np.float32)
+    hA = client.create(A.reshape(-1))
+    hB = client.create(B.reshape(-1))
+    hO = client.empty((M * N,), "float32")
+    matmul_pallas(client, hA, hB, hO, M, N, K, tm=128, tn=128, tk=128)
+    r = client.read_one(hO).reshape(M, N)
+    np.testing.assert_allclose(r, A @ B, atol=1e-3, rtol=1e-4)

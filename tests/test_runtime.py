@@ -1,0 +1,176 @@
+"""Runtime-core tests: client/server/handles/memory/config/profile/cache
+(the reference's cubecl-runtime unit + dummy-server integration tests,
+tests/dummy/, integration_test.rs)."""
+
+import numpy as np
+import pytest
+
+from cubecl_tpu import CpuRuntime, CubeCount, CubeDim, cube
+from cubecl_tpu.frontend import ArrayArg, MutSlice, Slice, UNIT_POS
+from cubecl_tpu.runtime import benchmark
+from cubecl_tpu.runtime.config import runtime_config
+from cubecl_tpu.tune.anchor import anchor
+
+
+def test_create_read_roundtrip(client):
+    x = np.random.rand(64).astype(np.float32)
+    h = client.create(x)
+    np.testing.assert_array_equal(client.read_one(h), x)
+
+
+def test_empty_and_write(client):
+    h = client.empty((16,), "int32")
+    client.write(h, np.arange(16, dtype=np.int32))
+    np.testing.assert_array_equal(client.read_one(h), np.arange(16))
+
+
+def test_read_many(client):
+    xs = [np.random.rand(8).astype(np.float32) for _ in range(3)]
+    hs = [client.create(x) for x in xs]
+    outs = client.read(hs)
+    for o, x in zip(outs, xs):
+        np.testing.assert_array_equal(o, x)
+
+
+def test_read_lazy(client):
+    x = np.random.rand(8).astype(np.float32)
+    h = client.create(x)
+    lazy = client.read_lazy(h)
+    np.testing.assert_array_equal(np.asarray(lazy), x)
+
+
+def test_memory_usage_tracking(client):
+    before = client.memory_usage().bytes_in_use
+    h = client.create(np.zeros(1024, np.float32))
+    after = client.memory_usage().bytes_in_use
+    assert after - before == 4096
+    client.free(h)
+    assert client.memory_usage().bytes_in_use == before
+
+
+@cube
+def _k_double(inp: Slice, out: MutSlice):
+    out[UNIT_POS] = inp[UNIT_POS] * 2.0
+
+
+def test_compile_cache_hit(client):
+    x = np.random.rand(8).astype(np.float32)
+    h = client.create(x)
+    o = client.empty((8,), "float32")
+    server_compiles = client._dev.call(lambda s: s.compile_count)
+    _k_double.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                               ArrayArg(h), ArrayArg(o, mutable=True))
+    c1 = client._dev.call(lambda s: s.compile_count)
+    _k_double.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                               ArrayArg(h), ArrayArg(o, mutable=True))
+    c2 = client._dev.call(lambda s: s.compile_count)
+    assert c1 == server_compiles + 1 or c1 == server_compiles  # maybe cached
+    assert c2 == c1, "second identical launch must hit the kernel cache"
+    # different cube count -> new kernel id -> compile
+    _k_double.launch_unchecked(client, CubeCount(2), CubeDim.new_1d(4),
+                               ArrayArg(h), ArrayArg(o, mutable=True))
+    c3 = client._dev.call(lambda s: s.compile_count)
+    assert c3 == c2 + 1
+
+
+def test_functional_inplace(client):
+    """Mutable launches rebind the handle; old reads see new data."""
+    x = np.ones(8, np.float32)
+    h = client.create(x)
+    o = client.empty((8,), "float32")
+    _k_double.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                               ArrayArg(h), ArrayArg(o, mutable=True))
+    np.testing.assert_array_equal(client.read_one(o), 2 * x)
+    _k_double.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                               ArrayArg(o), ArrayArg(o, mutable=True))
+    np.testing.assert_array_equal(client.read_one(o), 4 * x)
+
+
+def test_profile(client):
+    x = np.random.rand(1024).astype(np.float32)
+    h = client.create(x)
+    o = client.empty((1024,), "float32")
+
+    def work():
+        _k_double.launch_unchecked(client, CubeCount(128),
+                                   CubeDim.new_1d(8),
+                                   ArrayArg(h), ArrayArg(o, mutable=True))
+
+    d = client.profile(work)
+    assert d.seconds > 0
+    assert d.millis == d.seconds * 1e3
+
+
+def test_benchmark_harness(client):
+    calls = []
+    stats = benchmark(lambda: calls.append(1), lambda: None,
+                      warmup=1, iters=5)
+    assert len(calls) == 6
+    assert stats.min <= stats.median <= stats.max
+
+
+def test_config_defaults():
+    cfg = runtime_config()
+    assert cfg["autotune"]["level"] in ("minimal", "balanced", "extensive",
+                                        "full")
+    assert "profiling" in cfg and "streaming" in cfg
+
+
+def test_config_env_override(monkeypatch):
+    monkeypatch.setenv("CUBECL_AUTOTUNE_LEVEL", "full")
+    cfg = runtime_config(reload=True)
+    assert cfg["autotune"]["level"] == "full"
+    monkeypatch.delenv("CUBECL_AUTOTUNE_LEVEL")
+    runtime_config(reload=True)
+
+
+def test_anchoring():
+    assert anchor(1000, "balanced") == 1024
+    assert anchor(4096, "balanced") == 4096
+    assert anchor(5000, "full") == 5000
+    assert anchor(100, "minimal") in (256,)  # next power of 4
+
+
+def test_properties_capability_matrix(client):
+    from cubecl_tpu.ir.types import bf16, f32, fp8_e4m3, tf32
+
+    props = client.properties()
+    feats = props.features
+    assert feats.supports_type(f32, "compute")
+    assert feats.supports_type(bf16, "mma")
+    assert feats.supports_type(fp8_e4m3, "mma")
+    assert not feats.supports_type(tf32, "compute")
+    assert feats.tma  # async DMA available
+    assert not feats.cluster
+
+
+def test_cross_device_copy(client):
+    other = CpuRuntime.client(1)
+    x = np.random.rand(16).astype(np.float32)
+    h = client.create(x)
+    h2 = client.to_client(h, other)
+    np.testing.assert_array_equal(other.read_one(h2), x)
+
+
+def test_dry_run_compile_only(client):
+    x = np.random.rand(8).astype(np.float32)
+    h = client.create(x)
+    o = client.empty((8,), "float32")
+    ck = _k_double.compile_only(client, CubeCount(1), CubeDim.new_1d(8),
+                                ArrayArg(h), ArrayArg(o, mutable=True))
+    assert ck.source and "pallas kernel" in ck.source
+    assert ck.mutable_indices == [1]
+
+
+def test_native_pool_allocator():
+    from cubecl_tpu.runtime.memory import HostStagingPool
+
+    pool = HostStagingPool(page_bytes=1 << 16)
+    p1, o1, v1 = pool.alloc(1000)
+    p2, o2, v2 = pool.alloc(2000)
+    assert (p1, o1) != (p2, o2)
+    v1[:] = 7
+    assert (v1 == 7).all()
+    pool.free(p1, o1, 1000)
+    p3, o3, _ = pool.alloc(512)
+    assert o3 == o1  # reuses the freed slot (best-fit)

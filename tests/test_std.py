@@ -1,0 +1,99 @@
+"""std-layer tests: layouts, fastdivmod, quant, contiguous, identity."""
+
+import numpy as np
+import pytest
+
+from cubecl_tpu.std import (
+    FastDivmod,
+    LinearLayout,
+    PermutedLayout,
+    QuantScheme,
+    SliceLayout,
+    StridedLayout,
+    TensorHandle,
+    dequantize_np,
+    identity,
+    quantize_np,
+)
+from cubecl_tpu.std.quant import QuantLevel
+
+
+def test_linear_layout():
+    l = LinearLayout((4, 8))
+    assert l.to_linear(0, 0) == 0
+    assert l.to_linear(1, 2) == 10
+    assert l.to_linear(3, 7) == 31
+    assert l.num_elements() == 32
+
+
+def test_strided_layout():
+    l = StridedLayout((4, 8), strides=(1, 4))  # column-major
+    assert l.to_linear(1, 2) == 1 + 8
+    assert l.to_linear(3, 0) == 3
+
+
+def test_permuted_layout():
+    inner = LinearLayout((4, 8))
+    p = PermutedLayout(inner, (1, 0))
+    assert p.shape == (8, 4)
+    assert p.to_linear(2, 1) == inner.to_linear(1, 2)
+
+
+def test_slice_layout():
+    inner = LinearLayout((8, 8))
+    s = SliceLayout(inner, (2, 3), (4, 4))
+    assert s.to_linear(0, 0) == inner.to_linear(2, 3)
+    assert s.is_in_bounds(3, 3) is True or s.is_in_bounds(3, 3)
+
+
+@pytest.mark.parametrize("divisor", [1, 2, 3, 5, 7, 8, 16, 100, 127, 128,
+                                     1000, 4096])
+def test_fastdivmod_comptime(divisor):
+    fd = FastDivmod(divisor)
+    for x in list(range(0, 200)) + [10**6, 2**30]:
+        assert fd.div(x) == x // divisor
+        assert fd.mod(x) == x % divisor
+
+
+def test_quant_roundtrip_i8():
+    x = np.random.randn(256).astype(np.float32)
+    s = QuantScheme()
+    q, scale = quantize_np(x, s)
+    assert q.dtype == np.int8
+    back = dequantize_np(q, scale, s)
+    assert np.abs(back - x).max() < np.abs(x).max() / 50
+
+
+def test_quant_block():
+    x = np.random.randn(256).astype(np.float32)
+    s = QuantScheme(level=QuantLevel.BLOCK, block_size=32)
+    q, scale = quantize_np(x, s)
+    assert scale.shape == (8,)
+    back = dequantize_np(q, scale, s)
+    assert np.abs(back - x).max() < np.abs(x).max() / 30
+
+
+def test_identity_kernel(client):
+    h = identity(client, 16)
+    r = client.read_one(h).reshape(16, 16)
+    np.testing.assert_array_equal(r, np.eye(16, dtype=np.float32))
+
+
+def test_tensor_handle_contiguity(client):
+    h = client.create(np.zeros(24, np.float32))
+    t = TensorHandle(h, (2, 3, 4))
+    assert t.is_contiguous()
+    t2 = TensorHandle(h, (2, 3, 4), strides=(1, 2, 6))
+    assert not t2.is_contiguous()
+
+
+def test_into_contiguous_transpose(client):
+    from cubecl_tpu.std import into_contiguous
+
+    x = np.arange(32, dtype=np.float32).reshape(4, 8)
+    h = client.create(x.reshape(-1))
+    # view as transposed (8, 4) with strides (1, 8)
+    t = TensorHandle(h, (8, 4), strides=(1, 8))
+    out = into_contiguous(client, t)
+    r = client.read_one(out.handle).reshape(8, 4)
+    np.testing.assert_array_equal(r, x.T)
