@@ -62,7 +62,40 @@ class ComputeClient:
 
     def launch(self, task: KernelTask, buffers: Sequence[Handle],
                scalars: Sequence[Any] = ()) -> None:
+        cap = getattr(self, "_capture", None)
+        if cap is not None:
+            cap.record(task, buffers, scalars)
+            return
         self._dev.call(lambda s: s.launch(task, buffers, scalars))
+
+    # ------------------------------------------------------- graph capture
+
+    def graph_prepare(self) -> None:
+        """Arm persistent allocation for capture (reference graph_prepare,
+        client.rs:998 + memory_manage.rs:135). Device memory is XLA-owned
+        here; recorded handles are pinned by the Graph itself."""
+        self._dev.call(lambda s: s.memory.allocation_mode("persistent"))
+
+    def start_capture(self) -> None:
+        """Begin recording launches instead of executing them (reference
+        start_capture, client.rs:1011)."""
+        from .graph import CaptureState
+
+        if getattr(self, "_capture", None) is not None:
+            raise RuntimeError("capture already active")
+        self._capture = CaptureState()
+
+    def stop_capture(self):
+        """Finish recording → compiled Graph (reference stop_capture,
+        client.rs:1020)."""
+        from .graph import Graph
+
+        cap = getattr(self, "_capture", None)
+        if cap is None:
+            raise RuntimeError("no active capture")
+        self._capture = None
+        self._dev.call(lambda s: s.memory.allocation_mode("auto"))
+        return Graph(self, cap.recorded, cap.handles)
 
     def sync(self) -> None:
         self._dev.call(lambda s: s.sync())

@@ -1,0 +1,104 @@
+"""Graph capture / replay — whole-sequence compilation.
+
+Reference: CUDA-graph capture (client.start_capture/stop_capture +
+Graph::replay, cubecl-runtime/src/client.rs:998-1020,120; CUDA impl
+cubecl-cuda/src/compute/graph.rs) with persistent-pool pinning
+(memory_manage.rs:135-165).
+
+TPU-native equivalent: record the launch sequence, then jit the whole
+recorded computation as ONE XLA executable — replay is a single dispatch,
+eliminating per-launch Python/dispatch overhead exactly like a CUDA graph
+eliminates per-kernel launch cost. Handles touched during capture are the
+graph's inputs/outputs; replay rebinds them functionally.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+from .handle import Handle
+from .kernel import KernelTask
+
+
+@dataclass
+class _Recorded:
+    task: KernelTask
+    buffer_ids: List[int]
+    scalars: Tuple[Any, ...]
+    mutable_indices: List[int]
+
+
+class Graph:
+    """A captured launch sequence compiled to one executable."""
+
+    def __init__(self, client, recorded: List[_Recorded],
+                 handles: Dict[int, Handle]):
+        self._client = client
+        self._recorded = recorded
+        self._handles = handles
+        self._jfn = None
+        self._input_ids: List[int] = []
+        self._output_ids: List[int] = []
+        self._build()
+
+    def _build(self) -> None:
+        import jax
+
+        server = self._client._dev.call(lambda s: s)
+        compiled = []
+        for rec in self._recorded:
+            ck, _ = server.compile_kernel(rec.task)
+            compiled.append(ck)
+            rec.mutable_indices = ck.mutable_indices
+
+        read_ids: List[int] = []
+        written: set = set()
+        for rec, ck in zip(self._recorded, compiled):
+            for i, hid in enumerate(rec.buffer_ids):
+                if hid not in written and hid not in read_ids:
+                    read_ids.append(hid)
+                if i in ck.mutable_indices:
+                    written.add(hid)
+        self._input_ids = read_ids
+        self._output_ids = sorted(written)
+
+        recorded = list(self._recorded)
+
+        def whole(inputs: Sequence[Any]):
+            env: Dict[int, Any] = dict(zip(self._input_ids, inputs))
+            for rec, ck in zip(recorded, compiled):
+                bufs = [env[hid] for hid in rec.buffer_ids]
+                outs = ck.fn(bufs, rec.scalars)
+                for k, i in enumerate(ck.mutable_indices):
+                    env[rec.buffer_ids[i]] = outs[k]
+            return [env[hid] for hid in self._output_ids]
+
+        self._jfn = jax.jit(whole)
+
+    def replay(self) -> None:
+        """Re-dispatch the whole recorded sequence as one launch
+        (reference Graph::replay, client.rs:120)."""
+        inputs = [self._handles[hid].array for hid in self._input_ids]
+        outs = self._jfn(inputs)
+        for hid, arr in zip(self._output_ids, outs):
+            self._handles[hid].array = arr
+
+    @property
+    def num_kernels(self) -> int:
+        return len(self._recorded)
+
+
+class CaptureState:
+    """Recording sink installed on the client during capture."""
+
+    def __init__(self) -> None:
+        self.recorded: List[_Recorded] = []
+        self.handles: Dict[int, Handle] = {}
+
+    def record(self, task: KernelTask, buffers: Sequence[Handle],
+               scalars: Sequence[Any]) -> None:
+        for h in buffers:
+            self.handles[h.id] = h
+        self.recorded.append(_Recorded(
+            task, [h.id for h in buffers], tuple(scalars), []))

@@ -121,6 +121,9 @@ class JaxServer(ComputeServer):
             compiled = task.build()
         else:
             defn = task.define()
+            from .validation import validate_launch
+
+            validate_launch(defn, self.props)
             compiled = self.compiler.compile(defn)
         self.compile_count += 1
         if self.logger is not None:

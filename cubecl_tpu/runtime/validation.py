@@ -1,0 +1,45 @@
+"""Launch-time validation against device properties.
+
+Reference: cubecl-runtime/src/validation.rs:10-40 — checks cube dim/unit
+counts and shared-memory size against ``DeviceProperties`` before
+dispatch.
+"""
+
+from __future__ import annotations
+
+from ..backend.compiler import KernelDefinition
+from ..ir.features import DeviceProperties
+
+
+class LaunchValidationError(ValueError):
+    pass
+
+
+def validate_launch(defn: KernelDefinition, props: DeviceProperties) -> None:
+    hw = props.hardware
+    cd = defn.cube_dim
+    cc = defn.cube_count
+    units = cd[0] * cd[1] * cd[2]
+    if units > hw.max_units_per_cube:
+        raise LaunchValidationError(
+            f"cube_dim {cd} = {units} units exceeds the device limit "
+            f"{hw.max_units_per_cube}")
+    for i, (d, lim) in enumerate(zip(cd, hw.max_cube_dim)):
+        if d > lim:
+            raise LaunchValidationError(
+                f"cube_dim[{i}]={d} exceeds limit {lim}")
+    for i, (c, lim) in enumerate(zip(cc, hw.max_cube_count)):
+        if c > lim:
+            raise LaunchValidationError(
+                f"cube_count[{i}]={c} exceeds limit {lim}")
+    shared = sum(sd.shape[0] * sd.ty.line * sd.ty.elem.size
+                 for sd in defn.state.shareds)
+    # per-unit arrays scale with the cube size
+    for sd in defn.state.shareds:
+        if isinstance(sd.value.payload, dict) and \
+                sd.value.payload.get("per_unit"):
+            shared += sd.shape[0] * sd.ty.line * sd.ty.elem.size * (units - 1)
+    if shared > hw.max_shared_memory_size:
+        raise LaunchValidationError(
+            f"shared memory {shared}B exceeds VMEM budget "
+            f"{hw.max_shared_memory_size}B")

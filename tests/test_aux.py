@@ -1,0 +1,134 @@
+"""Auxiliary subsystems: graph capture, bundles, validation, streams,
+launch utilities (SURVEY §5 coverage)."""
+
+import numpy as np
+import pytest
+
+from cubecl_tpu import CubeCount, CubeDim, cube
+from cubecl_tpu.frontend import ArrayArg, MutSlice, Slice, UNIT_POS
+
+
+@cube
+def _scale(inp: Slice, out: MutSlice, f: float):
+    out[UNIT_POS] = inp[UNIT_POS] * f
+
+
+def test_graph_capture_replay(client):
+    x = np.arange(8, dtype=np.float32)
+    h = client.create(x)
+    o = client.empty((8,), "float32")
+
+    client.graph_prepare()
+    client.start_capture()
+    # record: o = 2x, then o = 3*o (chained)
+    _scale.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                            ArrayArg(h), ArrayArg(o, mutable=True), 2.0)
+    _scale.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                            ArrayArg(o), ArrayArg(o, mutable=True), 3.0)
+    graph = client.stop_capture()
+    assert graph.num_kernels == 2
+
+    # nothing executed during capture
+    np.testing.assert_array_equal(client.read_one(o), np.zeros(8))
+    graph.replay()
+    np.testing.assert_array_equal(client.read_one(o), x * 6)
+    # replays are repeatable against current handle contents
+    client.write(h, x + 1)
+    graph.replay()
+    np.testing.assert_array_equal(client.read_one(o), (x + 1) * 6)
+
+
+def test_bundle_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setenv("CUBECL_ENVIRONMENT_ROOT", str(tmp_path))
+    from cubecl_tpu.runtime.config import runtime_config
+
+    runtime_config(reload=True)
+    from cubecl_tpu.runtime.bundle import export_bundle, import_bundle
+    from cubecl_tpu.tune.cache import PersistentStore
+
+    store = PersistentStore("autotune/dev0/matmul")
+    store.put("key1", '{"index": 3, "name": "t512", "checksum": "c"}')
+    bundle_path = str(tmp_path / "bundle.json")
+    manifest = export_bundle(bundle_path, note="test")
+    assert manifest["entries"] >= 1
+
+    store.delete("key1")
+    assert store.get("key1") is None
+    m2 = import_bundle(bundle_path)
+    assert m2["checksum"] == manifest["checksum"]
+    assert store.get("key1") is not None
+    monkeypatch.delenv("CUBECL_ENVIRONMENT_ROOT")
+    runtime_config(reload=True)
+
+
+def test_validation_limits(client):
+    from cubecl_tpu.runtime.server import ServerError
+
+    x = np.zeros(8, np.float32)
+    h = client.create(x)
+    o = client.empty((8,), "float32")
+    with pytest.raises(Exception) as exc:
+        _scale.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(4096),
+                                ArrayArg(h), ArrayArg(o, mutable=True), 1.0)
+    assert "exceeds" in str(exc.value)
+
+
+def test_scheduler_multistream():
+    from cubecl_tpu.runtime.stream import SchedulerMultiStream, StreamPool
+
+    order = []
+    sched = SchedulerMultiStream(num_streams=2, max_tasks=4,
+                                 strategy="interleave")
+    for i in range(3):
+        sched.enqueue(i % 2, lambda i=i: order.append(i))
+    assert order == []  # below flush threshold
+    sched.enqueue(1, lambda: order.append(3))
+    assert len(order) == 4  # threshold flush
+    pool = StreamPool(sched)
+    assert pool.current() == 0
+    pool.set_stream(2)
+    assert pool.current() == 2
+
+
+def test_launch_utilities():
+    from cubecl_tpu.frontend.launch_util import (
+        calculate_cube_count_elemwise,
+        io_optimized_line_sizes,
+        tensor_line_size,
+        tensor_line_size_parallel,
+    )
+
+    cc = calculate_cube_count_elemwise(1 << 20)
+    assert cc.x == (1 << 20) // (8 * 128)
+    assert io_optimized_line_sizes(1 << 16)[0] == 512
+    assert tensor_line_size(1024 * 512, 512) == 512
+    assert tensor_line_size(1000, 1000) in (8, 1)
+    assert tensor_line_size_parallel((4, 256), (256, 1), 1) >= 128
+
+
+def test_debug_print_and_comment(client):
+    from cubecl_tpu.frontend import comment, debug_print
+
+    @cube
+    def k(inp: Slice, out: MutSlice):
+        comment("doubling")
+        v = inp[UNIT_POS]
+        debug_print("v = {}", v)
+        out[UNIT_POS] = v * 2.0
+
+    x = np.arange(8, dtype=np.float32)
+    h = client.create(x)
+    o = client.empty((8,), "float32")
+    k.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                       ArrayArg(h), ArrayArg(o, mutable=True))
+    np.testing.assert_array_equal(client.read_one(o), x * 2)
+
+
+def test_logging_summary(client):
+    logger = client._dev.call(lambda s: s.logger)
+    assert logger is not None
+    logger.log_launch("k1", 0.001)
+    logger.profile_level = "basic"
+    logger.log_launch("k1", 0.002)
+    s = logger.summary()
+    assert "k1" in s and s["k1"]["count"] >= 1
