@@ -38,8 +38,11 @@ def _grid_dim(sym: str, cube_count):
 class PallasCompiler(Compiler):
     name = "pallas"
 
-    def __init__(self, interpret: bool = False):
+    def __init__(self, interpret: bool = False, processors=None):
         self.interpret = interpret
+        # backend IR rewriters (reference Processor/OptimizerBuilder hook);
+        # users append their own via compiler.processors
+        self.processors = list(processors) if processors is not None else []
 
     def compile(self, defn: KernelDefinition) -> CompiledKernel:
         import jax
@@ -52,6 +55,13 @@ class PallasCompiler(Compiler):
 
         scope = defn.scope
         cd, cc = defn.cube_dim, defn.cube_count
+        if self.processors or defn.options.fast_math:
+            from ...opt.processors import FastMathProcessor, run_processors
+
+            procs = list(self.processors)
+            if defn.options.fast_math:
+                procs.append(FastMathProcessor())
+            run_processors(scope, procs)
         optimize_scope(scope, cd, cc, defn.plane_dim)
         if defn.options.checked:
             insert_checked_io(scope, cd, cc)
@@ -61,6 +71,23 @@ class PallasCompiler(Compiler):
         plans = plan_buffers(scope, ua, cd, cc)
         state = scope.state
         U = cd[0] * cd[1] * cd[2]
+
+        # Mosaic tiling legality: 1D blocks must be whole-array or multiples
+        # of 128 lanes; 2D blocks need lane dim %128 and sublane dim %8.
+        # Illegal blocks demote to whole-buffer VMEM residency.
+        for plan in plans.values():
+            if plan.mode != "blocked":
+                continue
+            L = plan.param.ty.line
+            whole = plan.block_lines == plan.param.length
+            legal = whole or (
+                (L > 1 and L % 128 == 0 and plan.block_lines % 8 == 0)
+                or (L == 1 and plan.block_lines % 128 == 0))
+            if not legal:
+                plan.mode = "whole"
+                plan.block_lines = 0
+                plan.grid_coeffs = {}
+                plan.store_covers_all = False
 
         # ---------------- assemble specs ----------------------------------
         grid = (cc[2], cc[1], cc[0])  # (cz, cy, cx); x innermost/fastest

@@ -385,6 +385,15 @@ class Evaluator:
             # uniform line load
             if mask_ev is not None:
                 rel = self._clip_rel(rel, 0, blk_lines - 1)
+            if L == 1 and not isinstance(rel, int):
+                # dynamic single-element load: Mosaic cannot prove vector<1>
+                # alignment at a dynamic index — use an iota-select instead
+                # (one VPU pass over the resident block)
+                data = ref[...]
+                iota = self.jax.lax.broadcasted_iota(
+                    jnp.int32, (blk_lines, 1), 0).reshape(blk_lines)
+                sel = jnp.where(iota == rel, data, jnp.zeros_like(data))
+                return EV(arr=jnp.sum(sel), varying=False, line=1)
             row = self._hint(_as_i32(jnp, rel), 1)
             if L > 1:
                 val = ref[pl.ds(row, 1), :].reshape(L)
@@ -464,6 +473,20 @@ class Evaluator:
                 v = self.broadcast_to_canon(val_ev, False, L, dtype)
             if m is not None:
                 rel = self._clip_rel(rel, 0, blk_lines - 1)
+            if L == 1 and not isinstance(rel, int):
+                # dynamic single-element store → block-wide iota-select RMW
+                # (Mosaic-friendly: no dynamic vector<1> access)
+                data = ref[...]
+                iota = self.jax.lax.broadcasted_iota(
+                    jnp.int32, (blk_lines, 1), 0).reshape(blk_lines)
+                sel = iota == rel
+                if m is not None:
+                    mm = m
+                    if getattr(mm, "ndim", 0) > 0:
+                        mm = jnp.any(mm)
+                    sel = sel & mm
+                ref[...] = jnp.where(sel, jnp.asarray(v, dtype), data)
+                return
             row = self._hint(_as_i32(jnp, rel), 1)
             vv = jnp.asarray(v, dtype).reshape(1, L) if L > 1 else \
                 jnp.asarray(v, dtype).reshape(1)
@@ -701,6 +724,16 @@ class Evaluator:
         if oc in (O.SYNC_CUBE, O.SYNC_PLANE, O.SYNC_STORAGE, O.COMMENT,
                   O.BARRIER_INIT, O.BARRIER_ARRIVE, O.BARRIER_WAIT):
             return  # lockstep execution: ordering is program order
+        if oc == O.MEMCPY_ASYNC:
+            # barrier-tracked async copy (reference barrier.rs memcpy_async):
+            # the barrier wait is program-ordered here, so a synchronous
+            # whole-ref copy implements start+wait semantics
+            _bar, dst, src = op.args[0], op.args[1], op.args[2]
+            src_ref = self.refs[src.vid]
+            dst_ref = self.refs[dst.vid]
+            data = src_ref[...]
+            dst_ref[...] = data.reshape(dst_ref.shape).astype(dst_ref.dtype)
+            return
         if oc == O.PRINT:
             args = [self.materialize(self.get(a)) for a in op.args]
             self.pl.debug_print(op.attrs.get("fmt", "{}"), *args)

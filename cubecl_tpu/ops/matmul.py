@@ -40,8 +40,8 @@ from ..tune.anchor import anchor
 
 
 def _build_matmul(m: int, n: int, k: int, tm: int, tn: int, tk: int,
-                  in_dtype: str, out_dtype: str, acc_dtype: str
-                  ) -> CompiledKernel:
+                  in_dtype: str, out_dtype: str, acc_dtype: str,
+                  interpret: bool = False) -> CompiledKernel:
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -83,6 +83,7 @@ def _build_matmul(m: int, n: int, k: int, tm: int, tn: int, tk: int,
             + m * n * np.dtype(out_dtype).itemsize,
             transcendentals=0),
         name=f"matmul_{tm}x{tn}x{tk}",
+        interpret=interpret,
     )
 
     def fn(buffers, scalars=()):
@@ -103,11 +104,13 @@ def matmul_pallas(client, a: Handle, b: Handle, out: Handle,
                   in_dtype: Optional[str] = None,
                   acc_dtype: str = "float32") -> None:
     in_dtype = in_dtype or str(a.dtype)
+    interpret = bool(client._dev.call(
+        lambda s: getattr(s.compiler, "interpret", False)))
     kid = KernelId.build("matmul_pallas", m, n, k, tm, tn, tk, in_dtype,
-                         str(out.dtype), acc_dtype)
+                         str(out.dtype), acc_dtype, interpret)
     task = NativeKernelTask(
         kid, lambda: _build_matmul(m, n, k, tm, tn, tk, in_dtype,
-                                   str(out.dtype), acc_dtype),
+                                   str(out.dtype), acc_dtype, interpret),
         name="matmul_pallas")
     client.launch(task, [a, b, out])
 

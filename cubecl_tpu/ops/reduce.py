@@ -67,13 +67,13 @@ def reduce_max_partial(inp: Slice, partials: MutSlice, iters: int):
 
 @cube
 def reduce_final_sum(partials: Slice, out: MutSlice, iters: int):
-    """Single-cube final fold over the partials (line_size 1)."""
+    """Single-cube final fold over the partials (any line size)."""
     acc = 0.0
     for k in cube_range(0, iters):
         idx = k * 8 + UNIT_POS
         if idx < partials.len():
             acc = acc + partials[idx]
-    s = plane_sum(acc)
+    s = plane_sum(line_sum(acc))
     if UNIT_POS == 0:
         out[0] = s
 
@@ -85,7 +85,7 @@ def reduce_final_max(partials: Slice, out: MutSlice, iters: int):
         idx = k * 8 + UNIT_POS
         if idx < partials.len():
             acc = max_(acc, partials[idx])
-    s = plane_max(acc)
+    s = plane_max(line_max(acc))
     if UNIT_POS == 0:
         out[0] = s
 
@@ -102,11 +102,15 @@ def reduce_sum_naive(inp: Slice, out: MutSlice):
 
 
 def _plan(n_lines: int, line: int, target_cubes: int = 512):
-    """Pick (cubes, iters) so cubes*iters*CD == n_lines."""
+    """Pick (cubes, iters) with cubes*iters*CD == n_lines, preferring a
+    128-aligned cube count so the final fold can use full lines."""
     per_cube = max(CD, n_lines // target_cubes)
     iters = max(1, per_cube // CD)
-    while n_lines % (iters * CD) != 0 and iters > 1:
+    while iters > 1 and (n_lines % (iters * CD) != 0
+                         or (n_lines // (iters * CD)) % 128 != 0):
         iters -= 1
+    if n_lines % (iters * CD) != 0:
+        iters = 1
     cubes = n_lines // (iters * CD)
     return cubes, iters
 
@@ -125,10 +129,13 @@ def reduce_sum(client, inp: Handle, line_size: int = 512,
         ArrayArg(inp, line_size=line), ArrayArg(partials, mutable=True),
         iters)
     out = client.empty((1,), str(inp.dtype))
-    f_iters = -(-cubes // CD)
+    f_line = 128 if cubes % 128 == 0 else 1
+    f_lines = cubes // f_line
+    f_iters = -(-f_lines // CD)
     reduce_final_sum.launch(
         client, CubeCount(1), CubeDim.new_1d(CD),
-        ArrayArg(partials), ArrayArg(out, mutable=True), f_iters)
+        ArrayArg(partials, line_size=f_line), ArrayArg(out, mutable=True),
+        f_iters)
     return out
 
 
@@ -145,10 +152,13 @@ def reduce_max(client, inp: Handle, line_size: int = 512,
         ArrayArg(inp, line_size=line), ArrayArg(partials, mutable=True),
         iters)
     out = client.empty((1,), str(inp.dtype))
-    f_iters = -(-cubes // CD)
+    f_line = 128 if cubes % 128 == 0 else 1
+    f_lines = cubes // f_line
+    f_iters = -(-f_lines // CD)
     reduce_final_max.launch(
         client, CubeCount(1), CubeDim.new_1d(CD),
-        ArrayArg(partials), ArrayArg(out, mutable=True), f_iters)
+        ArrayArg(partials, line_size=f_line), ArrayArg(out, mutable=True),
+        f_iters)
     return out
 
 

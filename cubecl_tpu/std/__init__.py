@@ -19,5 +19,15 @@ from .quant import (
     dequantize_np,
     quantize_np,
 )
+from .misc import (
+    EventBus,
+    GLOBAL_EVENTS,
+    MatrixBatchLayout,
+    matrix_batch_layout,
+    reinterpret_slice,
+    sin_cos,
+    swizzle_2d,
+    swizzle_xor,
+)
 from .throughput import ThroughputCache
 from .view import View, ViewMut, VirtualTensor
