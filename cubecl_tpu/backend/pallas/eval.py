@@ -439,6 +439,9 @@ class Evaluator:
             return self._per_unit_access(buf, idx, val_ev, mask_ev, load=False)
         ra = self._resolve_rel(buf, idx, static_aff)
         if ra is None:
+            if buf.ty.line == 1:
+                return self._scatter_store(buf, idx, val_ev, mask_ev,
+                                           ignore_mask)
             _kernel_fail("non-affine unit-varying store index (use plane ops "
                          "or contiguous indexing)")
         rel, c = ra
@@ -584,6 +587,32 @@ class Evaluator:
             pos0 = self.jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
             merged = jnp.where(pos0 == 0, new, chunk)
             ref[pl.ds(row, span)] = merged.reshape(span)
+
+    def _scatter_store(self, buf, idx, val_ev, mask_ev, ignore_mask):
+        """Unit-varying non-affine store: one-hot scatter over the resident
+        block (duplicate indices sum — a data race on the reference GPUs
+        too). O(block) VPU work — avoid in hot kernels."""
+        jnp = self.jnp
+        ref, L, blk_lines, _blocked = self._buffer_geometry(buf)
+        iv = self.materialize(self.get(idx))  # (U, 1) int
+        iv = jnp.broadcast_to(jnp.asarray(iv).reshape(-1, 1), (self.U, 1))
+        iv = iv - self._block_base(buf)
+        dtype = _elem_dtype(jnp, buf.ty)
+        v = self.broadcast_to_canon(val_ev, True, 1, dtype)  # (U, 1)
+        m = None if ignore_mask else self.current_mask()
+        if mask_ev is not None:
+            mk = self.materialize(mask_ev)
+            m = mk if m is None else m & mk
+        col = self.jax.lax.broadcasted_iota(jnp.int32, (self.U, blk_lines), 1)
+        onehot = col == iv
+        if m is not None:
+            mm = m if getattr(m, "ndim", 0) > 0 else jnp.full((self.U, 1), m)
+            onehot = onehot & mm
+        data = ref[...]
+        acc_dt = jnp.float32 if dtype != jnp.int32 else jnp.int32
+        scattered = jnp.sum(jnp.where(onehot, v, 0).astype(acc_dt), axis=0)
+        written = jnp.any(onehot, axis=0)
+        ref[...] = jnp.where(written, scattered.astype(data.dtype), data)
 
     def _per_unit_access(self, buf, idx, val_ev, mask_ev, load: bool):
         """Per-unit local Array: scratch shape (U, len*L); uniform index only."""
@@ -1159,7 +1188,10 @@ class Evaluator:
             return x
         L = xm.shape[-1] if xm.ndim > 1 else 1
         g = xm.reshape(self.U // P, P, L)
-        y = g[:, jnp.asarray(perm), :].reshape(self.U, L)
+        # static permutation via per-lane slices (an index-array constant
+        # cannot be captured inside a pallas kernel)
+        y = jnp.concatenate([g[:, p:p + 1, :] for p in perm],
+                            axis=1).reshape(self.U, L)
         return EV(arr=y, varying=True, line=x.line)
 
     # ----------------------------------------------------------------- mma

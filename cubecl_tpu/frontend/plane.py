@@ -49,21 +49,29 @@ def plane_ballot(x: CubeVal) -> CubeVal:
     return emit(O.PLANE_BALLOT, x, out_ty=Type(u32))
 
 
+def _lane_arg(lane):
+    """Lane/offset operands are index-typed (not the data type)."""
+    from ..ir.types import Type, index_ty
+    from .element import as_value
+
+    return as_value(lane, Type(index_ty))
+
+
 def plane_broadcast(x: CubeVal, lane) -> CubeVal:
-    return emit(O.PLANE_BROADCAST, x, lane, out_ty=x.ty)
+    return emit(O.PLANE_BROADCAST, x, _lane_arg(lane), out_ty=x.ty)
 
 
 def plane_shuffle(x: CubeVal, src) -> CubeVal:
-    return emit(O.PLANE_SHUFFLE, x, src, out_ty=x.ty)
+    return emit(O.PLANE_SHUFFLE, x, _lane_arg(src), out_ty=x.ty)
 
 
 def plane_shuffle_xor(x: CubeVal, mask) -> CubeVal:
-    return emit(O.PLANE_SHUFFLE_XOR, x, mask, out_ty=x.ty)
+    return emit(O.PLANE_SHUFFLE_XOR, x, _lane_arg(mask), out_ty=x.ty)
 
 
 def plane_shuffle_up(x: CubeVal, n) -> CubeVal:
-    return emit(O.PLANE_SHUFFLE_UP, x, n, out_ty=x.ty)
+    return emit(O.PLANE_SHUFFLE_UP, x, _lane_arg(n), out_ty=x.ty)
 
 
 def plane_shuffle_down(x: CubeVal, n) -> CubeVal:
-    return emit(O.PLANE_SHUFFLE_DOWN, x, n, out_ty=x.ty)
+    return emit(O.PLANE_SHUFFLE_DOWN, x, _lane_arg(n), out_ty=x.ty)

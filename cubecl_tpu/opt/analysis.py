@@ -381,6 +381,22 @@ def plan_buffers(scope: Scope, ua: UniformityAnalysis,
                 accesses.setdefault(buf.vid, []).append(
                     Access(inst, None, oc == O.MMA_STORE, buf.ty.line,
                            conditional=depth > 0))
+            elif oc.startswith("atomic."):
+                buf = inst.op.args[0]
+                if buf.kind != VarKind.BUFFER:
+                    continue
+                # atomics read-modify-write: conservatively both directions
+                accesses.setdefault(buf.vid, []).extend([
+                    Access(inst, None, False, buf.ty.line, conditional=True),
+                    Access(inst, None, True, buf.ty.line, conditional=True),
+                ])
+            elif oc == O.MEMCPY_ASYNC:
+                for j, direction in ((1, True), (2, False)):
+                    buf = inst.op.args[j]
+                    if buf.kind == VarKind.BUFFER:
+                        accesses.setdefault(buf.vid, []).append(
+                            Access(inst, None, direction, buf.ty.line,
+                                   conditional=True))
 
     has_return = any(inst.op.opcode in (O.RETURN, O.TERMINATE)
                      for _s, inst in walk(scope))
