@@ -1,0 +1,238 @@
+"""Frontend semantics tests: AST transform, comptime/runtime dispatch,
+merge protocol, error messages (the reference's macro expansion snapshot
+tests, cubecl-macros/tests)."""
+
+import numpy as np
+import pytest
+
+from cubecl_tpu import CubeCount, CubeDim, cube
+from cubecl_tpu.frontend import (
+    ArrayArg,
+    MutSlice,
+    Slice,
+    UNIT_POS,
+    cast,
+    cube_range,
+)
+from cubecl_tpu.ir.types import f32
+
+
+def run(client, kernel, arrays, comptimes=(), cd=8):
+    handles = [client.create(a) for a, _m in arrays]
+    args = [ArrayArg(h, mutable=m) for (a, m), h in zip(arrays, handles)]
+    kernel.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(cd),
+                            *args, *comptimes)
+    return [client.read_one(h) for h in handles]
+
+
+# ----------------------------------------------------- comptime execution
+
+
+def test_comptime_side_effects_once_per_trace(client):
+    calls = []
+
+    @cube
+    def k(out: MutSlice):
+        calls.append(1)  # comptime side effect
+        out[UNIT_POS] = 1.0
+
+    run(client, k, [(np.zeros(8, np.float32), True)])
+    n_first = len(calls)
+    assert n_first >= 1
+    run(client, k, [(np.zeros(8, np.float32), True)])
+    assert len(calls) == n_first, "second launch must hit the kernel cache"
+
+
+def test_comptime_listcomp_and_helpers(client):
+    @cube
+    def k(out: MutSlice, weights: tuple):
+        total = sum(w * w for w in weights)  # pure python at trace time
+        out[UNIT_POS] = total * 1.0
+
+    res = run(client, k, [(np.zeros(8, np.float32), True)],
+              comptimes=((1.0, 2.0, 3.0),))
+    np.testing.assert_allclose(res[0], 14.0)
+
+
+def test_nested_cube_call_with_return(client):
+    @cube
+    def helper(x):
+        if True:  # comptime branch containing a return
+            return x * 3.0
+        return x
+
+    @cube
+    def k(inp: Slice, out: MutSlice):
+        out[UNIT_POS] = helper(inp[UNIT_POS])
+
+    x = np.random.rand(8).astype(np.float32)
+    res = run(client, k, [(x, False), (np.zeros(8, np.float32), True)])
+    np.testing.assert_allclose(res[1], x * 3, rtol=1e-6)
+
+
+# -------------------------------------------------------- merge protocol
+
+
+def test_nested_branch_merge(client):
+    @cube
+    def k(inp: Slice, out: MutSlice):
+        x = inp[UNIT_POS]
+        r = 0.0
+        if x > 0.25:
+            if x > 0.75:
+                r = 3.0
+            else:
+                r = 2.0
+        else:
+            r = 1.0
+        out[UNIT_POS] = r
+
+    x = np.array([0.1, 0.5, 0.9, 0.3, 0.8, 0.2, 0.6, 0.95], np.float32)
+    res = run(client, k, [(x, False), (np.zeros(8, np.float32), True)])
+    exp = np.where(x > 0.75, 3.0, np.where(x > 0.25, 2.0, 1.0))
+    np.testing.assert_array_equal(res[1], exp)
+
+
+def test_loop_in_branch(client):
+    @cube
+    def k(inp: Slice, out: MutSlice):
+        x = inp[UNIT_POS]
+        acc = 0.0
+        if x > 0.5:
+            for i in cube_range(0, 4):
+                acc = acc + 1.0
+        out[UNIT_POS] = acc
+
+    x = np.array([0.1, 0.9, 0.6, 0.2, 0.8, 0.3, 0.7, 0.4], np.float32)
+    res = run(client, k, [(x, False), (np.zeros(8, np.float32), True)])
+    np.testing.assert_array_equal(res[1], np.where(x > 0.5, 4.0, 0.0))
+
+
+def test_branch_in_loop_carry(client):
+    @cube
+    def k(inp: Slice, out: MutSlice):
+        acc = 0.0
+        for i in cube_range(0, 8):
+            v = inp[i]
+            if v > 0.5:
+                acc = acc + v
+        out[UNIT_POS] = acc
+
+    x = np.random.rand(8).astype(np.float32)
+    res = run(client, k, [(x, False), (np.zeros(8, np.float32), True)])
+    np.testing.assert_allclose(res[1], x[x > 0.5].sum(), rtol=1e-5)
+
+
+def test_comptime_number_promoted_in_branch(client):
+    @cube
+    def k(inp: Slice, out: MutSlice):
+        x = inp[UNIT_POS]
+        factor = 1.0            # comptime
+        if x > 0.5:
+            factor = 10.0       # diverges on a runtime branch -> select
+        out[UNIT_POS] = x * factor
+
+    x = np.array([0.1, 0.9, 0.6, 0.2, 0.8, 0.3, 0.7, 0.4], np.float32)
+    res = run(client, k, [(x, False), (np.zeros(8, np.float32), True)])
+    np.testing.assert_allclose(res[1], np.where(x > 0.5, x * 10, x),
+                               rtol=1e-6)
+
+
+def test_tuple_destructuring_comptime(client):
+    @cube
+    def k(out: MutSlice, pairs: tuple):
+        acc = 0.0
+        for a, b in pairs:  # comptime iteration with tuple target
+            acc = acc + a * b
+        out[UNIT_POS] = acc
+
+    res = run(client, k, [(np.zeros(8, np.float32), True)],
+              comptimes=(((1.0, 2.0), (3.0, 4.0)),))
+    np.testing.assert_allclose(res[0], 14.0)
+
+
+# ------------------------------------------------------------ error paths
+
+
+def test_error_calling_cube_outside_trace():
+    @cube
+    def k(x):
+        return x * 2.0
+
+    with pytest.raises(RuntimeError, match="launch"):
+        k(1.0)
+
+
+def test_error_runtime_value_in_comptime(client):
+    from cubecl_tpu.frontend.comptime import comptime
+
+    @cube
+    def k(inp: Slice, out: MutSlice):
+        v = comptime(inp[UNIT_POS])  # traced value into comptime()
+        out[UNIT_POS] = v
+
+    with pytest.raises(Exception, match="comptime"):
+        run(client, k, [(np.zeros(8, np.float32), False),
+                        (np.zeros(8, np.float32), True)])
+
+
+def test_error_bool_of_traced():
+    from cubecl_tpu.frontend.element import CubeVal
+    from cubecl_tpu.ir.value import Value, VarKind
+    from cubecl_tpu.ir.types import Type, f32 as _f32
+
+    v = CubeVal(Value(0, Type(_f32), VarKind.LOCAL))
+    with pytest.raises(TypeError, match="traced"):
+        bool(v)
+
+
+def test_error_return_value_in_runtime_branch(client):
+    @cube
+    def k(inp: Slice, out: MutSlice):
+        x = inp[UNIT_POS]
+        if x > 0.5:
+            return 1.0  # value return from runtime branch: unsupported
+        out[UNIT_POS] = x
+
+    with pytest.raises(Exception, match="return"):
+        run(client, k, [(np.zeros(8, np.float32), False),
+                        (np.zeros(8, np.float32), True)])
+
+
+def test_error_write_to_readonly(client):
+    @cube
+    def k(inp: Slice, out: MutSlice):
+        inp[UNIT_POS] = 1.0  # Slice is read-only
+
+    with pytest.raises(Exception, match="read-only"):
+        run(client, k, [(np.zeros(8, np.float32), False),
+                        (np.zeros(8, np.float32), True)])
+
+
+def test_mixed_dtype_error(client):
+    @cube
+    def k(a: Slice, b: Slice, out: MutSlice):
+        out[UNIT_POS] = a[UNIT_POS] + b[UNIT_POS]
+
+    a = np.zeros(8, np.float32)
+    b = np.zeros(8, np.float16)
+    with pytest.raises(Exception, match="mismatch|type"):
+        run(client, k, [(a, False), (b, False),
+                        (np.zeros(8, np.float32), True)])
+
+
+# ----------------------------------------------------- kernel source dump
+
+
+def test_compiled_source_contains_plan(client):
+    @cube
+    def k(inp: Slice, out: MutSlice):
+        out[UNIT_POS] = inp[UNIT_POS]
+
+    x = np.zeros(8, np.float32)
+    h = client.create(x)
+    o = client.empty((8,), "float32")
+    ck = k.compile_only(client, CubeCount(1), CubeDim.new_1d(8),
+                        ArrayArg(h), ArrayArg(o, mutable=True))
+    assert "buffer inp" in ck.source
+    assert "mode=" in ck.source
