@@ -1,0 +1,198 @@
+"""Flash attention on the MXU (std kernel-library member).
+
+The reference ecosystem keeps attention in its kernel crates (cubek);
+here it is a hand-written Pallas kernel following the TPU flash-attention
+recipe (online softmax with f32 statistics, two-matmul inner loop,
+causal tile skipping):
+
+- grid (batch, heads, q_tiles, kv_tiles); kv innermost ("arbitrary") so
+  the (m, l, acc) scratch stays resident across a Q row's KV sweep
+- scores tile exists only in VMEM; stats ride (block_q, 128) f32 scratch
+- whole KV tiles above the causal diagonal are skipped
+- mask value is -0.7*f32max (not -inf) to avoid exp(-inf - -inf) NaNs
+
+Forward is exposed with a ``jax.custom_vjp``; the backward currently
+recomputes attention with XLA-native ops (correct; Pallas dKV/dQ kernels
+are the planned follow-up).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import numpy as np
+
+DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+MIN_BLOCK = 128  # NUM_LANES — TPU tile constraint
+
+
+def _fwd_call(q, k, v, causal: bool, sm_scale: float,
+              block_q: int, block_k: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    bq = min(block_q, Sq)
+    bk = min(block_k, Skv)
+    assert Sq % bq == 0 and Skv % bk == 0, \
+        f"seq lens ({Sq},{Skv}) must tile by ({bq},{bk})"
+    grid = (B, H, Sq // bq, Skv // bk)
+    n_kv = Skv // bk
+
+    def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc, l_sc, acc_sc):
+        qi = pl.program_id(2)
+        ki = pl.program_id(3)
+
+        @pl.when(ki == 0)
+        def _init():
+            m_sc[...] = jnp.full_like(m_sc, -jnp.inf)
+            l_sc[...] = jnp.zeros_like(l_sc)
+            acc_sc[...] = jnp.zeros_like(acc_sc)
+
+        def _run():
+            qt = q_ref[0, 0].astype(jnp.float32)          # [bq, D]
+            kt = k_ref[0, 0].astype(jnp.float32)          # [bk, D]
+            s = jax.lax.dot_general(
+                qt, kt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [bq, bk]
+            if sm_scale != 1.0:
+                s = s * sm_scale
+            if causal:
+                rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) \
+                    + qi * bq
+                cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) \
+                    + ki * bk
+                s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+
+            m_prev = m_sc[...]                             # [bq, 128]
+            l_prev = l_sc[...]
+            m_curr = jnp.max(s, axis=1, keepdims=True)     # [bq, 1]
+            m_next = jnp.maximum(m_prev, m_curr)           # [bq, 128]
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])                 # [bq, bk]
+            l_corr = alpha * l_prev
+            l_next = l_corr + jnp.sum(p, axis=1, keepdims=True)
+            m_sc[...] = m_next
+            l_sc[...] = l_next
+
+            vt = v_ref[0, 0].astype(jnp.float32)           # [bk, D]
+            acc_sc[...] = acc_sc[...] * alpha[:, :1] + jax.lax.dot(
+                p, vt, preferred_element_type=jnp.float32)
+
+        if causal:
+            # skip KV tiles entirely above the diagonal
+            pl.when(((qi + 1) * bq - 1) >= (ki * bk))(_run)
+        else:
+            _run()
+
+        @pl.when(ki == n_kv - 1)
+        def _done():
+            l = l_sc[...][:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, 0] = (acc_sc[...] * l_inv).astype(o_ref.dtype)
+            lse_ref[0, 0] = (m_sc[...] + jnp.log(
+                jnp.maximum(l_sc[...], 1e-37)))
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+        jax.ShapeDtypeStruct((B, H, Sq, 128), jnp.float32),  # lse residual
+    )
+    flops = 4 * B * H * Sq * Skv * D * (0.5 if causal else 1.0)
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 128), lambda b, h, qi, ki: (b, h, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),   # m
+            pltpu.VMEM((bq, 128), jnp.float32),   # l
+            pltpu.VMEM((bq, D), jnp.float32),     # acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops),
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize
+            + q.size * q.dtype.itemsize,
+            transcendentals=B * H * Sq * Skv),
+        interpret=interpret,
+        name=f"flash_attn_{bq}x{bk}",
+    )(q, k, v)
+
+
+def _reference_attention(q, k, v, causal, sm_scale):
+    import jax
+    import jax.numpy as jnp
+
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * sm_scale
+    if causal:
+        Sq, Skv = q.shape[2], k.shape[2]
+        mask = jnp.tril(jnp.ones((Sq, Skv), bool))
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p,
+                      v.astype(jnp.float32)).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def flash_attention(q, k, v, causal: bool = True,
+                    sm_scale: Optional[float] = None,
+                    block_q: int = 256, block_k: int = 256,
+                    interpret: bool = False):
+    """softmax(q k^T / sqrt(d)) v with flash tiling.
+
+    q/k/v: [batch, heads, seq, head_dim]; head_dim should be a multiple
+    of 128 for full MXU utilization (pads otherwise via XLA).
+    """
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(
+        q.shape[-1])
+    o, _lse = _fwd_call(q, k, v, causal, scale, block_q, block_k, interpret)
+    return o
+
+
+def _fwd(q, k, v, causal, sm_scale, block_q, block_k, interpret):
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(
+        q.shape[-1])
+    o, lse = _fwd_call(q, k, v, causal, scale, block_q, block_k, interpret)
+    return o, (q, k, v)
+
+
+def _bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
+    """Backward by recompute with XLA-native ops (numerically matched;
+    Pallas dKV/dQ kernels are the planned optimization)."""
+    import jax
+
+    q, k, v = res
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(
+        q.shape[-1])
+
+    def f(q, k, v):
+        return _reference_attention(q, k, v, causal, scale)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(do)
+    return dq, dk, dv
+
+
+flash_attention.defvjp(_fwd, _bwd)

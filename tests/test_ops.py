@@ -144,3 +144,44 @@ def test_matmul_pallas_small(client):
     matmul_pallas(client, hA, hB, hO, M, N, K, tm=128, tn=128, tk=128)
     r = client.read_one(hO).reshape(M, N)
     np.testing.assert_allclose(r, A @ B, atol=1e-3, rtol=1e-4)
+
+
+def test_flash_attention_matches_reference(client):
+    import jax.numpy as jnp
+
+    from cubecl_tpu.ops.attention import (
+        _reference_attention,
+        flash_attention,
+    )
+
+    B, H, S, D = 1, 2, 256, 128
+    q = np.random.randn(B, H, S, D).astype(np.float32) * 0.5
+    k = np.random.randn(B, H, S, D).astype(np.float32) * 0.5
+    v = np.random.randn(B, H, S, D).astype(np.float32)
+    for causal in (True, False):
+        o = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                            causal, None, 128, 128, True)
+        ref = _reference_attention(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v), causal,
+                                   1.0 / np.sqrt(D))
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_flash_attention_grad(client):
+    import jax
+    import jax.numpy as jnp
+
+    from cubecl_tpu.ops.attention import flash_attention
+
+    B, H, S, D = 1, 1, 128, 128
+    q = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32) * 0.3)
+    k = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32) * 0.3)
+    v = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32))
+
+    def loss(q, k, v):
+        return flash_attention(q, k, v, True, None, 128, 128, True).sum()
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in (dq, dk, dv):
+        assert np.isfinite(np.asarray(g)).all()
