@@ -34,6 +34,9 @@ class TransformerConfig:
     d_ff: int = 512
     seq: int = 64
     dtype: str = "float32"
+    # route attention through the framework's flash kernel (requires
+    # seq % 128 == 0 and head_dim % 128 == 0; single-device path)
+    use_flash_attention: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -103,12 +106,18 @@ def _attention(x, layer, cfg: TransformerConfig):
     q = (x @ layer["wq"]).reshape(B, S, H, hd).transpose(0, 2, 1, 3)
     k = (x @ layer["wk"]).reshape(B, S, H, hd).transpose(0, 2, 1, 3)
     v = (x @ layer["wv"]).reshape(B, S, H, hd).transpose(0, 2, 1, 3)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) / math.sqrt(hd)
-    mask = jnp.tril(jnp.ones((S, S), bool))
-    scores = jnp.where(mask, scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    if cfg.use_flash_attention and S % 128 == 0 and hd % 128 == 0:
+        from ..ops.attention import flash_attention
+
+        ctx = flash_attention(q, k, v, True)
+    else:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) \
+            / math.sqrt(hd)
+        mask = jnp.tril(jnp.ones((S, S), bool))
+        scores = jnp.where(mask, scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, D)
     return ctx @ layer["wo"]
 
