@@ -88,6 +88,13 @@ class PallasCompiler(Compiler):
                 plan.block_lines = 0
                 plan.grid_coeffs = {}
                 plan.store_covers_all = False
+        for plan in plans.values():
+            if plan.mode == "whole" and plan.max_span:
+                # pad so span accesses never clamp their start (clamping
+                # would shift the value/mask correspondence on tails)
+                rem = plan.param.length % plan.max_span
+                if rem or plan.param.length < plan.max_span:
+                    plan.pad_lines = plan.max_span
 
         # ---------------- assemble specs ----------------------------------
         grid = (cc[2], cc[1], cc[0])  # (cz, cy, cx); x innermost/fastest
@@ -137,8 +144,9 @@ class PallasCompiler(Compiler):
             if needs_output:
                 out_idx = len(out_specs)
                 out_specs.append(block_spec(plan))
-                oshape = (bp.length, bp.ty.line) if bp.ty.line > 1 \
-                    else (bp.length,)
+                padded = bp.length + plan.pad_lines
+                oshape = (padded, bp.ty.line) if bp.ty.line > 1 \
+                    else (padded,)
                 out_shapes.append(jax.ShapeDtypeStruct(
                     oshape, bp.ty.elem.jnp_dtype()))
                 out_buffer_vids.append(bp.value.vid)
@@ -241,6 +249,7 @@ class PallasCompiler(Compiler):
                            if bp.value.vid in mutable_written]
 
         lines_of = {bp.value.vid: bp.ty.line for bp in state.buffers}
+        pads_of = {vid: plans[vid].pad_lines for vid in lines_of}
 
         def fn(buffers, scalars=()):
             flat_in = []
@@ -253,8 +262,12 @@ class PallasCompiler(Compiler):
                     pos = param_order.index(vid)
                     arr = buffers[pos]
                     L = lines_of[vid]
-                    flat_in.append(arr.reshape(-1, L) if L > 1
-                                   else arr.reshape(-1))
+                    arr = arr.reshape(-1, L) if L > 1 else arr.reshape(-1)
+                    pad = pads_of[vid]
+                    if pad:
+                        widths = ((0, pad), (0, 0)) if L > 1 else ((0, pad),)
+                        arr = jnp.pad(arr, widths)
+                    flat_in.append(arr)
             res = call(*flat_in)
             if n_out == 1:
                 res = (res,)
@@ -262,7 +275,11 @@ class PallasCompiler(Compiler):
             for idx in mutable_indices:
                 vid = param_order[idx]
                 k = out_buffer_vids.index(vid)
-                outs.append(res[k].reshape(buffers[idx].shape))
+                r = res[k]
+                pad = pads_of[vid]
+                if pad:
+                    r = r[:-pad] if r.ndim == 1 else r[:-pad, :]
+                outs.append(r.reshape(buffers[idx].shape))
             return tuple(outs)
 
         src = _dump_source(defn, plans, ua)

@@ -315,7 +315,8 @@ class Evaluator:
     # ----------------------------------------------------------- buffer IO
 
     def _buffer_geometry(self, buf: Value):
-        """(ref, line, length_lines, blocked)."""
+        """(ref, line, length_lines, blocked). Whole-mode lengths include
+        tail padding (plan.pad_lines)."""
         if buf.kind == VarKind.SHARED:
             return self.refs[buf.vid], buf.ty.line, buf.shape[0], False
         plan = self.plans[buf.vid]
@@ -323,7 +324,7 @@ class Evaluator:
         line = plan.param.ty.line
         if plan.mode == "blocked":
             return ref, line, plan.block_lines, True
-        return ref, line, plan.param.length, False
+        return ref, line, plan.param.length + plan.pad_lines, False
 
     def _block_base(self, buf: Value):
         """Absolute line index of the resident block's first line."""
@@ -401,10 +402,22 @@ class Evaluator:
                 val = ref[pl.ds(row, 1)][0]
             return EV(arr=val, varying=False, line=L)
         if c < 0:
-            _kernel_fail("negative unit stride in buffer index")
-        span = c * U  # lines (rows) loaded from rel
+            # reversed access (e.g. buf[N-1-UNIT_POS]): load the ascending
+            # span from the lowest index and flip the unit axis
+            lo = rel + c * (U - 1)
+            val = self._load_span(ref, lo, -c, L, blk_lines,
+                                  mask_ev is not None)
+            return EV(arr=self.jnp.flip(val, axis=0), varying=True, line=L)
+        val = self._load_span(ref, rel, c, L, blk_lines, mask_ev is not None)
+        return EV(arr=val, varying=True, line=L)
+
+    def _load_span(self, ref, rel, c, L, blk_lines, masked):
+        """(U, L) array of lines rel + c*u for u in [0, U)."""
+        jnp, pl = self.jnp, self.pl
+        U = self.U
+        span = c * U
         span_eff = span
-        if mask_ev is not None:
+        if masked:
             # a masked load may cover a buffer shorter than one full span
             # (e.g. tree-reduction tails): load what exists, pad the rest —
             # padded lanes are mask-selected away
@@ -420,15 +433,12 @@ class Evaluator:
             if span_eff < span:
                 chunk = jnp.concatenate(
                     [chunk, jnp.zeros((span - span_eff, L), chunk.dtype)])
-            val = chunk if c == 1 else chunk.reshape(U, c, L)[:, 0, :]
-        else:
-            chunk = ref[pl.ds(row, span_eff)]          # (span_eff,)
-            if span_eff < span:
-                chunk = jnp.concatenate(
-                    [chunk, jnp.zeros((span - span_eff,), chunk.dtype)])
-            val = chunk.reshape(U, 1) if c == 1 else \
-                chunk.reshape(U, c)[:, :1]
-        return EV(arr=val, varying=True, line=L)
+            return chunk if c == 1 else chunk.reshape(U, c, L)[:, 0, :]
+        chunk = ref[pl.ds(row, span_eff)]              # (span_eff,)
+        if span_eff < span:
+            chunk = jnp.concatenate(
+                [chunk, jnp.zeros((span - span_eff,), chunk.dtype)])
+        return chunk.reshape(U, 1) if c == 1 else chunk.reshape(U, c)[:, :1]
 
     def store_buffer(self, buf: Value, idx: Value, val_ev: EV,
                      mask_ev: Optional[EV], ignore_mask: bool = False,

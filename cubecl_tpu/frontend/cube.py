@@ -92,6 +92,7 @@ class CubeFunction:
         self.fn = fn
         self.options = options
         self._impl: Optional[Callable] = None
+        self._plans: dict = {}
         self._sig = inspect.signature(fn)
         src = inspect.getsource(fn) if _has_source(fn) else fn.__qualname__
         self._code_hash = hashlib.sha256(src.encode()).hexdigest()[:12]
@@ -135,6 +136,26 @@ class CubeFunction:
                 checked: bool):
         cc = _as_count(cube_count)
         cd = _as_dim(cube_dim)
+
+        # launch-plan memo: identical (shapes, dtypes, comptimes, config)
+        # launches skip classification + kernel-id hashing — the hot-loop
+        # fast path (the reference macro generates this statically)
+        key = None
+        if not kwargs:
+            try:
+                key = (cc, cd, checked, tuple(_arg_desc(a) for a in args))
+            except TypeError:
+                pass
+        if key is not None:
+            plan = self._plans.get(key)
+            if plan is not None:
+                task, buf_paths, scalar_paths = plan
+                buffers = [_extract_handle(_resolve_path(args, p))
+                           for p in buf_paths]
+                scalars = [_resolve_path(args, p).value for p in scalar_paths]
+                client.launch(task, buffers, scalars)
+                return buffers
+
         bound = self._sig.bind(*args, **kwargs)
         bound.apply_defaults()
         params = self._classify(bound)
@@ -146,6 +167,11 @@ class CubeFunction:
         buffers = [b["handle"] for p in params for b in _flat_buffers(p)]
         scalars = [p["value"] for p in params if p["kind"] == "scalar"]
         client.launch(task, buffers, scalars)
+
+        if key is not None:
+            paths = _index_paths(args)
+            if paths is not None:
+                self._plans[key] = (task, paths[0], paths[1])
         return buffers
 
     def compile_only(self, client, cube_count, cube_dim, *args,
@@ -310,6 +336,66 @@ def _flat_buffers(p: dict):
         yield p
     elif p["kind"] == "seq":
         yield from p["items"]
+
+
+# ----------------------------------------------------- launch-plan memo
+
+
+def _arg_desc(a):
+    """Hashable structural descriptor of a launch argument (raises
+    TypeError for unhashable comptime values → no memo)."""
+    if isinstance(a, ArrayArg):
+        arr = _arr_of(a.handle)
+        return ("b", tuple(arr.shape), str(arr.dtype), a.line_size,
+                a.mutable, a.length)
+    if isinstance(a, TensorArg):
+        arr = _arr_of(a.handle)
+        return ("t", tuple(arr.shape), str(arr.dtype), a.shape, a.strides,
+                a.line_size, a.mutable)
+    if isinstance(a, Handle):
+        return ("h", a.shape, str(a.dtype))
+    if isinstance(a, ScalarArg):
+        return ("s", a.elem.name if a.elem else type(a.value).__name__)
+    if isinstance(a, Sequence):
+        return ("seq",) + tuple(_arg_desc(x) for x in a)
+    if isinstance(a, CubeFunction):
+        return ("fn", a.fn.__qualname__, a._code_hash)
+    if _is_device_array(a):
+        return ("a", tuple(a.shape), str(a.dtype))
+    hash(a)
+    return ("k", a)
+
+
+def _is_buffer_arg(a) -> bool:
+    return isinstance(a, (ArrayArg, TensorArg, Handle)) or _is_device_array(a)
+
+
+def _index_paths(args):
+    """(buffer_paths, scalar_paths) in classification order, or None."""
+    buf, sca = [], []
+    for i, a in enumerate(args):
+        if isinstance(a, Sequence):
+            if not all(_is_buffer_arg(x) for x in a):
+                return None
+            buf.extend((i, j) for j in range(len(a)))
+        elif _is_buffer_arg(a):
+            buf.append((i,))
+        elif isinstance(a, ScalarArg):
+            sca.append((i,))
+    return buf, sca
+
+
+def _resolve_path(args, p):
+    a = args[p[0]]
+    return a[p[1]] if len(p) > 1 else a
+
+
+def _extract_handle(a) -> Handle:
+    if isinstance(a, (ArrayArg, TensorArg)):
+        return _as_handle(a.handle)
+    if isinstance(a, Handle):
+        return a
+    return Handle(a)
 
 
 def _pick_plane(num_units: int) -> int:

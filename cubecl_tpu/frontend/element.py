@@ -274,10 +274,19 @@ class CubeVal:
         """Extract one lane of a line (Vector indexing, vector/ops.rs)."""
         if self.ty.line == 1:
             raise TypeError("cannot index a scalar cube value")
-        return emit(O.VEC_EXTRACT, self, i, out_ty=Type(self.ty.elem, 1))
+        bld = active_builder()
+        out = bld.scope.create_local(Type(self.ty.elem, 1))
+        bld.scope.register(out, Operation(
+            O.VEC_EXTRACT, (self.value, as_value(i, Type(index_ty)))))
+        return CubeVal(out)
 
     def with_lane(self, i, v) -> "CubeVal":
-        return emit(O.VEC_INSERT, self, i, v, out_ty=self.ty)
+        bld = active_builder()
+        out = bld.scope.create_local(self.ty)
+        bld.scope.register(out, Operation(
+            O.VEC_INSERT, (self.value, as_value(i, Type(index_ty)),
+                           as_value(v, Type(self.ty.elem, 1)))))
+        return CubeVal(out)
 
     def __repr__(self) -> str:
         return f"CubeVal({self.value!r})"

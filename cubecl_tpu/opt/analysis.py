@@ -191,6 +191,10 @@ class BufferPlan:
     has_load: bool = False
     has_store: bool = False
     store_covers_all: bool = False
+    # whole-mode tail padding (lines): guarantees span loads/stores never
+    # need a start clamp (which would shift the value/mask correspondence)
+    pad_lines: int = 0
+    max_span: int = 0                      # max unit-span (c*U) of accesses
 
 
 def analyze_affine(scope: Scope, ua: UniformityAnalysis,
@@ -409,6 +413,13 @@ def plan_buffers(scope: Scope, ua: UniformityAnalysis,
         plan = BufferPlan(bp)
         plan.has_load = any(not a.is_store for a in accs)
         plan.has_store = any(a.is_store for a in accs)
+        for a in accs:
+            if a.affine is not None:
+                cu = flat_unit_coeff(a.affine.coeffs, cube_dim)
+                if cu:
+                    plan.max_span = max(plan.max_span, abs(cu) * U)
+            else:
+                plan.max_span = max(plan.max_span, U)
         plans[bp.value.vid] = plan
         if not accs:
             continue
