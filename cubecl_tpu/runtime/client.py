@@ -125,6 +125,52 @@ class ComputeClient:
         end = time.perf_counter()
         return ProfileDuration(seconds=end - start, method="system")
 
+    # ----------------------------------------------------------- parity API
+
+    def io_optimized_vector_sizes(self, n_elems: int,
+                                  dtype_size: int = 4):
+        """Profitable line sizes for IO-bound kernels (reference
+        client.io_optimized_vector_sizes, client.rs:1322) — lane-width
+        aware on TPU."""
+        from ..frontend.launch_util import io_optimized_line_sizes
+
+        return io_optimized_line_sizes(n_elems, dtype_size)
+
+    def measure_throughput(self, mode: str = "memory") -> float:
+        """Measured device peak for a ThroughputMode (reference
+        client.measure_throughput, client.rs:1343); cached persistently."""
+        from ..std.throughput import ThroughputCache
+
+        return ThroughputCache(self).get(mode)
+
+    def set_stream(self, index) -> None:
+        """Pin subsequent work to a logical stream (reference
+        client.set_stream; runtime_tests/stream.rs). Dispatch-order only on
+        TPU — data dependencies are tracked by the arrays themselves."""
+        pool = getattr(self, "_stream_pool", None)
+        if pool is None:
+            from .stream import SchedulerMultiStream, StreamPool
+
+            pool = StreamPool(SchedulerMultiStream())
+            self._stream_pool = pool
+        pool.set_stream(index)
+
+    def current_stream(self) -> int:
+        pool = getattr(self, "_stream_pool", None)
+        return pool.current() if pool else 0
+
+    def read_tensor(self, handle: Handle, shape, strides=None):
+        """Shape/stride-typed read (reference CopyDescriptor,
+        server/base.rs:1017): returns a host array viewing the buffer with
+        the given geometry."""
+        import numpy as np
+
+        flat = self.read_one(handle).reshape(-1)
+        if strides is None:
+            return flat[:int(np.prod(shape))].reshape(shape)
+        return np.lib.stride_tricks.as_strided(
+            flat, shape, [s * flat.itemsize for s in strides]).copy()
+
     # ------------------------------------------------------- cross-device
 
     def to_client(self, handle: Handle, other: "ComputeClient") -> Handle:

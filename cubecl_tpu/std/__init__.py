@@ -31,3 +31,13 @@ from .misc import (
 )
 from .throughput import ThroughputCache
 from .view import View, ViewMut, VirtualTensor
+from .zspace import (
+    broadcast_shapes,
+    contiguous_strides,
+    delinearize,
+    is_contiguous,
+    linear_index,
+    num_elements,
+    permuted_strides,
+    validate_strides,
+)

@@ -97,3 +97,38 @@ def test_into_contiguous_transpose(client):
     out = into_contiguous(client, t)
     r = client.read_one(out.handle).reshape(8, 4)
     np.testing.assert_array_equal(r, x.T)
+
+
+def test_zspace_utils():
+    from cubecl_tpu.std import (
+        broadcast_shapes,
+        contiguous_strides,
+        delinearize,
+        is_contiguous,
+        linear_index,
+        validate_strides,
+    )
+
+    assert contiguous_strides((2, 3, 4)) == (12, 4, 1)
+    assert is_contiguous((2, 3), (3, 1))
+    assert not is_contiguous((2, 3), (1, 2))
+    assert linear_index((1, 2), (3, 1)) == 5
+    assert delinearize(5, (2, 3)) == (1, 2)
+    assert broadcast_shapes((2, 1, 4), (3, 1)) == (2, 3, 4)
+    with pytest.raises(ValueError):
+        broadcast_shapes((2,), (3,))
+    validate_strides((2, 3), (3, 1))
+    with pytest.raises(ValueError):
+        validate_strides((2, 3), (1, 1))
+
+
+def test_client_parity_api(client):
+    assert client.io_optimized_vector_sizes(1 << 16)[0] == 512
+    client.set_stream(1)
+    assert client.current_stream() == 1
+    client.set_stream(None)
+    h = client.create(np.arange(12, dtype=np.float32))
+    t = client.read_tensor(h, (3, 4))
+    np.testing.assert_array_equal(t, np.arange(12).reshape(3, 4))
+    tt = client.read_tensor(h, (4, 3), strides=(1, 4))
+    np.testing.assert_array_equal(tt, np.arange(12).reshape(3, 4).T)
