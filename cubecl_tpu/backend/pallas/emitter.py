@@ -90,11 +90,26 @@ class PallasCompiler(Compiler):
                 plan.store_covers_all = False
         for plan in plans.values():
             if plan.mode == "whole" and plan.max_span:
-                # pad so span accesses never clamp their start (clamping
-                # would shift the value/mask correspondence on tails)
-                rem = plan.param.length % plan.max_span
-                if rem or plan.param.length < plan.max_span:
-                    plan.pad_lines = plan.max_span
+                # pad so (a) span accesses never clamp their start (which
+                # would shift the value/mask correspondence on tails) and
+                # (b) line-1 dynamic windows can load aligned superspans
+                L = plan.param.ty.line
+                if L == 1 and not self.interpret:
+                    sub = {4: 8, 2: 16, 1: 32}.get(
+                        plan.param.ty.elem.size, 8)
+                    A = sub * 128
+                    need = plan.param.length + plan.max_span + 2 * A
+                    padded = -(-need // A) * A
+                    plan.pad_lines = padded - plan.param.length
+                elif L > 1 and not self.interpret:
+                    # rows pad: dynamic 2D row windows (8-aligned + roll)
+                    need = plan.param.length + plan.max_span + 16
+                    padded = -(-need // 8) * 8
+                    plan.pad_lines = padded - plan.param.length
+                else:
+                    rem = plan.param.length % plan.max_span
+                    if rem or plan.param.length < plan.max_span:
+                        plan.pad_lines = plan.max_span
 
         # ---------------- assemble specs ----------------------------------
         grid = (cc[2], cc[1], cc[0])  # (cz, cy, cx); x innermost/fastest
@@ -164,7 +179,13 @@ class PallasCompiler(Compiler):
             elif L > 1:
                 shape = (sd.shape[0], L)
             else:
-                shape = (sd.shape[0],)
+                n = sd.shape[0]
+                if not self.interpret:
+                    # quantum-pad so dynamic 1D windows stay in bounds
+                    sub = {4: 8, 2: 16, 1: 32}.get(sd.ty.elem.size, 8)
+                    A = sub * 128
+                    n = -(-(n + U + 2 * A) // A) * A
+                shape = (n,)
             scratch_shapes.append(pltpu.VMEM(shape, sd.ty.elem.jnp_dtype()))
             scratch_meta.append(sd.value.vid)
 
@@ -214,7 +235,7 @@ class PallasCompiler(Compiler):
                 ref_map[vid] = r
 
             ev = Evaluator(defn, plans, ua, ref_map, scalar_vals,
-                           jnp, lax, pl, jax)
+                           jnp, lax, pl, jax, pltpu, self.interpret)
             if has_return:
                 cell = Cell(None)  # becomes the not-returned mask on RETURN
                 ev._kernel_cell = cell

@@ -77,13 +77,18 @@ def _kernel_fail(msg: str):
 
 
 class Evaluator:
-    def __init__(self, defn, plans, ua, refs, scalar_vals, jnp, lax, pl, jax):
+    def __init__(self, defn, plans, ua, refs, scalar_vals, jnp, lax, pl, jax,
+                 pltpu=None, interpret: bool = False):
         self.defn = defn
         self.plans = plans            # vid -> BufferPlan
         self.ua = ua                  # UniformityAnalysis
         self.refs = refs              # vid -> pallas Ref (buffers + shareds)
         self.scalar_vals = scalar_vals  # vid -> traced scalar
         self.jnp, self.lax, self.pl, self.jax = jnp, lax, pl, jax
+        if pltpu is None:
+            from jax.experimental.pallas import tpu as pltpu
+        self.pltpu = pltpu
+        self.interpret = interpret
         cd = defn.cube_dim
         self.cube_dim = cd
         self.U = cd[0] * cd[1] * cd[2]
@@ -318,7 +323,9 @@ class Evaluator:
         """(ref, line, length_lines, blocked). Whole-mode lengths include
         tail padding (plan.pad_lines)."""
         if buf.kind == VarKind.SHARED:
-            return self.refs[buf.vid], buf.ty.line, buf.shape[0], False
+            ref = self.refs[buf.vid]
+            # scratch may be quantum-padded (emitter); rows from the ref
+            return ref, buf.ty.line, ref.shape[0], False
         plan = self.plans[buf.vid]
         ref = self.refs[buf.vid]
         line = plan.param.ty.line
@@ -411,6 +418,85 @@ class Evaluator:
         val = self._load_span(ref, rel, c, L, blk_lines, mask_ev is not None)
         return EV(arr=val, varying=True, line=L)
 
+    # -- dynamic 1D windows (Mosaic proves no alignment for dynamic 1D
+    #    offsets, so we load an aligned superspan and rotate) --------------
+
+    def _quantum(self, dtype) -> int:
+        """1D alignment quantum: one (sublanes, 128) tile in elements."""
+        sub = {4: 8, 2: 16, 1: 32}.get(self.jnp.dtype(dtype).itemsize, 8)
+        return sub * 128
+
+    def _flat_roll(self, x2d, s, total):
+        """jnp.roll(x.flat, -s) on a (rows, 128) array with traced s≥0."""
+        jnp, pltpu = self.jnp, self.pltpu
+        r = s // 128
+        cc = s % 128
+        a = pltpu.roll(x2d, -r, 0)
+        b = pltpu.roll(x2d, -(r + 1), 0)
+        a = pltpu.roll(a, -cc, 1)
+        b = pltpu.roll(b, -cc, 1)
+        lane = self.jax.lax.broadcasted_iota(jnp.int32, x2d.shape, 1)
+        return jnp.where(lane < 128 - cc, a, b)
+
+    def _dyn_window_1d(self, ref, rel, span, blk_lines):
+        """Flat window ref[rel : rel+span] at a traced offset on a 1D ref.
+        Returns (window[span], writeback) where writeback(new_window)
+        merges it back (RMW). Requires blk_lines ≥ rel + span (whole-mode
+        padding guarantees this)."""
+        jnp, pl = self.jnp, self.pl
+        A = self._quantum(ref.dtype)
+        sup = ((span + A - 1) // A) * A + A
+        assert blk_lines >= sup, (
+            f"dynamic 1D window needs padding: blk={blk_lines} < sup={sup}")
+        rel_i = _as_i32(jnp, rel)
+        rel_al = self._hint((rel_i // A) * A, A)
+        off = rel_i - rel_al
+        chunk = ref[pl.ds(rel_al, sup)]
+        x2d = chunk.reshape(sup // 128, 128)
+        win = self._flat_roll(x2d, off, sup).reshape(sup)[:span]
+
+        def writeback(new_window):
+            flat = jnp.concatenate(
+                [new_window.astype(chunk.dtype),
+                 jnp.zeros((sup - span,), chunk.dtype)])
+            back = self._flat_roll(flat.reshape(sup // 128, 128),
+                                   sup - off, sup).reshape(sup)
+            idx = self.jax.lax.broadcasted_iota(
+                jnp.int32, (sup // 128, 128), 0) * 128 + \
+                self.jax.lax.broadcasted_iota(
+                    jnp.int32, (sup // 128, 128), 1)
+            idx = idx.reshape(sup)
+            sel = (idx >= off) & (idx < off + span)
+            ref[pl.ds(rel_al, sup)] = jnp.where(sel, back, chunk)
+
+        return win, writeback
+
+    def _dyn_rows_2d(self, ref, row, nrows, blk_rows):
+        """ref[row : row+nrows, :] at a traced row offset on a 2D ref:
+        8-aligned row superspan + one sublane roll. Returns (window,
+        writeback)."""
+        jnp, pl, pltpu = self.jnp, self.pl, self.pltpu
+        sup = -(-nrows // 8) * 8 + 8
+        assert blk_rows >= sup, (
+            f"dynamic 2D row window needs padding: rows={blk_rows} < {sup}")
+        row_i = _as_i32(jnp, row)
+        row_al = self._hint((row_i // 8) * 8, 8)
+        off = row_i - row_al
+        chunk = ref[pl.ds(row_al, sup), :]
+        win = pltpu.roll(chunk, -off, 0)[:nrows]
+
+        def writeback(new_window):
+            full = jnp.concatenate(
+                [new_window.astype(chunk.dtype),
+                 jnp.zeros((sup - nrows,) + chunk.shape[1:], chunk.dtype)])
+            back = pltpu.roll(full, off, 0)
+            ridx = self.jax.lax.broadcasted_iota(
+                jnp.int32, (sup, 1), 0)
+            sel = (ridx >= off) & (ridx < off + nrows)
+            ref[pl.ds(row_al, sup), :] = jnp.where(sel, back, chunk)
+
+        return win, writeback
+
     def _load_span(self, ref, rel, c, L, blk_lines, masked):
         """(U, L) array of lines rel + c*u for u in [0, U)."""
         jnp, pl = self.jnp, self.pl
@@ -427,6 +513,14 @@ class Evaluator:
             _kernel_fail(
                 f"unmasked load of {span} lines from a {blk_lines}-line "
                 f"buffer; guard the access or use launch() (checked)")
+        if L == 1 and not isinstance(rel, int) and not self.interpret:
+            # dynamic 1D offset: aligned superspan + rotate
+            win, _wb = self._dyn_window_1d(ref, rel, span_eff, blk_lines)
+            if span_eff < span:
+                win = jnp.concatenate(
+                    [win, jnp.zeros((span - span_eff,), win.dtype)])
+            return win.reshape(U, 1) if c == 1 else \
+                win.reshape(U, c)[:, :1]
         row = self._hint(_as_i32(jnp, rel), U if c == 1 else 1)
         if L > 1:
             chunk = ref[pl.ds(row, span_eff), :]       # (span_eff, L)
@@ -520,6 +614,18 @@ class Evaluator:
             _kernel_fail("negative unit stride in buffer store")
         span = c * U
         v = self.broadcast_to_canon(val_ev, True, L, dtype)  # (U, L)
+        if L == 1 and not isinstance(rel, int) and not self.interpret:
+            # dynamic 1D offset store: aligned superspan RMW + rotate
+            win, wb = self._dyn_window_1d(ref, rel, span, blk_lines)
+            w2 = win.reshape(U, c)
+            new = v.reshape(U, 1).astype(win.dtype)
+            if m is not None:
+                mm = m if getattr(m, "ndim", 0) > 0 else jnp.full((U, 1), m)
+                new = jnp.where(mm.reshape(U, 1), new, w2[:, :1])
+            merged = jnp.concatenate([new, w2[:, 1:]], axis=1) if c > 1 \
+                else new
+            wb(merged.reshape(span))
+            return
         if m is not None:
             rel = self._clip_rel(rel, 0, max(0, blk_lines - span))
         row = self._hint(_as_i32(jnp, rel), U if c == 1 else 1)
@@ -1298,23 +1404,47 @@ class Evaluator:
         tail = -(-cols // L)
         return (rows - 1) * s_rows + tail
 
+    def _mma_window(self, ref, o_row, span, L, blk_rows):
+        """Slab window rows [o_row, o_row+span) with dynamic-offset support.
+        Returns (chunk, writeback|None)."""
+        jnp, pl = self.jnp, self.pl
+        dyn = not isinstance(o_row, int) and not self.interpret
+        if L > 1:
+            if dyn:
+                return self._dyn_rows_2d(ref, o_row, span, blk_rows)
+            row = self._hint(_as_i32(jnp, o_row), 1)
+            chunk = ref[pl.ds(row, span), :]
+
+            def wb(new):
+                ref[pl.ds(row, span), :] = new.astype(chunk.dtype)
+
+            return chunk, wb
+        if dyn:
+            return self._dyn_window_1d(ref, o_row, span, blk_rows)
+        row = self._hint(_as_i32(jnp, o_row), 1)
+        chunk = ref[pl.ds(row, span)]
+
+        def wb1(new):
+            ref[pl.ds(row, span)] = new.astype(chunk.dtype)
+
+        return chunk, wb1
+
     def _mma_slab(self, buf, off, stride, rows, cols, layout):
         jnp, pl = self.jnp, self.pl
         if layout != "row_major":
             slabT = self._mma_slab(buf, off, stride, cols, rows, "row_major")
             return slabT.T
         ref, o_row, s, L = self._mma_geometry(buf, off, stride, rows)
+        _r, _l, blk_rows, _b = self._buffer_geometry(buf)
         s_rows = s // L if L > 1 else s
-        row = self._hint(o_row, 1)
         span = self._slab_span(rows, cols, s_rows, L if L > 1 else 1)
         pad = rows * s_rows - span
+        chunk, _wb = self._mma_window(ref, o_row, span, L, blk_rows)
         if L > 1:
-            chunk = ref[pl.ds(row, span), :]
             if pad:
                 chunk = jnp.concatenate(
                     [chunk, jnp.zeros((pad, L), chunk.dtype)], axis=0)
             return chunk.reshape(rows, s_rows * L)[:, :cols]
-        chunk = ref[pl.ds(row, span)]
         if pad:
             chunk = jnp.concatenate([chunk, jnp.zeros((pad,), chunk.dtype)])
         return chunk.reshape(rows, s)[:, :cols]
@@ -1326,23 +1456,20 @@ class Evaluator:
             m = m.T
             rows, cols = cols, rows
         ref, o_row, s, L = self._mma_geometry(buf, off, stride, rows)
+        _r, _l, blk_rows, _b = self._buffer_geometry(buf)
         s_rows = s // L if L > 1 else s
-        row = self._hint(o_row, 1)
         dtype = ref.dtype
         width = s_rows * L if L > 1 else s
-        if width == cols:
-            out = m.astype(dtype).reshape(rows * s_rows, L) if L > 1 \
-                else m.astype(dtype).reshape(rows * s)
-            if L > 1:
-                ref[pl.ds(row, rows * s_rows), :] = out
-            else:
-                ref[pl.ds(row, rows * s)] = out
-            return
-        # strided store: exact-span RMW (pad rows only exist in registers)
         Lr = L if L > 1 else 1
         span = self._slab_span(rows, cols, s_rows, Lr)
         pad = rows * s_rows - span
-        chunk = ref[pl.ds(row, span), :] if L > 1 else ref[pl.ds(row, span)]
+        chunk, wb = self._mma_window(ref, o_row, span, L, blk_rows)
+        if width == cols:
+            out = m.astype(dtype).reshape(span, L) if L > 1 \
+                else m.astype(dtype).reshape(span)
+            wb(out)
+            return
+        # strided store: exact-span RMW (pad rows only exist in registers)
         if pad:
             z = jnp.zeros((pad, L), chunk.dtype) if L > 1 else \
                 jnp.zeros((pad,), chunk.dtype)
@@ -1354,10 +1481,7 @@ class Evaluator:
         out = full.reshape(rows * s_rows, L) if L > 1 \
             else full.reshape(rows * s_rows)
         out = out[:span] if pad else out
-        if L > 1:
-            ref[pl.ds(row, span), :] = out
-        else:
-            ref[pl.ds(row, span)] = out
+        wb(out)
 
     # -------------------------------------------------------------- atomics
 

@@ -202,7 +202,10 @@ def matmul_cmma(client, a: Handle, b: Handle, out: Handle,
     from ..ir.types import elem_from_dtype
 
     elem = elem_from_dtype(a.dtype)
+    # 128-lines → 2D refs: slab row windows need only sublane alignment
+    line = 128 if (k % 128 == 0 and n % 128 == 0) else 1
     matmul_cmma_kernel.launch_unchecked(
         client, CubeCount(n // tile, m // tile), CubeDim.new_1d(8),
-        ArrayArg(a), ArrayArg(b), ArrayArg(out, mutable=True),
+        ArrayArg(a, line_size=line), ArrayArg(b, line_size=line),
+        ArrayArg(out, line_size=line, mutable=True),
         m, n, k, tile, elem)

@@ -382,8 +382,16 @@ def plan_buffers(scope: Scope, ua: UniformityAnalysis,
                 buf = inst.op.args[1]
                 if buf.kind != VarKind.BUFFER:
                     continue
+                # slab row span for padding: rows*stride when stride const
+                mat = inst.op.args[0]
+                stride_v = inst.op.args[3]
+                L = buf.ty.line
+                span = 1
+                if stride_v.is_const and mat.shape:
+                    rows = max(mat.shape)
+                    span = -(-rows * int(stride_v.const) // max(L, 1))
                 accesses.setdefault(buf.vid, []).append(
-                    Access(inst, None, oc == O.MMA_STORE, buf.ty.line,
+                    Access(inst, None, oc == O.MMA_STORE, L, span=span,
                            conditional=depth > 0))
             elif oc.startswith("atomic."):
                 buf = inst.op.args[0]
@@ -419,7 +427,7 @@ def plan_buffers(scope: Scope, ua: UniformityAnalysis,
                 if cu:
                     plan.max_span = max(plan.max_span, abs(cu) * U)
             else:
-                plan.max_span = max(plan.max_span, U)
+                plan.max_span = max(plan.max_span, U, a.span)
         plans[bp.value.vid] = plan
         if not accs:
             continue

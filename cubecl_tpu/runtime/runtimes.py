@@ -24,10 +24,39 @@ from .logging import ServerLogger
 from .server import JaxServer
 
 
+_XLA_CACHE_SET = False
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Persistent executable store (reference: sqlite PTX cache,
+    compiler.rs:25-50). The XLA compilation cache persists compiled
+    executables under the environment's cache root — cold processes skip
+    XLA compilation (tracing is re-done; jaxprs are cheap)."""
+    global _XLA_CACHE_SET
+    if _XLA_CACHE_SET:
+        return
+    _XLA_CACHE_SET = True
+    import os
+
+    import jax
+
+    from .config import cache_root
+
+    try:
+        path = os.path.join(cache_root(), "xla-cache")
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def _make_client(kind: str, device_index: int) -> ComputeClient:
     import jax
 
     cfg = runtime_config()
+    if cfg.get("compilation", {}).get("cache", True):
+        _enable_persistent_compile_cache()
     multi_threading = cfg.get("streaming", {}).get("multi_threading", False)
 
     def factory() -> DeviceHandle:

@@ -178,6 +178,13 @@ class JaxServer(ComputeServer):
         if pending:
             try:
                 jax.block_until_ready(pending)
+                # some transports (remote PJRT tunnels) return from
+                # block_until_ready before execution completes; a 1-element
+                # readback is the authoritative completion barrier
+                import numpy as _np
+
+                first = pending[0]
+                _np.asarray(first.ravel()[:1])
             except Exception as e:  # noqa: BLE001
                 self.error_queue.append(e)
             self._pending = ()
