@@ -427,14 +427,17 @@ class Evaluator:
         return sub * 128
 
     def _flat_roll(self, x2d, s, total):
-        """jnp.roll(x.flat, -s) on a (rows, 128) array with traced s≥0."""
+        """jnp.roll(x.flat, -s) on a (rows, 128) array with traced s≥0.
+        Only positive dynamic shifts (Mosaic rotate bug on negatives)."""
         jnp, pltpu = self.jnp, self.pltpu
+        rows = x2d.shape[0]
+        s = s % total
         r = s // 128
         cc = s % 128
-        a = pltpu.roll(x2d, -r, 0)
-        b = pltpu.roll(x2d, -(r + 1), 0)
-        a = pltpu.roll(a, -cc, 1)
-        b = pltpu.roll(b, -cc, 1)
+        a = pltpu.roll(x2d, rows - r, 0)
+        b = pltpu.roll(x2d, rows - r - 1, 0)
+        a = pltpu.roll(a, 128 - cc, 1)
+        b = pltpu.roll(b, 128 - cc, 1)
         lane = self.jax.lax.broadcasted_iota(jnp.int32, x2d.shape, 1)
         return jnp.where(lane < 128 - cc, a, b)
 
@@ -483,7 +486,9 @@ class Evaluator:
         row_al = self._hint((row_i // 8) * 8, 8)
         off = row_i - row_al
         chunk = ref[pl.ds(row_al, sup), :]
-        win = pltpu.roll(chunk, -off, 0)[:nrows]
+        # Mosaic's dynamic rotate miscompiles negative shifts — use the
+        # positive complement (roll by sup-off ≡ roll by -off)
+        win = pltpu.roll(chunk, sup - off, 0)[:nrows]
 
         def writeback(new_window):
             full = jnp.concatenate(

@@ -132,3 +132,33 @@ def test_client_parity_api(client):
     np.testing.assert_array_equal(t, np.arange(12).reshape(3, 4))
     tt = client.read_tensor(h, (4, 3), strides=(1, 4))
     np.testing.assert_array_equal(tt, np.arange(12).reshape(3, 4).T)
+
+
+def test_quantize_dequantize_kernels(client):
+    from cubecl_tpu.std.quant import QuantLevel, QuantScheme
+    from cubecl_tpu.std.quant_kernels import dequantize, quantize
+
+    n, block = 8192, 2048
+    x = np.random.randn(n).astype(np.float32) * 3
+    h = client.create(x)
+    scheme = QuantScheme(level=QuantLevel.BLOCK, block_size=block)
+    values, scales = quantize(client, h, scheme)
+    v = client.read_one(values)
+    s = client.read_one(scales)
+    assert v.dtype == np.int8 and s.shape == (n // block,)
+    back = client.read_one(dequantize(client, values, scales, scheme))
+    assert np.abs(back - x).max() < np.abs(x).max() / 40
+
+
+def test_quantize_tensor_level(client):
+    from cubecl_tpu.std.quant import QuantScheme
+    from cubecl_tpu.std.quant_kernels import dequantize, quantize
+
+    n = 8192
+    x = np.random.randn(n).astype(np.float32)
+    h = client.create(x)
+    scheme = QuantScheme()  # tensor-level
+    values, scales = quantize(client, h, scheme)
+    assert client.read_one(scales).shape == (1,)
+    back = client.read_one(dequantize(client, values, scales, scheme))
+    assert np.abs(back - x).max() < np.abs(x).max() / 40
