@@ -1348,7 +1348,12 @@ class Evaluator:
             am, bm = self.env[a.vid].arr, self.env[b.vid].arr
             cm = self.env[c.vid].arr
             acc_dtype = _elem_dtype(jnp, d.ty)
-            prod = jnp.dot(am, bm, preferred_element_type=acc_dtype)
+            # f32 inputs: 3-pass bf16 on the MXU (≈f32 accuracy); the MXU
+            # single-pass default is tf32-class error
+            prec = self.jax.lax.Precision.HIGHEST \
+                if am.dtype == jnp.float32 else None
+            prod = jnp.dot(am, bm, preferred_element_type=acc_dtype,
+                           precision=prec)
             self.env[d.vid] = EV(arr=prod + cm.astype(acc_dtype), varying=False)
             return
         if oc == O.MMA_EXECUTE_SCALED:

@@ -50,13 +50,17 @@ def _build_matmul(m: int, n: int, k: int, tm: int, tn: int, tk: int,
     grid = (m // tm, n // tn, k // tk)
     acc_dt = jnp.dtype(acc_dtype)
 
+    # f32 inputs: 3-pass bf16 (≈f32); bf16/int8 use the native MXU pass
+    prec = jax.lax.Precision.HIGHEST if in_dtype == "float32" else None
+
     def kernel(a_ref, b_ref, o_ref, acc_ref):
         @pl.when(pl.program_id(2) == 0)
         def _init():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
         acc_ref[...] += jnp.dot(a_ref[...], b_ref[...],
-                                preferred_element_type=acc_dt)
+                                preferred_element_type=acc_dt,
+                                precision=prec)
 
         @pl.when(pl.program_id(2) == grid[2] - 1)
         def _done():

@@ -152,6 +152,10 @@ class JaxServer(ComputeServer):
     def launch(self, task: KernelTask, buffers: Sequence[Handle],
                scalars: Sequence[Any] = ()) -> None:
         compiled, jfn = self.compile_kernel(task)
+        from .dry_run import dry_run_enabled
+
+        if dry_run_enabled():
+            return  # LaunchMode::Skip — compiled/caches warmed, no dispatch
         mut = set(compiled.mutable_indices)
         ro = [h.array for i, h in enumerate(buffers) if i not in mut]
         mu = [h.array for i, h in enumerate(buffers) if i in mut]

@@ -59,10 +59,13 @@ class Tuner:
         return t
 
     def _bench_once(self, fn, args, kwargs) -> float:
-        t0 = time.perf_counter()
-        fn(*args, **kwargs)
-        self.client.sync()
-        return time.perf_counter() - t0
+        from ..runtime.dry_run import real_run
+
+        with real_run():  # autotune always executes (reference RealRun)
+            t0 = time.perf_counter()
+            fn(*args, **kwargs)
+            self.client.sync()
+            return time.perf_counter() - t0
 
     def _tune(self, key, *args, **kwargs) -> int:
         inputs = self.tunables.generate_inputs(key, *args, **kwargs)

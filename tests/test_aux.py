@@ -132,3 +132,28 @@ def test_logging_summary(client):
     logger.log_launch("k1", 0.002)
     s = logger.summary()
     assert "k1" in s and s["k1"]["count"] >= 1
+
+
+def test_dry_run_mode(client, monkeypatch):
+    from cubecl_tpu.runtime.config import runtime_config
+    from cubecl_tpu.runtime.dry_run import dry_run_enabled, real_run
+
+    monkeypatch.setenv("CUBECL_COMPILATION_DRY_RUN", "true")
+    runtime_config(reload=True)
+    assert dry_run_enabled()
+    with real_run():
+        assert not dry_run_enabled()
+
+    x = np.ones(8, np.float32)
+    h = client.create(x)
+    o = client.create(np.zeros(8, np.float32))
+    _scale.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                            ArrayArg(h), ArrayArg(o, mutable=True), 5.0)
+    # compiled but not executed
+    np.testing.assert_array_equal(client.read_one(o), np.zeros(8))
+    with real_run():
+        _scale.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                                ArrayArg(h), ArrayArg(o, mutable=True), 5.0)
+    np.testing.assert_array_equal(client.read_one(o), 5 * x)
+    monkeypatch.delenv("CUBECL_COMPILATION_DRY_RUN")
+    runtime_config(reload=True)
