@@ -68,13 +68,44 @@ def _copy_permuted(src: Tensor, dst: MutTensor, rank: int,
         dst[pos] = src[src_lin]
 
 
+def _as_permutation(src: TensorHandle):
+    """If the view is a permuted contiguous layout, return (memory_shape,
+    perm) s.t. transpose(reshape(data, memory_shape), perm) == view."""
+    order = sorted(range(len(src.shape)), key=lambda i: -src.strides[i])
+    mem_shape = tuple(src.shape[i] for i in order)
+    acc = 1
+    for i in reversed(order):
+        if src.strides[i] != acc:
+            return None
+        acc *= src.shape[i]
+    # perm maps memory dims -> view dims: view dim i is memory dim pos(i)
+    inv = [0] * len(order)
+    for mem_pos, view_dim in enumerate(order):
+        inv[view_dim] = mem_pos
+    return mem_shape, tuple(inv)
+
+
 def into_contiguous(client, src: TensorHandle) -> TensorHandle:
-    """Materialize a contiguous copy of a strided/permuted tensor."""
+    """Materialize a contiguous copy of a strided/permuted tensor.
+
+    Fast path: permuted-contiguous views lower to an XLA transpose (the
+    TPU-optimal relayout); general strided views use the gather kernel."""
     if src.is_contiguous():
         return src
     n = 1
     for s in src.shape:
         n *= s
+
+    perm = _as_permutation(src)
+    if perm is not None:
+        import jax.numpy as jnp
+
+        mem_shape, p = perm
+        arr = jnp.asarray(src.handle.array).reshape(mem_shape)
+        out_arr = jnp.transpose(arr, p).reshape(-1)
+        out = client._dev.call(lambda s: s.create(out_arr))
+        return TensorHandle(out, src.shape)
+
     out = client.empty((n,), str(src.handle.dtype))
     cd = 64
     cubes = (n + cd - 1) // cd

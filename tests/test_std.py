@@ -162,3 +162,28 @@ def test_quantize_tensor_level(client):
     assert client.read_one(scales).shape == (1,)
     back = client.read_one(dequantize(client, values, scales, scheme))
     assert np.abs(back - x).max() < np.abs(x).max() / 40
+
+
+def test_into_contiguous_general_strided(client):
+    from cubecl_tpu.std import into_contiguous
+
+    # every-other-column view: NOT a pure permutation -> gather path
+    x = np.arange(64, dtype=np.float32).reshape(8, 8)
+    h = client.create(x.reshape(-1))
+    t = TensorHandle(h, (8, 4), strides=(8, 2))
+    out = into_contiguous(client, t)
+    np.testing.assert_array_equal(
+        client.read_one(out.handle).reshape(8, 4), x[:, ::2])
+
+
+def test_into_contiguous_3d_permute(client):
+    from cubecl_tpu.std import into_contiguous
+
+    x = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    h = client.create(x.reshape(-1))
+    # view as (4, 2, 3) == transpose(2, 0, 1)
+    t = TensorHandle(h, (4, 2, 3), strides=(1, 12, 4))
+    out = into_contiguous(client, t)
+    np.testing.assert_array_equal(
+        client.read_one(out.handle).reshape(4, 2, 3),
+        np.transpose(x, (2, 0, 1)))
