@@ -244,7 +244,18 @@ class PallasCompiler(Compiler):
 
         # ------------------------------------------------ pallas_call ------
         flops, mem_bytes, transc = _cost_estimate(scope, cd, cc, plans)
-        dims = defn.options.dimension_semantics or ("arbitrary",) * 3
+        # a grid dim is parallel when every stored buffer maps distinct
+        # blocks along it (no cross-step carry) — lets Mosaic split cores
+        auto_dims = []
+        store_plans = [p for p in plans.values() if p.has_store]
+        for i, s in enumerate(("cz", "cy", "cx")):
+            size = (cc[2], cc[1], cc[0])[i]
+            par = size == 1 or (
+                bool(store_plans)
+                and all(p.mode == "blocked" and s in p.grid_coeffs
+                        for p in store_plans))
+            auto_dims.append("parallel" if par else "arbitrary")
+        dims = defn.options.dimension_semantics or tuple(auto_dims)
         compiler_params = pltpu.CompilerParams(
             dimension_semantics=dims,
         )
