@@ -119,21 +119,32 @@ def matmul_pallas(client, a: Handle, b: Handle, out: Handle,
     client.launch(task, [a, b, out])
 
 
-def _tile_candidates(m: int, n: int, k: int, in_bytes: int):
+def _tile_candidates(m: int, n: int, k: int, in_bytes: int,
+                     limit: int = 8):
     """Tile shapes: MXU-aligned, VMEM-budgeted (double-buffered A/B blocks
-    + acc must fit in ~16MB)."""
+    + acc must fit in ~16MB). Ranked by a compute-intensity heuristic and
+    capped — compiles are expensive, so the tuner gets a short, good list
+    (the reference's TuneGroup priority idea)."""
+    import math as _m
+
     VMEM = 14 * 1024 * 1024
     out = []
     for tm in (128, 256, 512, 1024):
         for tn in (128, 256, 512, 1024):
             for tk in (128, 256, 512, 1024, 2048):
-                if m % tm or n % tn or k % tk:
+                if m % tm or n % tn or tk > k or k % tk:
                     continue
                 vmem = 2 * (tm * tk + tk * tn) * in_bytes + tm * tn * 4 * 2
                 if vmem > VMEM:
                     continue
-                out.append((tm, tn, tk))
-    return out
+                # prefer big square-ish MN tiles (arithmetic intensity) and
+                # mid K tiles (pipeline depth)
+                score = (min(tm, tn) * 2 + tm + tn
+                         - abs(tm - tn)
+                         - abs(tk - 512) // 4)
+                out.append((score, (tm, tn, tk)))
+    out.sort(reverse=True)
+    return [t for _s, t in out[:limit]]
 
 
 _matmul_tuner = LocalTuner("matmul")
