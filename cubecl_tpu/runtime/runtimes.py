@@ -90,6 +90,13 @@ class TpuRuntime(Runtime):
     def client(cls, device: int = 0) -> ComputeClient:
         return _make_client("tpu", device)
 
+    @classmethod
+    def enumerate_devices(cls):
+        """reference Runtime::enumerate_devices (runtime.rs:14)."""
+        import jax
+
+        return [d for d in jax.devices() if d.platform != "cpu"]
+
 
 class CpuRuntime(Runtime):
     name = "cpu-interpret"
@@ -97,6 +104,12 @@ class CpuRuntime(Runtime):
     @classmethod
     def client(cls, device: int = 0) -> ComputeClient:
         return _make_client("cpu", device)
+
+    @classmethod
+    def enumerate_devices(cls):
+        import jax
+
+        return jax.devices("cpu")
 
 
 def default_client(device: int = 0) -> ComputeClient:

@@ -99,21 +99,28 @@ def k_binary(a: Slice, b: Slice, out: MutSlice, op: str):
         out[UNIT_POS] = x % y
 
 
-@pytest.mark.parametrize("dtype", ["float32", "int32"])
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16", "float16",
+                                   "int32", "int16", "uint32", "uint8"])
 @pytest.mark.parametrize("op", ["add", "sub", "mul", "div", "max", "min",
                                 "mod"])
 def test_binary(client, dtype, op):
-    a = (np.random.rand(8) * 10 + 1).astype(dtype)
+    a = (np.random.rand(8) * 10 + 6).astype(dtype)
     b = (np.random.rand(8) * 5 + 1).astype(dtype)
+    is_float = dtype in ("float32", "bfloat16", "float16")
+    if not is_float and op == "mod":
+        a = np.abs(a) + 1
+        b = np.abs(b) + 1
     res = run1(client, k_binary, [(a, False), (b, False),
                                   (np.zeros(8, dtype), True)],
                comptimes=(op,))
     ref = {
         "add": a + b, "sub": a - b, "mul": a * b,
-        "div": (a / b if dtype == "float32" else a // b),
+        "div": (a / b if is_float else a // b),
         "max": np.maximum(a, b), "min": np.minimum(a, b), "mod": a % b,
     }[op]
-    np.testing.assert_allclose(res[2], ref, rtol=1e-5)
+    rtol = 2e-2 if dtype in ("bfloat16", "float16") else 1e-5
+    np.testing.assert_allclose(np.asarray(res[2], np.float64),
+                               np.asarray(ref, np.float64), rtol=rtol)
 
 
 # ------------------------------------------------------------- unary ops
