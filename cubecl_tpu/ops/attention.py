@@ -175,23 +175,213 @@ def _fwd(q, k, v, causal, sm_scale, block_q, block_k, interpret):
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(
         q.shape[-1])
     o, lse = _fwd_call(q, k, v, causal, scale, block_q, block_k, interpret)
-    return o, (q, k, v)
+    return o, (q, k, v, o, lse)
+
+
+def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret):
+    """dK/dV kernel: grid (B, H, kv, q) with q innermost so the dk/dv
+    accumulators stay resident per KV tile (guide §7: dKV iterates Q
+    per KV tile)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    grid = (B, H, Skv // bk, Sq // bq)
+    n_q = Sq // bq
+
+    def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+               dk_ref, dv_ref, dk_sc, dv_sc):
+        qi = pl.program_id(3)
+        ki = pl.program_id(2)
+
+        @pl.when(qi == 0)
+        def _init():
+            dk_sc[...] = jnp.zeros_like(dk_sc)
+            dv_sc[...] = jnp.zeros_like(dv_sc)
+
+        def _run():
+            qt = q_ref[0, 0].astype(jnp.float32)
+            kt = k_ref[0, 0].astype(jnp.float32)
+            vt = v_ref[0, 0].astype(jnp.float32)
+            dot = do_ref[0, 0].astype(jnp.float32)
+            lse = lse_ref[0, 0][:, :1]
+            dit = di_ref[0, 0][:, :1]
+            s = jax.lax.dot_general(
+                qt, kt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if causal:
+                rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) \
+                    + qi * bq
+                cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) \
+                    + ki * bk
+                s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+            p = jnp.exp(s - lse)                          # [bq, bk]
+            # dV += P^T dO
+            dv_sc[...] += jax.lax.dot_general(
+                p, dot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                dot, vt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [bq, bk]
+            ds = p * (dp - dit) * scale
+            # dK += dS^T Q
+            dk_sc[...] += jax.lax.dot_general(
+                ds, qt, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        if causal:
+            pl.when(((qi + 1) * bq - 1) >= (ki * bk))(_run)
+        else:
+            _run()
+
+        @pl.when(qi == n_q - 1)
+        def _done():
+            dk_ref[0, 0] = dk_sc[...].astype(dk_ref.dtype)
+            dv_ref[0, 0] = dv_sc[...].astype(dv_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, ki, qi: (b, h, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, qi: (b, h, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, qi: (b, h, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, ki, qi: (b, h, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 128), lambda b, h, ki, qi: (b, h, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 128), lambda b, h, ki, qi: (b, h, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, qi: (b, h, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, qi: (b, h, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bk, D), jnp.float32),
+            pltpu.VMEM((bk, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+        name=f"flash_bwd_dkv_{bq}x{bk}",
+    )(q, k, v, do, lse, di)
+
+
+def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret):
+    """dQ kernel: grid (B, H, q, kv) with kv innermost (resident dq acc)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    grid = (B, H, Sq // bq, Skv // bk)
+    n_kv = Skv // bk
+
+    def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_sc):
+        qi = pl.program_id(2)
+        ki = pl.program_id(3)
+
+        @pl.when(ki == 0)
+        def _init():
+            dq_sc[...] = jnp.zeros_like(dq_sc)
+
+        def _run():
+            qt = q_ref[0, 0].astype(jnp.float32)
+            kt = k_ref[0, 0].astype(jnp.float32)
+            vt = v_ref[0, 0].astype(jnp.float32)
+            dot = do_ref[0, 0].astype(jnp.float32)
+            lse = lse_ref[0, 0][:, :1]
+            dit = di_ref[0, 0][:, :1]
+            s = jax.lax.dot_general(
+                qt, kt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if causal:
+                rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) \
+                    + qi * bq
+                cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) \
+                    + ki * bk
+                s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+            p = jnp.exp(s - lse)
+            dp = jax.lax.dot_general(
+                dot, vt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - dit) * scale
+            dq_sc[...] += jax.lax.dot(ds, kt,
+                                      preferred_element_type=jnp.float32)
+
+        if causal:
+            pl.when(((qi + 1) * bq - 1) >= (ki * bk))(_run)
+        else:
+            _run()
+
+        @pl.when(ki == n_kv - 1)
+        def _done():
+            dq_ref[0, 0] = dq_sc[...].astype(dq_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 128), lambda b, h, qi, ki: (b, h, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 128), lambda b, h, qi, ki: (b, h, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, D),
+                               lambda b, h, qi, ki: (b, h, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+        name=f"flash_bwd_dq_{bq}x{bk}",
+    )(q, k, v, do, lse, di)
 
 
 def _bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
-    """Backward by recompute with XLA-native ops (numerically matched;
-    Pallas dKV/dQ kernels are the planned optimization)."""
-    import jax
+    """Flash backward: dKV + dQ Pallas kernels over saved (o, lse)
+    residuals (guide §7 structure)."""
+    import jax.numpy as jnp
 
-    q, k, v = res
+    q, k, v, o, lse = res
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(
         q.shape[-1])
-
-    def f(q, k, v):
-        return _reference_attention(q, k, v, causal, scale)
-
-    _, vjp = jax.vjp(f, q, k, v)
-    dq, dk, dv = vjp(do)
+    bq = min(block_q, q.shape[2])
+    bk = min(block_k, k.shape[2])
+    # D_i = rowsum(dO * O), broadcast to the (bq, 128) stats layout
+    di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                 axis=-1, keepdims=True)
+    di = jnp.broadcast_to(di, di.shape[:-1] + (128,))
+    dk, dv = _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk,
+                           interpret)
+    dq = _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk,
+                      interpret)
     return dq, dk, dv
 
 
