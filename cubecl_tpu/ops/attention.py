@@ -11,9 +11,9 @@ causal tile skipping):
 - whole KV tiles above the causal diagonal are skipped
 - mask value is -0.7*f32max (not -inf) to avoid exp(-inf - -inf) NaNs
 
-Forward is exposed with a ``jax.custom_vjp``; the backward currently
-recomputes attention with XLA-native ops (correct; Pallas dKV/dQ kernels
-are the planned follow-up).
+Forward and backward are both Pallas kernels behind a ``jax.custom_vjp``
+(backward = dKV + dQ kernels over saved (o, lse) residuals, guide-standard
+flash structure).
 """
 
 from __future__ import annotations
