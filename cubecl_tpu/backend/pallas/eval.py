@@ -810,6 +810,23 @@ class Evaluator:
         for inst in scope.instructions:
             self.eval_inst(inst)
 
+    def run_loop_body(self, scope: Scope) -> None:
+        """Run a loop body with a per-iteration alive cell (continue)."""
+        has_continue = any(i.op.opcode == O.CONTINUE
+                           for _s, i in walk(scope))
+        if not has_continue:
+            self.run(scope)
+            return
+        cell = Cell(None)
+        self._iter_cells = getattr(self, "_iter_cells", [])
+        self._iter_cells.append(cell)
+        self.masks.append(cell)
+        try:
+            self.run(scope)
+        finally:
+            self.masks.pop()
+            self._iter_cells.pop()
+
     def writeback_mask(self):
         """Mask for loop-carry writebacks: like current_mask, but the
         innermost loop's alive cell contributes its iteration-START value
@@ -870,7 +887,19 @@ class Evaluator:
             self._eval_break(inst)
             return
         if oc == O.CONTINUE:
-            _kernel_fail("continue inside a traced loop (restructure with if)")
+            cells = getattr(self, "_iter_cells", [])
+            if not cells:
+                _kernel_fail("continue outside a traced loop")
+            cell = cells[-1]
+            inner = self.mask_since(cell)
+            alive = cell.value if cell.value is not None \
+                else self.jnp.asarray(True)
+            if inner is None:
+                cell.value = self.jnp.zeros_like(alive) \
+                    if hasattr(alive, "dtype") else self.jnp.asarray(False)
+            else:
+                cell.value = alive & self.jnp.logical_not(inner)
+            return
         if oc in (O.SYNC_CUBE, O.SYNC_PLANE, O.SYNC_STORAGE, O.COMMENT,
                   O.BARRIER_INIT, O.BARRIER_ARRIVE, O.BARRIER_WAIT):
             return  # lockstep execution: ordering is program order
@@ -1087,7 +1116,7 @@ class Evaluator:
             for k in range(trip):
                 i = start + k * step
                 self.env[var.vid] = EV(arr=i, varying=False, aff=(i, {}))
-                self.run(body)
+                self.run_loop_body(body)
             return
 
         init = tuple(self._carry_get(v) for v in carries)
@@ -1099,7 +1128,7 @@ class Evaluator:
                 self._carry_set(v, c)
             iv = start + i * step
             self.env[var.vid] = EV(arr=iv, varying=False, aff=(iv, {}))
-            self.run(body)
+            self.run_loop_body(body)
             return tuple(self._carry_get(v) for v in carries)
 
         if static:
@@ -1146,7 +1175,7 @@ class Evaluator:
             cell = Cell(self.materialize(ev)) if ev.varying else Cell(None)
             self.masks.append(cell)
             try:
-                self.run(body)
+                self.run_loop_body(body)
             finally:
                 self.masks.pop()
             return tuple(self._carry_get(v) for v in carries)
@@ -1184,7 +1213,7 @@ class Evaluator:
             self._loop_cells.append(cell)
             self.masks.append(cell)
             try:
-                self.run(body)
+                self.run_loop_body(body)
             finally:
                 self.masks.pop()
                 self._loop_cells.pop()

@@ -157,6 +157,36 @@ def _def(name: str, params: List[str], body: List[ast.stmt],
     )
 
 
+def _desugar_loop_exits(stmts: List[ast.stmt]) -> List[ast.stmt]:
+    """Rewrite ``if c: ...; continue`` / ``break`` guards so no statement
+    follows the exit inside the loop body: the remainder moves into the
+    guard's else. This makes loop-carried variable semantics exact under
+    the evaluator's end-of-body carry writeback (assignments before the
+    exit commit; the rest never executes on exited lanes)."""
+    out: List[ast.stmt] = []
+    i = 0
+    while i < len(stmts):
+        s = stmts[i]
+        rest = stmts[i + 1:]
+        if isinstance(s, ast.If) and not s.orelse and s.body and \
+                isinstance(s.body[-1], (ast.Continue, ast.Break)) and rest:
+            exit_stmt = s.body[-1]
+            body = s.body[:-1] + ([exit_stmt]
+                                  if isinstance(exit_stmt, ast.Break) else [])
+            if not body:
+                body = [ast.Pass()]
+            new_if = ast.If(test=s.test, body=body,
+                            orelse=_desugar_loop_exits(list(rest)))
+            out.append(ast.copy_location(new_if, s))
+            return out
+        if isinstance(s, ast.Continue) and not rest:
+            i += 1
+            continue  # trailing continue is a no-op
+        out.append(s)
+        i += 1
+    return out
+
+
 class CubeTransformer(ast.NodeTransformer):
     def __init__(self) -> None:
         self.counter = itertools.count()
@@ -226,7 +256,7 @@ class CubeTransformer(ast.NodeTransformer):
         n = self._n()
         tnames = _target_names(node.target)
         names = sorted(assigned_names(node.body) - tnames)
-        body = self._body(node.body)
+        body = self._body(_desugar_loop_exits(node.body))
         if isinstance(node.target, ast.Name):
             params = [node.target.id]
         else:
@@ -248,7 +278,8 @@ class CubeTransformer(ast.NodeTransformer):
             raise SyntaxError("while/else is not supported in @cube functions")
         n = self._n()
         names = sorted(assigned_names(node.body))
-        body_def = _def(f"__body_{n}", [], self._body(node.body), names)
+        body_def = _def(f"__body_{n}", [],
+                        self._body(_desugar_loop_exits(node.body)), names)
         stmts: List[ast.stmt] = [body_def]
         stmts.extend(self._getset(n, names))
         infinite = isinstance(node.test, ast.Constant) and node.test.value is True

@@ -580,3 +580,46 @@ def test_select(client):
     a = np.random.rand(8).astype(np.float32)
     res = run1(client, k_select, [(a, False), (np.zeros(8, np.float32), True)])
     np.testing.assert_allclose(res[1], np.where(a > 0.5, a * 10, a), rtol=1e-6)
+
+
+@cube
+def k_continue(inp: Slice, out: MutSlice):
+    acc = 0.0
+    for i in cube_range(0, 8):
+        v = inp[i]
+        if v < 0.0:
+            continue
+        acc = acc + v
+    out[UNIT_POS] = acc
+
+
+def test_continue_in_traced_loop(client):
+    x = np.array([1.0, -2.0, 3.0, -4.0, 5.0, 6.0, -7.0, 8.0], np.float32)
+    res = run1(client, k_continue,
+               [(x, False), (np.zeros(8, np.float32), True)])
+    np.testing.assert_allclose(res[1], x[x > 0].sum())
+
+
+@cube
+def k_continue_break(inp: Slice, out: MutSlice, stop: float):
+    acc = 0.0
+    i = 0
+    while True:
+        v = inp[i]
+        i = i + 1
+        if i >= 8:
+            break
+        if v < 0.0:
+            continue
+        acc = acc + v
+    out[UNIT_POS] = acc
+
+
+def test_continue_and_break(client):
+    x = np.array([1.0, -2.0, 3.0, -4.0, 5.0, 6.0, -7.0, 8.0], np.float32)
+    res = run1(client, k_continue_break,
+               [(x, False), (np.zeros(8, np.float32), True)], comptimes=(0.0,))
+    # iterations process i=0..6 (break when i reaches 8 pre-add of v[7]);
+    # wait: v read then i+=1 then break check -> processes v[0..6]
+    expect = sum(v for v in x[:7] if v > 0)
+    np.testing.assert_allclose(res[1], expect)
