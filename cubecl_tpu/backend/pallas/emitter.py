@@ -107,9 +107,10 @@ class PallasCompiler(Compiler):
                     padded = -(-need // 8) * 8
                     plan.pad_lines = padded - plan.param.length
                 else:
-                    rem = plan.param.length % plan.max_span
-                    if rem or plan.param.length < plan.max_span:
-                        plan.pad_lines = plan.max_span
+                    # strided/unaligned spans can start at any line, so the
+                    # tail overshoot is up to a full span regardless of
+                    # divisibility
+                    plan.pad_lines = plan.max_span
 
         # ---------------- assemble specs ----------------------------------
         grid = (cc[2], cc[1], cc[0])  # (cz, cy, cx); x innermost/fastest
@@ -125,6 +126,24 @@ class PallasCompiler(Compiler):
             # line>1 buffers are 2D (lines, L): lanes explicit, rows are
             # sublane-aligned slices; line==1 buffers stay 1D
             L = plan.param.ty.line
+            if plan.mode == "nd":
+                blocks = plan.nd_block + ((L,) if L > 1 else ())
+                coeffs = plan.nd_grid_coeffs
+
+                def index_map(cz, cy, cx, _cs=tuple(coeffs), _L=L):
+                    vals = {"cz": cz, "cy": cy, "cx": cx}
+                    idxs = []
+                    for g in _cs:
+                        r = 0
+                        for s, k in g.items():
+                            r = r + k * vals[s]
+                        idxs.append(r)
+                    if _L > 1:
+                        idxs.append(0)
+                    return tuple(idxs)
+
+                return pl.BlockSpec(blocks, index_map,
+                                    memory_space=pltpu.VMEM)
             if plan.mode == "blocked":
                 coeffs = plan.grid_coeffs
 
@@ -159,9 +178,13 @@ class PallasCompiler(Compiler):
             if needs_output:
                 out_idx = len(out_specs)
                 out_specs.append(block_spec(plan))
-                padded = bp.length + plan.pad_lines
-                oshape = (padded, bp.ty.line) if bp.ty.line > 1 \
-                    else (padded,)
+                if plan.mode == "nd":
+                    oshape = plan.nd_shape + ((bp.ty.line,)
+                                              if bp.ty.line > 1 else ())
+                else:
+                    padded = bp.length + plan.pad_lines
+                    oshape = (padded, bp.ty.line) if bp.ty.line > 1 \
+                        else (padded,)
                 out_shapes.append(jax.ShapeDtypeStruct(
                     oshape, bp.ty.elem.jnp_dtype()))
                 out_buffer_vids.append(bp.value.vid)
@@ -214,12 +237,16 @@ class PallasCompiler(Compiler):
                 if vid in ref_map:
                     plan = plans[vid]
                     in_ref = ref_map[vid]
-                    if plan.mode == "blocked" and plan.grid_coeffs:
+                    nd_used = set()
+                    for g in plan.nd_grid_coeffs:
+                        nd_used |= set(g)
+                    if (plan.mode == "blocked" and plan.grid_coeffs) or \
+                            (plan.mode == "nd" and nd_used):
                         r[...] = in_ref[...]
                     else:
                         # resident across steps: copy only on first visit
                         first = None
-                        used = set(plan.grid_coeffs)
+                        used = set(plan.grid_coeffs) | nd_used
                         for i, s in enumerate(("cz", "cy", "cx")):
                             if s not in used:
                                 c = pl.program_id(i) == 0
@@ -294,6 +321,11 @@ class PallasCompiler(Compiler):
                     pos = param_order.index(vid)
                     arr = buffers[pos]
                     L = lines_of[vid]
+                    plan = plans[vid]
+                    if plan.mode == "nd":
+                        shape = plan.nd_shape + ((L,) if L > 1 else ())
+                        flat_in.append(arr.reshape(shape))
+                        continue
                     arr = arr.reshape(-1, L) if L > 1 else arr.reshape(-1)
                     pad = pads_of[vid]
                     if pad:
@@ -370,9 +402,12 @@ def _dump_source(defn, plans, ua) -> str:
              f"plane={defn.plane_dim}"]
     for bp in defn.state.buffers:
         plan = plans[bp.value.vid]
+        extra = ""
+        if plan.mode == "nd":
+            extra = f" nd_block={plan.nd_block} nd_grid={plan.nd_grid_coeffs}"
         lines.append(
             f"// buffer {bp.name}: {bp.ty!r}[{bp.length}] mode={plan.mode} "
             f"block={plan.block_lines} grid={plan.grid_coeffs} "
-            f"mut={bp.mutable}")
+            f"mut={bp.mutable}{extra}")
     lines.append(repr(defn.scope))
     return "\n".join(lines)

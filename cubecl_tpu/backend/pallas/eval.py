@@ -735,6 +735,130 @@ class Evaluator:
         written = jnp.any(onehot, axis=0)
         ref[...] = jnp.where(written, scattered.astype(data.dtype), data)
 
+    def _nd_access(self, inst: Instruction) -> None:
+        """Load/store one element per (unit, lane) through an ND-blocked
+        BlockSpec: per-dim relative offsets from the planner's affine forms
+        (grid terms cancel against the index_map); the unit axis rides at
+        most one dim."""
+        jnp, pl = self.jnp, self.pl
+        op = inst.op
+        oc = op.opcode
+        buf = op.args[0]
+        plan = self.plans[buf.vid]
+        ref = self.refs[buf.vid]
+        L = plan.param.ty.line
+        affs = op.attrs["nd_affine"]
+        rank = len(affs)
+        blocks = plan.nd_block
+        is_store = oc in (O.STORE, O.STORE_MASKED)
+        mask_ev = None
+        if oc == O.INDEX_MASKED:
+            mask_ev = self.get(op.args[2])
+        elif oc == O.STORE_MASKED:
+            mask_ev = self.get(op.args[3])
+
+        rels = []
+        unit_dim, cu = None, 0
+        for d, aff in enumerate(affs):
+            r = self.static_rel(aff, blocked=True)
+            if r is None:
+                _kernel_fail("nd access lost its affine form at eval")
+            uni, c = r
+            if c:
+                unit_dim, cu = d, c
+            rels.append(uni)
+
+        U = self.U
+        idxers = []
+        for d in range(rank):
+            rel = rels[d]
+            if d == unit_dim:
+                span = cu * U
+                if mask_ev is not None:
+                    rel = self._clip_rel(rel, 0, blocks[d] - span)
+                hint = U if cu == 1 else 1
+                idxers.append(pl.ds(self._hint(_as_i32(jnp, rel), hint),
+                                    span))
+            else:
+                if mask_ev is not None:
+                    rel = self._clip_rel(rel, 0, blocks[d] - 1)
+                idxers.append(pl.ds(_as_i32(jnp, rel), 1))
+        if L > 1:
+            idxers.append(slice(None))
+        idxers = tuple(idxers)
+
+        def to_canon(chunk):
+            # chunk dims: 1 everywhere except unit dim (cu*U) (+ L)
+            if unit_dim is None:
+                return chunk.reshape(L) if L > 1 else chunk.reshape(())
+            flat = chunk.reshape(cu * U, L) if L > 1 else \
+                chunk.reshape(cu * U, 1)
+            return flat if cu == 1 else flat.reshape(U, cu, -1)[:, 0, :]
+
+        if not is_store:
+            val = to_canon(ref[idxers])
+            varying = unit_dim is not None
+            ev = EV(arr=val, varying=varying, line=L)
+            if mask_ev is not None:
+                m = self.materialize(mask_ev)
+                val = self.materialize(ev)
+                ev = EV(arr=jnp.where(m, val, jnp.zeros_like(val)),
+                        varying=varying or mask_ev.varying, line=L)
+            self.set_env(inst.out, ev)
+            return
+
+        # store
+        val_ev = self.get(op.args[2])
+        dtype = _elem_dtype(jnp, buf.ty)
+        cmask = self.current_mask()
+        m = None
+        if mask_ev is not None:
+            m = self.materialize(mask_ev)
+        if cmask is not None:
+            m = cmask if m is None else m & cmask
+        varying_tgt = unit_dim is not None
+        if not varying_tgt and val_ev.varying:
+            # uniform target, varying value: masked-unit select
+            v = self.materialize(val_ev, dtype).reshape(U, -1)
+            if m is not None and getattr(m, "ndim", 0) > 0:
+                mm = m.reshape(U, -1)
+                v = jnp.sum(jnp.where(mm, v, 0), axis=0).astype(dtype)
+                m = jnp.any(mm)
+            else:
+                v = v[0]
+            new = v.reshape(L) if L > 1 else v.reshape(())
+        else:
+            new = self.broadcast_to_canon(val_ev, varying_tgt, L, dtype)
+        chunk_shape = ref[idxers].shape if (m is not None or cu > 1) else None
+        if m is None and (unit_dim is None or cu == 1):
+            ref[idxers] = new.reshape(
+                tuple(1 if d != unit_dim else U for d in range(rank))
+                + ((L,) if L > 1 else ()))
+            return
+        old = to_canon(ref[idxers])
+        if m is not None:
+            mm = m
+            if getattr(mm, "ndim", 0) == 0 and varying_tgt:
+                mm = jnp.full((U, 1), mm)
+            merged = jnp.where(mm, new, old) if varying_tgt else \
+                jnp.where(mm, new, old)
+        else:
+            merged = new
+        # write back through the same window (inverse of to_canon)
+        if unit_dim is None:
+            ref[idxers] = merged.reshape(ref[idxers].shape)
+            return
+        if cu == 1:
+            ref[idxers] = merged.reshape(
+                tuple(1 if d != unit_dim else U for d in range(rank))
+                + ((L,) if L > 1 else ()))
+        else:
+            full = ref[idxers].reshape(U, cu, -1)
+            lane0 = self.jax.lax.broadcasted_iota(jnp.int32, (1, cu, 1), 1)
+            m3 = merged.reshape(U, 1, -1)
+            out3 = jnp.where(lane0 == 0, m3, full)
+            ref[idxers] = out3.reshape(ref[idxers].shape)
+
     def _per_unit_access(self, buf, idx, val_ev, mask_ev, load: bool):
         """Per-unit local Array: scratch shape (U, len*L); uniform index only."""
         jnp, pl = self.jnp, self.pl
@@ -906,11 +1030,17 @@ class Evaluator:
         if oc == O.MEMCPY_ASYNC:
             # barrier-tracked async copy (reference barrier.rs memcpy_async):
             # the barrier wait is program-ordered here, so a synchronous
-            # whole-ref copy implements start+wait semantics
+            # whole-ref copy implements start+wait semantics. Refs may be
+            # tail-padded — copy by logical prefix.
             _bar, dst, src = op.args[0], op.args[1], op.args[2]
             src_ref = self.refs[src.vid]
             dst_ref = self.refs[dst.vid]
-            data = src_ref[...]
+            data = src_ref[...].reshape(-1)
+            n = 1
+            for s in dst_ref.shape:
+                n *= s
+            data = data[:n] if data.shape[0] >= n else jnp.concatenate(
+                [data, jnp.zeros((n - data.shape[0],), data.dtype)])
             dst_ref[...] = data.reshape(dst_ref.shape).astype(dst_ref.dtype)
             return
         if oc == O.PRINT:
@@ -919,6 +1049,12 @@ class Evaluator:
             return
 
         # ---- memory -------------------------------------------------------
+        if oc in (O.INDEX, O.INDEX_MASKED, O.STORE, O.STORE_MASKED) and \
+                "nd_affine" in op.attrs and \
+                op.args[0].kind == VarKind.BUFFER and \
+                self.plans[op.args[0].vid].mode == "nd":
+            self._nd_access(inst)
+            return
         if oc == O.INDEX:
             ev = self.load_buffer(op.args[0], op.args[1], None, out.ty.line,
                                   op.attrs.get("affine"))

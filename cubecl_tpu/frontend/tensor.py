@@ -66,8 +66,41 @@ class Tensor(Slice):
             lin = term if lin is None else lin + term
         return lin if lin is not None else 0
 
+    def _nd_attrs(self, idx):
+        """Per-dimension index values for the ND block planner (innermost
+        index is in lines). Only for full-rank tuple indices on row-major
+        contiguous tensors."""
+        from ..ir.types import Type, index_ty
+        from .element import as_value
+
+        from .element import is_comptime as _ct
+
+        if not isinstance(idx, tuple) or len(idx) != len(self._shape):
+            return None
+        if not (_ct(self._offset) and self._offset == 0):
+            return None  # sub-views fall back to linear indexing
+        # row-major contiguity check (strides in elements)
+        acc = 1
+        for s, st in zip(reversed(self._shape), reversed(self._strides)):
+            if st != acc:
+                return None
+            acc *= s
+        return {
+            "nd": tuple(as_value(i, Type(index_ty)) for i in idx),
+            "nd_shape": self._shape,
+            "nd_line": self._line,
+        }
+
     def __getitem__(self, idx):
-        return super().__getitem__(self._linear(idx))
+        from ..ir import ops as O
+        from .element import active_builder, as_value, emit
+
+        nd = self._nd_attrs(idx)
+        lin = self._linear(idx)
+        if nd is None or isinstance(lin, slice):
+            return super().__getitem__(lin)
+        lin = self._index(lin)
+        return emit(O.INDEX, self.value, lin, out_ty=self.ty, attrs=nd)
 
     def coords_to_linear(self, *idx):
         return self._linear(tuple(idx))
@@ -77,7 +110,19 @@ class MutTensor(Tensor, MutSlice):
     _mutable = True
 
     def __setitem__(self, idx, v):
-        MutSlice.__setitem__(self, self._linear(idx), v)
+        from ..ir import ops as O
+        from ..ir.ops import Operation
+        from .element import active_builder, as_value
+
+        nd = self._nd_attrs(idx)
+        lin = self._linear(idx)
+        if nd is None:
+            MutSlice.__setitem__(self, lin, v)
+            return
+        lin = self._index(lin)
+        b = active_builder()
+        b.scope.register(None, Operation(
+            O.STORE, (self.value, as_value(lin), as_value(v, self.ty)), nd))
 
     def write_masked(self, idx, v, mask):
         MutSlice.write_masked(self, self._linear(idx), v, mask)

@@ -195,6 +195,10 @@ class BufferPlan:
     # need a start clamp (which would shift the value/mask correspondence)
     pad_lines: int = 0
     max_span: int = 0                      # max unit-span (c*U) of accesses
+    # ND ("nd") mode: per-dimension blocking of row-major tensors
+    nd_shape: tuple = ()                   # logical dims (innermost in lines)
+    nd_block: tuple = ()                   # block size per dim
+    nd_grid_coeffs: tuple = ()             # per-dim {grid_sym: block_coeff}
 
 
 def analyze_affine(scope: Scope, ua: UniformityAnalysis,
@@ -346,6 +350,110 @@ def _sym_range(sym: str, cube_dim, loop_ranges) -> Optional[Tuple[int, int]]:
     return None  # dynamic scalar
 
 
+def _try_nd_plan(plan: BufferPlan, accs, get, cube_dim, cube_count,
+                 loop_ranges, U: int) -> bool:
+    """Per-dimension block planning for full-rank tensor accesses on
+    row-major buffers: each dim gets its own (grid coeff, window) and the
+    Pallas BlockSpec becomes multi-dimensional. The unit axis may ride at
+    most one dim per access."""
+    if not accs or not all(
+            "nd" in a.inst.op.attrs and a.affine is not None for a in accs):
+        return False
+    rank = len(accs[0].inst.op.attrs["nd"])
+    if rank < 2 or any(len(a.inst.op.attrs["nd"]) != rank for a in accs):
+        return False
+    shape = accs[0].inst.op.attrs["nd_shape"]
+    L = plan.param.ty.line
+    dims = list(shape[:-1]) + [shape[-1] // max(L, 1)]  # innermost in lines
+
+    grid: Optional[list] = None
+    windows = [0] * rank
+    for a in accs:
+        nds = a.inst.op.attrs["nd"]
+        affs = [get(v) for v in nds]
+        if any(x is None for x in affs):
+            return False
+        a.inst.op.attrs["nd_affine"] = affs
+        unit_dims = 0
+        g_this = []
+        for d, aff in enumerate(affs):
+            g = {s: c for s, c in aff.coeffs.items()
+                 if s in GRID_SYMS and c != 0
+                 and {"cx": cube_count[0], "cy": cube_count[1],
+                      "cz": cube_count[2]}[s] > 1}
+            g_this.append(g)
+            cu = flat_unit_coeff(aff.coeffs, cube_dim)
+            if cu is None or cu < 0:
+                return False
+            if cu:
+                unit_dims += 1
+            lo = hi = aff.const
+            for s, c in aff.coeffs.items():
+                if s in GRID_SYMS:
+                    continue
+                r = _sym_range(s, cube_dim, loop_ranges)
+                if r is None:
+                    return False
+                lo += min(c * r[0], c * r[1])
+                hi += max(c * r[0], c * r[1])
+            if lo < 0:
+                return False
+            if cu > 1:
+                hi = max(hi, lo + cu * U - 1)
+            windows[d] = max(windows[d], hi + 1)
+        if unit_dims > 1:
+            return False
+        if grid is None:
+            grid = g_this
+        elif grid != g_this:
+            return False
+
+    assert grid is not None
+    blocks = []
+    gcoeffs = []
+    for d in range(rank):
+        g = grid[d]
+        w = windows[d]
+        if g:
+            b = min(g.values())
+            if b < w or any(c % b for c in g.values()) or b > dims[d]:
+                return False
+            blocks.append(b)
+            gcoeffs.append({s: c // b for s, c in g.items()})
+        else:
+            blocks.append(dims[d])  # whole extent each step
+            gcoeffs.append({})
+    # Mosaic tiling legality on the trailing two ref dims
+    whole_last = blocks[-1] == dims[-1]
+    if L > 1:
+        if L % 128 != 0 or (blocks[-1] % 8 and not whole_last):
+            return False
+    else:
+        if blocks[-1] % 128 and not whole_last:
+            return False
+        if rank >= 2 and blocks[-2] % 8 and blocks[-2] != dims[-2]:
+            return False
+    if any(dims[d] % blocks[d] for d in range(rank)):
+        return False  # exact tiling only (pallas pads, but keep it simple)
+
+    plan.mode = "nd"
+    plan.nd_shape = tuple(dims)
+    plan.nd_block = tuple(blocks)
+    plan.nd_grid_coeffs = tuple(gcoeffs)
+    sweep = 1
+    for g in gcoeffs:
+        for s in g:
+            sweep *= {"cx": cube_count[0], "cy": cube_count[1],
+                      "cz": cube_count[2]}[s]
+    n_blocks = 1
+    for d in range(rank):
+        n_blocks *= dims[d] // blocks[d]
+    all_uncond = all(not a.conditional for a in accs if a.is_store)
+    plan.store_covers_all = (plan.has_store and sweep >= n_blocks
+                             and all_uncond)
+    return True
+
+
 def plan_buffers(scope: Scope, ua: UniformityAnalysis,
                  cube_dim: Tuple[int, int, int],
                  cube_count: Tuple[int, int, int]) -> Dict[int, BufferPlan]:
@@ -430,6 +538,11 @@ def plan_buffers(scope: Scope, ua: UniformityAnalysis,
                 plan.max_span = max(plan.max_span, U, a.span)
         plans[bp.value.vid] = plan
         if not accs:
+            continue
+
+        # ND mode first: full-rank row-major tensor accesses block per-dim
+        if _try_nd_plan(plan, accs, get, cube_dim, cube_count, loop_ranges,
+                        U):
             continue
 
         # try blocked mode: all accesses affine, identical grid coefficients,

@@ -351,3 +351,56 @@ def test_comptime_enum_dispatch(client, mode):
                comptimes=(mode,))
     expect = {Mode.DOUBLE: a * 2, Mode.SQUARE: a * a, Mode.NEG: -a}[mode]
     np.testing.assert_allclose(res[1], expect, rtol=1e-6)
+
+
+# --------------------------------------------------------- nd blocking
+
+
+@cube
+def k_scale_rows_nd(t: Tensor, out: MutTensor, lcols: int):
+    from cubecl_tpu.frontend import CUBE_POS_X, cube_range
+
+    r = CUBE_POS_X * 8 + UNIT_POS
+    for c in cube_range(0, lcols):
+        out[r, c] = t[r, c] * 2.0
+
+
+def test_nd_blocked_2d(client):
+    R, C, L = 64, 256, 128
+    x = np.random.rand(R, C).astype(np.float32)
+    h = client.create(x.reshape(-1))
+    o = client.empty((R * C,), "float32")
+    ck = k_scale_rows_nd.compile_only(
+        client, CubeCount(R // 8), CubeDim.new_1d(8),
+        TensorArg(h, shape=(R, C), line_size=L),
+        TensorArg(o, shape=(R, C), line_size=L, mutable=True), C // L,
+        checked=False)
+    assert "mode=nd" in ck.source
+    k_scale_rows_nd.launch_unchecked(
+        client, CubeCount(R // 8), CubeDim.new_1d(8),
+        TensorArg(h, shape=(R, C), line_size=L),
+        TensorArg(o, shape=(R, C), line_size=L, mutable=True), C // L)
+    np.testing.assert_allclose(client.read_one(o).reshape(R, C), x * 2)
+
+
+@cube
+def k_2d_grid(t: Tensor, out: MutTensor):
+    from cubecl_tpu.frontend import CUBE_POS_X, CUBE_POS_Y
+
+    r = CUBE_POS_Y * 8 + UNIT_POS
+    c = CUBE_POS_X
+    out[r, c] = t[r, c] + 1.0
+
+
+def test_nd_fallback_whole_strided(client):
+    """2D grid with per-line columns falls back to whole-mode (line-dim
+    block too small) and must stay correct on unaligned strided spans."""
+    R, C, L = 64, 256, 128
+    x = np.random.rand(R, C).astype(np.float32)
+    h = client.create(x.reshape(-1))
+    o = client.empty((R * C,), "float32")
+    k_2d_grid.launch_unchecked(
+        client, CubeCount(C // L, R // 8), CubeDim.new_1d(8),
+        TensorArg(h, shape=(R, C), line_size=L),
+        TensorArg(o, shape=(R, C), line_size=L, mutable=True))
+    np.testing.assert_allclose(client.read_one(o).reshape(R, C), x + 1)
