@@ -96,9 +96,15 @@ def _promote(a: Any, b: Any) -> Type:
     tb = b.value.ty if isinstance(b, CubeVal) else None
     if ta is not None and tb is not None:
         if ta.elem != tb.elem:
-            # allow int-index arithmetic to adopt the other int type
+            # mixed widths promote to the wider type (wide accumulators
+            # over narrow data, the reference's cast-then-accumulate)
             if ta.elem.is_int and tb.elem.is_int:
                 ty = ta if ta.elem.bits >= tb.elem.bits else tb
+            elif ta.elem.is_float and tb.elem.is_float:
+                if ta.elem.bits == tb.elem.bits:  # bf16 vs f16
+                    ty = Type(f32, ta.line)
+                else:
+                    ty = ta if ta.elem.bits > tb.elem.bits else tb
             elif ta.elem.is_float and tb.elem.is_int:
                 ty = ta
             elif tb.elem.is_float and ta.elem.is_int:

@@ -123,12 +123,13 @@ def reduce_sum(client, inp: Handle, line_size: int = 512,
     n_lines = n // line
     assert n_lines % CD == 0, "length must be a multiple of 8 lines"
     cubes, iters = _plan(n_lines, line, target_cubes)
-    partials = client.empty((cubes,), str(inp.dtype))
+    # accumulate wide: f32 partials regardless of input dtype
+    partials = client.empty((cubes,), "float32")
     reduce_sum_partial.launch_unchecked(
         client, CubeCount(cubes), CubeDim.new_1d(CD),
         ArrayArg(inp, line_size=line), ArrayArg(partials, mutable=True),
         iters)
-    out = client.empty((1,), str(inp.dtype))
+    out = client.empty((1,), "float32")
     f_line = 128 if cubes % 128 == 0 else 1
     f_lines = cubes // f_line
     f_iters = -(-f_lines // CD)

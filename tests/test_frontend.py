@@ -209,16 +209,28 @@ def test_error_write_to_readonly(client):
                         (np.zeros(8, np.float32), True)])
 
 
-def test_mixed_dtype_error(client):
+def test_mixed_float_widths_promote(client):
+    """Narrow+wide float ops promote to the wider type (wide-accumulator
+    pattern); bool+float still errors."""
+
     @cube
     def k(a: Slice, b: Slice, out: MutSlice):
         out[UNIT_POS] = a[UNIT_POS] + b[UNIT_POS]
 
-    a = np.zeros(8, np.float32)
-    b = np.zeros(8, np.float16)
+    a = np.full(8, 1.5, np.float32)
+    b = np.full(8, 0.25, np.float16)
+    res = run(client, k, [(a, False), (b, False),
+                          (np.zeros(8, np.float32), True)])
+    np.testing.assert_allclose(res[2], 1.75)
+
+    @cube
+    def kb(a: Slice, b: Slice, out: MutSlice):
+        out[UNIT_POS] = a[UNIT_POS] + b[UNIT_POS]
+
+    bb = np.zeros(8, bool)
     with pytest.raises(Exception, match="mismatch|type"):
-        run(client, k, [(a, False), (b, False),
-                        (np.zeros(8, np.float32), True)])
+        run(client, kb, [(a, False), (bb, False),
+                         (np.zeros(8, np.float32), True)])
 
 
 # ----------------------------------------------------- kernel source dump

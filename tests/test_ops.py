@@ -185,3 +185,13 @@ def test_flash_attention_grad(client):
     dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
     for g in (dq, dk, dv):
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_reduce_sum_bf16(client):
+    import ml_dtypes
+
+    x = np.random.randn(1 << 13).astype(ml_dtypes.bfloat16)
+    h = client.create(x)
+    s = client.read_one(reduce_sum(client, h, line_size=128, target_cubes=8))
+    ref = x.astype(np.float32).sum()
+    np.testing.assert_allclose(s[0], ref, rtol=2e-2)
