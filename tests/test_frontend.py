@@ -248,3 +248,31 @@ def test_compiled_source_contains_plan(client):
                         ArrayArg(h), ArrayArg(o, mutable=True))
     assert "buffer inp" in ck.source
     assert "mode=" in ck.source
+
+
+def test_struct_of_traced_fields(client):
+    """User structs (reference derive CubeType): plain python objects
+    holding traced fields work at trace time; rebind rather than mutate
+    across runtime branches."""
+    import dataclasses
+
+    @dataclasses.dataclass
+    class Pair:
+        lo: object
+        hi: object
+
+    @cube
+    def make_pair(x):
+        from cubecl_tpu.frontend import max_, min_
+
+        return Pair(min_(x, 0.5), max_(x, 0.5))
+
+    @cube
+    def k(inp: Slice, out: MutSlice):
+        p = make_pair(inp[UNIT_POS])
+        out[UNIT_POS] = p.hi - p.lo
+
+    x = np.random.rand(8).astype(np.float32)
+    res = run(client, k, [(x, False), (np.zeros(8, np.float32), True)])
+    np.testing.assert_allclose(
+        res[1], np.maximum(x, 0.5) - np.minimum(x, 0.5), rtol=1e-6)
