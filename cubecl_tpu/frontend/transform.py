@@ -322,9 +322,14 @@ class CubeTransformer(ast.NodeTransformer):
         raise SyntaxError("global statements are not allowed in @cube functions")
 
     def visit_Match(self, node):
-        raise SyntaxError(
-            "match statements are not yet supported in @cube functions; "
-            "use if/elif chains")
+        # comptime match: the subject must be a plain python value (the
+        # reference's const_match); case bodies are transformed normally.
+        # A traced subject fails loudly via CubeVal.__bool__ during pattern
+        # matching.
+        node.subject = self.visit(node.subject)
+        for case in node.cases:
+            case.body = self._body(case.body)
+        return node
 
     # ------------------------------------------------------------- exprs
 

@@ -276,3 +276,25 @@ def test_struct_of_traced_fields(client):
     res = run(client, k, [(x, False), (np.zeros(8, np.float32), True)])
     np.testing.assert_allclose(
         res[1], np.maximum(x, 0.5) - np.minimum(x, 0.5), rtol=1e-6)
+
+
+def test_comptime_match_statement(client):
+    """const_match parity: match over a comptime value selects the traced
+    body at trace time."""
+
+    @cube
+    def k(inp: Slice, out: MutSlice, mode: str):
+        x = inp[UNIT_POS]
+        match mode:
+            case "double":
+                out[UNIT_POS] = x * 2.0
+            case "square":
+                out[UNIT_POS] = x * x
+            case _:
+                out[UNIT_POS] = -x
+
+    x = np.random.rand(8).astype(np.float32)
+    for mode, ref in [("double", x * 2), ("square", x * x), ("neg", -x)]:
+        res = run(client, k, [(x, False), (np.zeros(8, np.float32), True)],
+                  comptimes=(mode,))
+        np.testing.assert_allclose(res[1], ref, rtol=1e-6)

@@ -174,3 +174,29 @@ def test_native_pool_allocator():
     pool.free(p1, o1, 1000)
     p3, o3, _ = pool.alloc(512)
     assert o3 == o1  # reuses the freed slot (best-fit)
+
+
+def test_lazy_error_queue(client):
+    """Lazy per-stream error contract (reference ServerError drained at
+    sync, tests/dummy/server.rs:36-41)."""
+    from cubecl_tpu.runtime.server import ServerError
+
+    def inject(s):
+        s.error_queue.append(RuntimeError("boom"))
+
+    client._dev.call(inject)
+    with pytest.raises(ServerError, match="boom"):
+        client.sync()
+    client.sync()  # queue drained — healthy again
+
+
+def test_autotune_checks_cross_validation(client):
+    from cubecl_tpu.tune import TunableSet, Tuner
+
+    ts = TunableSet("chk", lambda x: "k")
+    ts.with_tunable(lambda x: x * 2, "good")
+    ts.with_tunable(lambda x: x * 3, "bad")  # disagrees
+    tuner = Tuner(ts, client, level="minimal", checks=True)
+    tuner.cache.store = None
+    with pytest.raises(AssertionError, match="disagrees"):
+        tuner.execute(np.ones(8, np.float32))
