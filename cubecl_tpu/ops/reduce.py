@@ -173,6 +173,94 @@ def reduce_mean(client, inp: Handle, **kw) -> Handle:
 
 
 # ---------------------------------------------------------------------------
+# Native (intrinsic-style) single-kernel reduction — the perf path
+# ---------------------------------------------------------------------------
+
+
+def _build_reduce_native(n: int, block_rows: int, dtype: str,
+                         interpret: bool):
+    """One pallas kernel: grid sweeps (block_rows, 128) blocks into a
+    resident f32 accumulator tile; the final step folds it to a scalar."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = n // 128
+    grid = (rows // block_rows,)
+
+    def kernel(x_ref, o_ref, acc_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc_ref[...] += jnp.sum(x_ref[...].astype(jnp.float32), axis=0,
+                                keepdims=True)
+
+        @pl.when(i == grid[0] - 1)
+        def _done():
+            o_ref[...] = acc_ref[...]  # scalar stores to VMEM are illegal
+                                       # on Mosaic: emit the lane row
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((block_rows, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=n, bytes_accessed=n * np.dtype(dtype).itemsize,
+            transcendentals=0),
+        interpret=interpret,
+        name=f"reduce_native_{block_rows}",
+    )
+
+    def fn(buffers, scalars=()):
+        x, o = buffers
+        out = call(x.reshape(rows, 128))
+        return (jnp.sum(out).reshape(o.shape),)  # final 128-lane fold
+
+    from ..backend.compiler import CompiledKernel
+
+    return CompiledKernel(fn=fn, mutable_indices=[1],
+                          source=f"native reduce n={n} rows/block="
+                          f"{block_rows}", name="reduce_native")
+
+
+def reduce_sum_native(client, inp: Handle, block_rows: int = 512) -> Handle:
+    """Speed-of-light path: whole reduction in one kernel (intrinsic-style,
+    like the native matmul)."""
+    from ..runtime.kernel import KernelId, NativeKernelTask
+
+    n = int(np.prod(inp.shape))
+    assert n % 128 == 0, "native reduce needs length % 128 == 0"
+    rows = n // 128
+    q = 8 * (4 // max(1, np.dtype(str(inp.dtype)).itemsize))  # sublane tile
+    br = block_rows
+    while rows % br or br % q:
+        br //= 2
+        if br < q:
+            br = rows
+            break
+    interpret = bool(client._dev.call(
+        lambda s: getattr(s.compiler, "interpret", False)))
+    out = client.empty((1,), "float32")
+    kid = KernelId.build("reduce_native", n, br, str(inp.dtype), interpret)
+    task = NativeKernelTask(
+        kid, lambda: _build_reduce_native(n, br, str(inp.dtype), interpret),
+        name="reduce_native")
+    client.launch(task, [inp, out])
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Autotuned line size / chunking (reference LocalTuner usage pattern)
 # ---------------------------------------------------------------------------
 
@@ -188,6 +276,12 @@ def reduce_sum_autotuned(client, inp: Handle) -> Handle:
         return ("sum", anchor(int(np.prod(inp_.shape))), str(inp_.dtype))
 
     ts = TunableSet("reduce_sum", key_fn)
+    if n % 128 == 0:
+        for br in (512, 1024, 2048):
+            ts.with_tunable(
+                lambda c, h, _b=br: reduce_sum_native(c, h, block_rows=_b),
+                name=f"native_br{br}",
+                work=lambda key, _n=n: (_n, _n * 4))
     for line in (128, 256, 512, 1024):
         for tc in (256, 512, 1024):
             if n % line == 0 and (n // line) % CD == 0:

@@ -45,6 +45,18 @@ def test_reduce_sum(client):
     np.testing.assert_allclose(s[0], x.sum(), rtol=1e-4)
 
 
+def test_reduce_sum_native(client):
+    """Single-kernel perf path (resident accumulator) — 87% HBM on v5e."""
+    from cubecl_tpu.ops.reduce import reduce_sum_native
+
+    for n, br in ((1 << 14, 512), (128 * 1000, 64), (128 * 24, 8)):
+        x = np.random.randn(n).astype(np.float32)
+        h = client.create(x)
+        s = client.read_one(reduce_sum_native(client, h, block_rows=br))
+        np.testing.assert_allclose(s[0], x.astype(np.float64).sum(),
+                                   rtol=1e-4)
+
+
 def test_reduce_max_negative(client):
     x = (-np.abs(np.random.randn(4096))).astype(np.float32)  # all negative
     h = client.create(x)
