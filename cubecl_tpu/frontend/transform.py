@@ -76,6 +76,21 @@ class _AssignedNames(ast.NodeVisitor):
         self._target(node.target)
         self.generic_visit(node)
 
+    def visit_MatchAs(self, node) -> None:
+        if node.name:  # match captures bind names
+            self.names.add(node.name)
+        self.generic_visit(node)
+
+    def visit_MatchStar(self, node) -> None:
+        if node.name:
+            self.names.add(node.name)
+        self.generic_visit(node)
+
+    def visit_MatchMapping(self, node) -> None:
+        if node.rest:
+            self.names.add(node.rest)
+        self.generic_visit(node)
+
     def visit_FunctionDef(self, node: ast.FunctionDef) -> None:
         self.names.add(node.name)  # the def binds its name
 
@@ -322,14 +337,70 @@ class CubeTransformer(ast.NodeTransformer):
         raise SyntaxError("global statements are not allowed in @cube functions")
 
     def visit_Match(self, node):
-        # comptime match: the subject must be a plain python value (the
-        # reference's const_match); case bodies are transformed normally.
-        # A traced subject fails loudly via CubeVal.__bool__ during pattern
-        # matching.
+        # match over literal patterns desugars to an if/elif chain — this
+        # works for BOTH traced subjects (predicated execution, the
+        # reference's Switch IR, branch.rs Switch) and comptime subjects.
+        # Structural patterns (class/sequence/mapping/captures) stay native
+        # python match and therefore require a comptime subject (the
+        # reference's const_match); a traced subject there fails loudly via
+        # CubeVal.__bool__ during pattern matching.
+        chain = self._match_to_if_chain(node)
+        if chain is not None:
+            return self._body(chain)
         node.subject = self.visit(node.subject)
         for case in node.cases:
             case.body = self._body(case.body)
         return node
+
+    def _match_to_if_chain(self, node):
+        """Desugar `match` with only value/singleton/or/wildcard patterns
+        (plus guards) into `__match_N = subj; if/elif/else`, returning the
+        UNtransformed statements, or None if a structural pattern is
+        present."""
+        subj_name = f"__match_{self._n()}"
+
+        def simple_cond(pat):
+            if isinstance(pat, ast.MatchValue):
+                return ast.Compare(left=_name(subj_name), ops=[ast.Eq()],
+                                   comparators=[pat.value])
+            if isinstance(pat, ast.MatchSingleton):
+                return ast.Compare(left=_name(subj_name), ops=[ast.Eq()],
+                                   comparators=[ast.Constant(pat.value)])
+            if isinstance(pat, ast.MatchOr):
+                conds = [simple_cond(p) for p in pat.patterns]
+                if any(c is None for c in conds):
+                    return None
+                return ast.BoolOp(op=ast.Or(), values=conds)
+            return None
+
+        arms = []
+        for case in node.cases:
+            pat, body = case.pattern, list(case.body)
+            if isinstance(pat, ast.MatchAs) and pat.pattern is None:
+                if pat.name:  # `case x:` — bind the subject
+                    body.insert(0, ast.Assign(
+                        targets=[_name(pat.name, ast.Store())],
+                        value=_name(subj_name)))
+                cond = None  # irrefutable
+            else:
+                cond = simple_cond(pat)
+                if cond is None:
+                    return None
+            if case.guard is not None:
+                cond = case.guard if cond is None else \
+                    ast.BoolOp(op=ast.And(), values=[cond, case.guard])
+            arms.append((cond, body))
+
+        tail: List[ast.stmt] = []
+        for cond, body in reversed(arms):
+            tail = body if cond is None else \
+                [ast.If(test=cond, body=body, orelse=tail)]
+        stmts = [ast.Assign(targets=[_name(subj_name, ast.Store())],
+                            value=node.subject)] + tail
+        for s in stmts:
+            ast.copy_location(s, node)
+            ast.fix_missing_locations(s)
+        return stmts
 
     # ------------------------------------------------------------- exprs
 

@@ -298,3 +298,47 @@ def test_comptime_match_statement(client):
         res = run(client, k, [(x, False), (np.zeros(8, np.float32), True)],
                   comptimes=(mode,))
         np.testing.assert_allclose(res[1], ref, rtol=1e-6)
+
+
+def test_traced_match_switch(client):
+    """Switch parity (reference ir/branch.rs Switch): match over a TRACED
+    subject desugars to a predicated if/elif chain — with or-patterns,
+    guards and a capture arm."""
+
+    @cube
+    def k(inp: Slice, out: MutSlice):
+        v = inp[UNIT_POS]
+        sel = UNIT_POS % 3
+        r = 0.0
+        match sel:
+            case 0:
+                r = v * 2.0
+            case 1 | 2 if v > 0.0:
+                r = v + 10.0
+            case s:
+                r = 0.0 - v + s  # capture binds the traced subject
+        out[UNIT_POS] = r
+
+    x = np.array([1, -2, 3, -4, 5, -6, 7, 8], np.float32)
+    res = run(client, k, [(x, False), (np.zeros(8, np.float32), True)])
+    want = [v * 2 if u % 3 == 0 else v + 10 if v > 0 else -v + u % 3
+            for u, v in enumerate(x)]
+    np.testing.assert_allclose(res[1], want, rtol=1e-6)
+
+
+def test_comptime_match_structural(client):
+    """Structural patterns stay native python match (comptime subject)."""
+
+    @cube
+    def k(inp: Slice, out: MutSlice, cfg: tuple):
+        match cfg:
+            case ("scale", factor):
+                out[UNIT_POS] = inp[UNIT_POS] * float(factor)
+            case ("shift", by):
+                out[UNIT_POS] = inp[UNIT_POS] + float(by)
+
+    x = np.random.rand(8).astype(np.float32)
+    for cfg, ref in [(("scale", 3), x * 3), (("shift", 5), x + 5)]:
+        res = run(client, k, [(x, False), (np.zeros(8, np.float32), True)],
+                  comptimes=(cfg,))
+        np.testing.assert_allclose(res[1], ref, rtol=1e-6)
