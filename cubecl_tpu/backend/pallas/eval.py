@@ -1230,8 +1230,8 @@ class Evaluator:
         op = inst.op
         start_ev, stop_ev, step_ev = (self.get(a) for a in op.args)
         if any(e.varying for e in (start_ev, stop_ev, step_ev)):
-            _kernel_fail("unit-varying loop bounds (use a uniform bound with "
-                         "masking inside the body)")
+            self._eval_range_loop_varying(inst, start_ev, stop_ev, step_ev)
+            return
         var = op.attrs["var"]
         body = op.attrs["body"]
         carries = [v for v in written_mutables(body) if v.vid in self.env]
@@ -1278,6 +1278,58 @@ class Evaluator:
         final = lax.fori_loop(0, n, body_fn, init)
         self.env = saved_env
         for v, c in zip(carries, final if isinstance(final, tuple) else (final,)):
+            self._carry_set(v, c)
+
+    def _eval_range_loop_varying(self, inst: Instruction, start_ev: EV,
+                                 stop_ev: EV, step_ev: EV) -> None:
+        """Unit-varying loop bounds: the lockstep-SIMT lowering of the
+        reference's per-thread RangeLoop (cubecl-ir branch.rs RangeLoop) —
+        iterate to the MAX trip count across units and predicate the body
+        with ``k < trip_u``. A varying stop only masks iterations; the
+        index stays uniform unless start/step themselves vary."""
+        jnp, lax = self.jnp, self.lax
+        op = inst.op
+        var, body = op.attrs["var"], op.attrs["body"]
+        if op.attrs.get("unroll", False):
+            _kernel_fail("#[unroll] loop with unit-varying bounds")
+        carries = [v for v in written_mutables(body) if v.vid in self.env]
+        dtype = _elem_dtype(jnp, op.args[0].ty)
+
+        def canon(ev):
+            if not ev.varying:
+                return self.materialize(ev)
+            return self.broadcast_to_canon(ev, True, 1, dtype)
+
+        start, stop, step = (canon(e) for e in
+                             (start_ev, stop_ev, step_ev))
+        num = stop - start
+        # python-range trip count, sign-correct: max(0, ceil(num / step))
+        trip = jnp.maximum(0, -((-num) // step))
+        max_trip = jnp.max(trip)
+        iv_varying = start_ev.varying or step_ev.varying
+
+        init = tuple(self._carry_get(v) for v in carries)
+        saved_env = dict(self.env)
+
+        def body_fn(k, carry):
+            self.env = dict(saved_env)
+            for v, c in zip(carries, carry):
+                self._carry_set(v, c)
+            iv = start + k * step
+            if iv_varying:
+                self.env[var.vid] = EV(arr=iv, varying=True)
+            else:
+                self.env[var.vid] = EV(arr=iv, varying=False, aff=(iv, {}))
+            self.masks.append(Cell(k < trip))
+            try:
+                self.run_loop_body(body)
+            finally:
+                self.masks.pop()
+            return tuple(self._carry_get(v) for v in carries)
+
+        final = lax.fori_loop(0, max_trip, body_fn, init)
+        self.env = saved_env
+        for v, c in zip(carries, final):
             self._carry_set(v, c)
 
     def _eval_while(self, inst: Instruction) -> None:

@@ -69,6 +69,9 @@ class UniformityAnalysis:
         if inst.op.opcode == O.WHILE:
             cv = inst.op.attrs.get("cond_value")
             return cv is not None and self.is_varying_value(cv)
+        if inst.op.opcode == O.RANGE_LOOP:
+            # any varying bound ⇒ per-unit trip counts ⇒ varying context
+            return any(self.is_varying_value(a) for a in inst.op.args)
         if inst.op.args:
             return self.is_varying_value(inst.op.args[0])
         return False
@@ -80,6 +83,16 @@ class UniformityAnalysis:
             # recurse with branch context
             if oc in (O.IF, O.IF_ELSE, O.SWITCH, O.RANGE_LOOP, O.WHILE, O.LOOP):
                 sub_ctx = ctx_varying or self._cond_varying(inst)
+                if oc == O.RANGE_LOOP:
+                    # the index var is varying iff start or step varies
+                    # (a varying STOP only changes how many iterations are
+                    # alive per unit — the index itself stays uniform)
+                    lv = inst.op.attrs["var"]
+                    if (self.is_varying_value(inst.op.args[0])
+                            or self.is_varying_value(inst.op.args[2])) and \
+                            lv.vid not in self.varying:
+                        self.varying.add(lv.vid)
+                        changed = True
                 if oc == O.LOOP:
                     # a break under a varying condition makes carries varying;
                     # approximated by scanning for varying-cond ifs w/ breaks

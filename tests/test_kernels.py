@@ -623,3 +623,58 @@ def test_continue_and_break(client):
     # wait: v read then i+=1 then break check -> processes v[0..6]
     expect = sum(v for v in x[:7] if v > 0)
     np.testing.assert_allclose(res[1], expect)
+
+
+# ------------------------------------------------------------------ varying
+# loop bounds (per-unit trip counts — reference RangeLoop is per-thread,
+# cubecl-ir/src/branch.rs RangeLoop; lowered to max-trip + k<trip masking)
+
+
+@cube
+def k_vary_stop(inp: Slice, out: MutSlice):
+    acc = 0.0
+    for i in cube_range(0, UNIT_POS + 1):
+        acc = acc + inp[i]
+    out[UNIT_POS] = acc
+
+
+def test_varying_loop_stop(client):
+    x = np.arange(1, 9, dtype=np.float32)
+    res = run1(client, k_vary_stop,
+               [(x, False), (np.zeros(8, np.float32), True)])
+    np.testing.assert_allclose(res[1], np.cumsum(x))
+
+
+@cube
+def k_vary_start(inp: Slice, out: MutSlice):
+    acc = 0.0
+    for i in cube_range(UNIT_POS, 8):
+        acc = acc + inp[i]
+    out[UNIT_POS] = acc
+
+
+def test_varying_loop_start(client):
+    x = np.arange(1, 9, dtype=np.float32)
+    res = run1(client, k_vary_start,
+               [(x, False), (np.zeros(8, np.float32), True)])
+    np.testing.assert_allclose(res[1], [x[u:].sum() for u in range(8)])
+
+
+@cube
+def k_vary_ragged_store(inp: Slice, out: MutSlice):
+    for i in cube_range(0, UNIT_POS + 1):
+        v = inp[i]
+        if v > 4.0:
+            v = v * 10.0
+        out[UNIT_POS * 8 + i] = v
+
+
+def test_varying_loop_masked_stores(client):
+    x = np.arange(1, 9, dtype=np.float32)
+    res = run1(client, k_vary_ragged_store,
+               [(x, False), (np.full(64, -1, np.float32), True)])
+    want = np.full((8, 8), -1, np.float32)
+    for u in range(8):
+        for i in range(u + 1):
+            want[u, i] = x[i] * (10 if x[i] > 4 else 1)
+    np.testing.assert_allclose(res[1].reshape(8, 8), want)
