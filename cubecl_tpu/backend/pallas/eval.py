@@ -96,13 +96,18 @@ class Evaluator:
         self.env: Dict[int, EV] = {}
         self.masks: List[Cell] = []
         self.grid_rank = 3
+        # capture grid ids ONCE at kernel entry: pl.program_id staged
+        # inside a lax.fori_loop body lands in the inner jaxpr where the
+        # interpret-mode rewriter can't bind it (and Mosaic prefers the
+        # hoisted form too)
+        self._pids = tuple(self.pl.program_id(i) for i in range(3))
 
     # ------------------------------------------------------------ helpers
 
     def program_id(self, axis: str):
         # grid is (cz, cy, cx): x is the fastest (innermost) dimension
         idx = {"cz": 0, "cy": 1, "cx": 2}[axis]
-        return self.pl.program_id(idx)
+        return self._pids[idx]
 
     def _flat_unit_iota(self):
         return self.jax.lax.broadcasted_iota(self.jnp.int32, (self.U, 1), 0)
@@ -395,13 +400,26 @@ class Evaluator:
                 rel = self._clip_rel(rel, 0, blk_lines - 1)
             if L == 1 and not isinstance(rel, int):
                 # dynamic single-element load: Mosaic cannot prove vector<1>
-                # alignment at a dynamic index — use an iota-select instead
-                # (one VPU pass over the resident block)
+                # alignment at a dynamic index. Prefer the aligned-superspan
+                # + rotate window (O(quantum) VPU work); fall back to an
+                # iota-select over the resident block when the block is too
+                # small for a superspan (Mosaic also crashes on block-wide
+                # multi_reductions past ~64k lanes, so the select is only
+                # safe on small blocks anyway).
+                A = self._quantum(ref.dtype)
+                if not self.interpret and blk_lines >= 2 * A:
+                    win, _wb = self._dyn_window_1d(ref, rel, 1, blk_lines)
+                    return EV(arr=win[0], varying=False, line=1)
                 data = ref[...]
                 iota = self.jax.lax.broadcasted_iota(
                     jnp.int32, (blk_lines, 1), 0).reshape(blk_lines)
                 sel = jnp.where(iota == rel, data, jnp.zeros_like(data))
                 return EV(arr=jnp.sum(sel), varying=False, line=1)
+            if L > 1 and not isinstance(rel, int) and not self.interpret \
+                    and blk_lines >= 16:
+                # dynamic single-row load on a 2D ref: aligned superspan
+                win, _wb = self._dyn_rows_2d(ref, rel, 1, blk_lines)
+                return EV(arr=win.reshape(L), varying=False, line=L)
             row = self._hint(_as_i32(jnp, rel), 1)
             if L > 1:
                 val = ref[pl.ds(row, 1), :].reshape(L)
@@ -452,7 +470,10 @@ class Evaluator:
         assert blk_lines >= sup, (
             f"dynamic 1D window needs padding: blk={blk_lines} < sup={sup}")
         rel_i = _as_i32(jnp, rel)
-        rel_al = self._hint((rel_i // A) * A, A)
+        # clamp the aligned start so the superspan never runs past the
+        # block (ds would clamp silently AFTER off was computed)
+        rel_al = self._hint(
+            jnp.minimum((rel_i // A) * A, (blk_lines - sup) // A * A), A)
         off = rel_i - rel_al
         chunk = ref[pl.ds(rel_al, sup)]
         x2d = chunk.reshape(sup // 128, 128)
@@ -483,7 +504,10 @@ class Evaluator:
         assert blk_rows >= sup, (
             f"dynamic 2D row window needs padding: rows={blk_rows} < {sup}")
         row_i = _as_i32(jnp, row)
-        row_al = self._hint((row_i // 8) * 8, 8)
+        # clamp the aligned start so the superspan never runs past the
+        # block (ds would clamp silently AFTER off was computed)
+        row_al = self._hint(
+            jnp.minimum((row_i // 8) * 8, (blk_rows - sup) // 8 * 8), 8)
         off = row_i - row_al
         chunk = ref[pl.ds(row_al, sup), :]
         # Mosaic's dynamic rotate miscompiles negative shifts — use the
@@ -503,20 +527,26 @@ class Evaluator:
         return win, writeback
 
     def _load_span(self, ref, rel, c, L, blk_lines, masked):
-        """(U, L) array of lines rel + c*u for u in [0, U)."""
+        """(U, L) array of lines rel + c*u for u in [0, U).
+
+        The EXACT coverage is (U-1)*c + 1 lines — slicing the full c*U
+        would overshoot the block by c-1 lines, and a dynamic start then
+        gets clamped back to 0 by ds semantics, silently dropping the
+        offset (strided accesses near the buffer end)."""
         jnp, pl = self.jnp, self.pl
         U = self.U
-        span = c * U
-        span_eff = span
+        span = c * U                    # group-reshape size
+        exact = (U - 1) * c + 1         # lines actually touched
+        span_eff = exact
         if masked:
             # a masked load may cover a buffer shorter than one full span
             # (e.g. tree-reduction tails): load what exists, pad the rest —
             # padded lanes are mask-selected away
-            span_eff = min(span, blk_lines)
+            span_eff = min(exact, blk_lines)
             rel = self._clip_rel(rel, 0, blk_lines - span_eff)
-        elif span > blk_lines:
+        elif exact > blk_lines:
             _kernel_fail(
-                f"unmasked load of {span} lines from a {blk_lines}-line "
+                f"unmasked load of {exact} lines from a {blk_lines}-line "
                 f"buffer; guard the access or use launch() (checked)")
         if L == 1 and not isinstance(rel, int) and not self.interpret:
             # dynamic 1D offset: aligned superspan + rotate
@@ -528,7 +558,12 @@ class Evaluator:
                 win.reshape(U, c)[:, :1]
         row = self._hint(_as_i32(jnp, rel), U if c == 1 else 1)
         if L > 1:
-            chunk = ref[pl.ds(row, span_eff), :]       # (span_eff, L)
+            if not isinstance(rel, int) and not self.interpret:
+                # dynamic row offset on a 2D ref: Mosaic cannot prove the
+                # sublane alignment — aligned row superspan + roll
+                chunk, _wb = self._dyn_rows_2d(ref, rel, span_eff, blk_lines)
+            else:
+                chunk = ref[pl.ds(row, span_eff), :]   # (span_eff, L)
             if span_eff < span:
                 chunk = jnp.concatenate(
                     [chunk, jnp.zeros((span - span_eff, L), chunk.dtype)])
@@ -599,9 +634,16 @@ class Evaluator:
                     sel = sel & mm
                 ref[...] = jnp.where(sel, jnp.asarray(v, dtype), data)
                 return
-            row = self._hint(_as_i32(jnp, rel), 1)
             vv = jnp.asarray(v, dtype).reshape(1, L) if L > 1 else \
                 jnp.asarray(v, dtype).reshape(1)
+            if L > 1 and not isinstance(rel, int) and not self.interpret \
+                    and blk_lines >= 16:
+                # dynamic single-row store on a 2D ref: superspan RMW
+                win, wb = self._dyn_rows_2d(ref, rel, 1, blk_lines)
+                wb(jnp.where(m, vv, win).astype(win.dtype)
+                   if m is not None else vv.astype(win.dtype))
+                return
+            row = self._hint(_as_i32(jnp, rel), 1)
             if m is None:
                 if L > 1:
                     ref[pl.ds(row, 1), :] = vv
@@ -617,25 +659,38 @@ class Evaluator:
             return
         if c < 0:
             _kernel_fail("negative unit stride in buffer store")
-        span = c * U
+        span = c * U                    # group-reshape size
+        exact = (U - 1) * c + 1         # lines actually touched
         v = self.broadcast_to_canon(val_ev, True, L, dtype)  # (U, L)
         if L == 1 and not isinstance(rel, int) and not self.interpret:
             # dynamic 1D offset store: aligned superspan RMW + rotate
-            win, wb = self._dyn_window_1d(ref, rel, span, blk_lines)
-            w2 = win.reshape(U, c)
+            win, wb = self._dyn_window_1d(ref, rel, exact, blk_lines)
+            w2 = jnp.concatenate(
+                [win, jnp.zeros((span - exact,), win.dtype)]).reshape(U, c) \
+                if span > exact else win.reshape(U, c)
             new = v.reshape(U, 1).astype(win.dtype)
             if m is not None:
                 mm = m if getattr(m, "ndim", 0) > 0 else jnp.full((U, 1), m)
                 new = jnp.where(mm.reshape(U, 1), new, w2[:, :1])
             merged = jnp.concatenate([new, w2[:, 1:]], axis=1) if c > 1 \
                 else new
-            wb(merged.reshape(span))
+            wb(merged.reshape(span)[:exact])
             return
         if m is not None:
-            rel = self._clip_rel(rel, 0, max(0, blk_lines - span))
+            rel = self._clip_rel(rel, 0, max(0, blk_lines - min(exact,
+                                                                blk_lines)))
         row = self._hint(_as_i32(jnp, rel), U if c == 1 else 1)
+        dyn2d = L > 1 and not isinstance(rel, int) and not self.interpret
         if c == 1 and span <= blk_lines:
             new = v if L > 1 else v.reshape(U)
+            if dyn2d:
+                win, wb = self._dyn_rows_2d(ref, rel, U, blk_lines)
+                if m is not None:
+                    mm = m if getattr(m, "ndim", 0) > 0 \
+                        else jnp.full((U, 1), m)
+                    new = jnp.where(mm, new, win)
+                wb(new.astype(win.dtype))
+                return
             if m is None:
                 if L > 1:
                     ref[pl.ds(row, U), :] = new
@@ -651,11 +706,11 @@ class Evaluator:
                     ref[pl.ds(row, U)] = jnp.where(
                         mm.reshape(U), new, old)
             return
-        if span > blk_lines:
+        if exact > blk_lines:
             if m is None:
                 _kernel_fail(
-                    f"unmasked store of {span} lines into a {blk_lines}-line "
-                    f"buffer; guard the access or use launch() (checked)")
+                    f"unmasked store of {exact} lines into a {blk_lines}-line"
+                    f" buffer; guard the access or use launch() (checked)")
             # short-buffer masked store: row-range RMW over what exists
             span_eff = blk_lines
             rel2 = self._clip_rel(rel, 0, 0)
@@ -689,25 +744,39 @@ class Evaluator:
             else:
                 ref[pl.ds(row2, span_eff)] = flat[:span_eff]
             return
-        # strided store (c > 1): read-modify-write the covering rows
+        # strided store (c > 1): read-modify-write the covering rows —
+        # exact-span RMW (the full c*U slice would overshoot the block)
         if L > 1:
-            chunk = ref[pl.ds(row, span), :].reshape(U, c, L)
+            if dyn2d:
+                chunk, wb = self._dyn_rows_2d(ref, rel, exact, blk_lines)
+            else:
+                chunk = ref[pl.ds(row, exact), :]      # (exact, L)
+                wb = None
+            full = jnp.concatenate(
+                [chunk, jnp.zeros((span - exact, L), chunk.dtype)]
+            ).reshape(U, c, L)
             new = v.astype(chunk.dtype)[:, None, :]
             if m is not None:
                 mm = m if getattr(m, "ndim", 0) > 0 else jnp.full((U, 1), m)
-                new = jnp.where(mm[:, None, :], new, chunk[:, :1, :])
+                new = jnp.where(mm[:, None, :], new, full[:, :1, :])
             lane0 = self.jax.lax.broadcasted_iota(jnp.int32, (1, c, 1), 1)
-            merged = jnp.where(lane0 == 0, new, chunk)
-            ref[pl.ds(row, span), :] = merged.reshape(span, L)
+            merged = jnp.where(lane0 == 0, new, full)
+            if wb is not None:
+                wb(merged.reshape(span, L)[:exact])
+            else:
+                ref[pl.ds(row, exact), :] = merged.reshape(span, L)[:exact]
         else:
-            chunk = ref[pl.ds(row, span)].reshape(U, c)
+            chunk = ref[pl.ds(row, exact)]             # (exact,)
+            full = jnp.concatenate(
+                [chunk, jnp.zeros((span - exact,), chunk.dtype)]
+            ).reshape(U, c)
             new = v.reshape(U, 1).astype(chunk.dtype)
             if m is not None:
                 mm = m if getattr(m, "ndim", 0) > 0 else jnp.full((U, 1), m)
-                new = jnp.where(mm, new, chunk[:, :1])
+                new = jnp.where(mm, new, full[:, :1])
             pos0 = self.jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
-            merged = jnp.where(pos0 == 0, new, chunk)
-            ref[pl.ds(row, span)] = merged.reshape(span)
+            merged = jnp.where(pos0 == 0, new, full)
+            ref[pl.ds(row, exact)] = merged.reshape(span)[:exact]
 
     def _scatter_store(self, buf, idx, val_ev, mask_ev, ignore_mask):
         """Unit-varying non-affine store: one-hot scatter over the resident

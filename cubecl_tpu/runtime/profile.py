@@ -78,3 +78,57 @@ def benchmark(run: Callable[[], None], sync: Callable[[], None],
         sync()
         durs.append(time.perf_counter() - t0)
     return BenchmarkComputations.from_durations(durs)
+
+
+def time_launch(client, kernel, cube_count, cube_dim, *args,
+                lo: int = 4, hi: int = 20, reps: int = 3) -> float:
+    """Per-launch DEVICE time of one kernel launch.
+
+    Chains the compiled kernel ``hi`` (and ``lo``) times inside a
+    device-side ``lax.fori_loop`` whose carry passes through
+    ``jax.lax.optimization_barrier`` each iteration — this defeats
+    CSE/LICM (a repeated pure launch would otherwise collapse to one)
+    without adding memory traffic — and returns the slope
+    ``(t_hi - t_lo) / (hi - lo)``, which cancels host / tunnel
+    round-trip and dispatch overhead. The reference's equivalent is
+    device-event timing around a CUDA-graph replay
+    (cubecl-common/src/profile.rs TimingMethod::Device).
+
+    ``args`` are the same ArrayArg/ScalarArg/comptime arguments a
+    ``launch`` takes; buffers are read from the handles' current arrays.
+    """
+    import numpy as np
+
+    import jax
+
+    from ..frontend.cube import ArrayArg, ScalarArg
+
+    ck = kernel.compile_only(client, cube_count, cube_dim, *args)
+    bufs = tuple(a.handle.array for a in args if isinstance(a, ArrayArg))
+    scalars = tuple(a.value for a in args if isinstance(a, ScalarArg))
+
+    def make(n):
+        def body(_i, carry):
+            carry = jax.lax.optimization_barrier(carry)
+            outs = ck.fn(list(carry), scalars)
+            nxt = list(carry)
+            for k, mi in enumerate(ck.mutable_indices):
+                nxt[mi] = outs[k]
+            return tuple(nxt)
+
+        return jax.jit(
+            lambda *b: jax.lax.fori_loop(0, n, body, tuple(b)))
+
+    def timed(fn):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            res = fn(*bufs)
+            np.asarray(res[0].reshape(-1)[:1])  # D2H readback barrier
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    flo, fhi = make(lo), make(hi)
+    flo(*bufs), fhi(*bufs)  # compile
+    client.sync()
+    return max((timed(fhi) - timed(flo)) / (hi - lo), 1e-9)

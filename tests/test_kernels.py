@@ -678,3 +678,33 @@ def test_varying_loop_masked_stores(client):
         for i in range(u + 1):
             want[u, i] = x[i] * (10 if x[i] > 4 else 1)
     np.testing.assert_allclose(res[1].reshape(8, 8), want)
+
+
+@cube
+def k_strided_loop_load(inp: Slice, out: MutSlice):
+    """Regression: stride-c unit access with a loop-var offset near the
+    buffer end (exact-span coverage, not c*U which overshoots + clamps)."""
+    acc = 0.0
+    for i in cube_range(0, 4):
+        acc = acc + inp[UNIT_POS * 4 + i]
+    out[UNIT_POS] = acc
+
+
+def test_strided_load_loop_offset(client):
+    x = np.arange(32, dtype=np.float32)
+    res = run1(client, k_strided_loop_load,
+               [(x, False), (np.zeros(8, np.float32), True)])
+    np.testing.assert_allclose(res[1], x.reshape(8, 4).sum(1))
+
+
+@cube
+def k_strided_loop_store(inp: Slice, out: MutSlice):
+    for i in cube_range(0, 4):
+        out[UNIT_POS * 4 + i] = inp[UNIT_POS * 4 + i] * 2.0
+
+
+def test_strided_store_loop_offset(client):
+    x = np.arange(32, dtype=np.float32)
+    res = run1(client, k_strided_loop_store,
+               [(x, False), (np.zeros(32, np.float32), True)])
+    np.testing.assert_allclose(res[1], 2 * x)
