@@ -113,7 +113,13 @@ class PallasCompiler(Compiler):
                     plan.pad_lines = plan.max_span
 
         # ---------------- assemble specs ----------------------------------
-        grid = (cc[2], cc[1], cc[0])  # (cz, cy, cx); x innermost/fastest
+        # grid is (cz, cy, cx), x innermost/fastest — with size-1 dims
+        # SQUEEZED out: a 3D Mosaic grid with leading 1s costs ~2x the
+        # per-step overhead of the equivalent 1D grid
+        full_axes = [("cz", cc[2]), ("cy", cc[1]), ("cx", cc[0])]
+        kept_axes = [(s, n) for s, n in full_axes if n > 1] or [("cx", 1)]
+        grid_axes = {s: i for i, (s, _n) in enumerate(kept_axes)}
+        grid = tuple(n for _s, n in kept_axes)
 
         in_specs: List[Any] = []
         in_args_meta: List[Tuple[str, int]] = []  # ("scalar"|"buffer", idx)
@@ -130,13 +136,13 @@ class PallasCompiler(Compiler):
                 blocks = plan.nd_block + ((L,) if L > 1 else ())
                 coeffs = plan.nd_grid_coeffs
 
-                def index_map(cz, cy, cx, _cs=tuple(coeffs), _L=L):
-                    vals = {"cz": cz, "cy": cy, "cx": cx}
+                def index_map(*ids, _cs=tuple(coeffs), _L=L, _ax=grid_axes):
+                    vals = {s: ids[i] for s, i in _ax.items()}
                     idxs = []
                     for g in _cs:
                         r = 0
                         for s, k in g.items():
-                            r = r + k * vals[s]
+                            r = r + k * vals.get(s, 0)
                         idxs.append(r)
                     if _L > 1:
                         idxs.append(0)
@@ -147,11 +153,11 @@ class PallasCompiler(Compiler):
             if plan.mode == "blocked":
                 coeffs = plan.grid_coeffs
 
-                def index_map(cz, cy, cx, _c=dict(coeffs), _L=L):
+                def index_map(*ids, _c=dict(coeffs), _L=L, _ax=grid_axes):
+                    vals = {s: ids[i] for s, i in _ax.items()}
                     r = 0
-                    vals = {"cz": cz, "cy": cy, "cx": cx}
                     for s, k in _c.items():
-                        r = r + k * vals[s]
+                        r = r + k * vals.get(s, 0)
                     return (r, 0) if _L > 1 else (r,)
 
                 shape = (plan.block_lines, L) if L > 1 else (plan.block_lines,)
@@ -247,7 +253,7 @@ class PallasCompiler(Compiler):
                         # resident across steps: copy only on first visit
                         first = None
                         used = set(plan.grid_coeffs) | nd_used
-                        for i, s in enumerate(("cz", "cy", "cx")):
+                        for s, i in grid_axes.items():
                             if s not in used:
                                 c = pl.program_id(i) == 0
                                 first = c if first is None else first & c
@@ -262,7 +268,8 @@ class PallasCompiler(Compiler):
                 ref_map[vid] = r
 
             ev = Evaluator(defn, plans, ua, ref_map, scalar_vals,
-                           jnp, lax, pl, jax, pltpu, self.interpret)
+                           jnp, lax, pl, jax, pltpu, self.interpret,
+                           grid_axes=grid_axes)
             if has_return:
                 cell = Cell(None)  # becomes the not-returned mask on RETURN
                 ev._kernel_cell = cell
@@ -275,14 +282,16 @@ class PallasCompiler(Compiler):
         # blocks along it (no cross-step carry) — lets Mosaic split cores
         auto_dims = []
         store_plans = [p for p in plans.values() if p.has_store]
-        for i, s in enumerate(("cz", "cy", "cx")):
-            size = (cc[2], cc[1], cc[0])[i]
-            par = size == 1 or (
+        for s, n in kept_axes:
+            par = n == 1 or (
                 bool(store_plans)
                 and all(p.mode == "blocked" and s in p.grid_coeffs
                         for p in store_plans))
             auto_dims.append("parallel" if par else "arbitrary")
         dims = defn.options.dimension_semantics or tuple(auto_dims)
+        if len(dims) != len(grid):  # user-specified 3D semantics: squeeze
+            dims = tuple(d for (s, n), d in zip(full_axes, dims) if n > 1) \
+                or ("arbitrary",)
         compiler_params = pltpu.CompilerParams(
             dimension_semantics=dims,
         )

@@ -78,7 +78,7 @@ def _kernel_fail(msg: str):
 
 class Evaluator:
     def __init__(self, defn, plans, ua, refs, scalar_vals, jnp, lax, pl, jax,
-                 pltpu=None, interpret: bool = False):
+                 pltpu=None, interpret: bool = False, grid_axes=None):
         self.defn = defn
         self.plans = plans            # vid -> BufferPlan
         self.ua = ua                  # UniformityAnalysis
@@ -95,19 +95,25 @@ class Evaluator:
         self.plane = defn.plane_dim
         self.env: Dict[int, EV] = {}
         self.masks: List[Cell] = []
-        self.grid_rank = 3
+        # size-1 grid dims are squeezed out of the pallas grid (a 3D grid
+        # with leading 1s costs ~2x per step on Mosaic); grid_axes maps
+        # sym -> squeezed axis index (absent = squeezed, id 0)
+        if grid_axes is None:
+            grid_axes = {"cz": 0, "cy": 1, "cx": 2}
+        self.grid_axes = grid_axes
+        self.grid_rank = len(grid_axes)
         # capture grid ids ONCE at kernel entry: pl.program_id staged
         # inside a lax.fori_loop body lands in the inner jaxpr where the
         # interpret-mode rewriter can't bind it (and Mosaic prefers the
         # hoisted form too)
-        self._pids = tuple(self.pl.program_id(i) for i in range(3))
+        self._pids = {s: self.pl.program_id(i)
+                      for s, i in grid_axes.items()}
 
     # ------------------------------------------------------------ helpers
 
     def program_id(self, axis: str):
-        # grid is (cz, cy, cx): x is the fastest (innermost) dimension
-        idx = {"cz": 0, "cy": 1, "cx": 2}[axis]
-        return self._pids[idx]
+        # grid is (cz, cy, cx) squeezed of size-1 dims; x innermost
+        return self._pids.get(axis, 0)
 
     def _flat_unit_iota(self):
         return self.jax.lax.broadcasted_iota(self.jnp.int32, (self.U, 1), 0)
@@ -525,6 +531,43 @@ class Evaluator:
             ref[pl.ds(row_al, sup), :] = jnp.where(sel, back, chunk)
 
         return win, writeback
+
+    def _eval_block_reduce(self, inst: Instruction) -> EV:
+        """Cube-cooperative whole-window reduction (mem.block_reduce, the
+        TPU-idiomatic reduce: ONE vector op over [start, start+lines) lines
+        — per-unit load loops cannot reach DMA speed on TPU). Returns a
+        cube-uniform scalar; sums/products of sub-f32 floats accumulate in
+        f32."""
+        jnp, pl = self.jnp, self.pl
+        op = inst.op
+        buf, idx = op.args
+        lines = int(op.attrs["lines"])
+        kind = op.attrs["kind"]
+        ra = self._resolve_rel(buf, idx, op.attrs.get("affine"))
+        if ra is None:
+            _kernel_fail("block_reduce needs an affine start index")
+        rel, c = ra
+        if c != 0:
+            _kernel_fail("block_reduce start must be cube-uniform "
+                         "(it is a cube-cooperative op)")
+        ref, L, blk_lines, _blocked = self._buffer_geometry(buf)
+        if isinstance(rel, int) or self.interpret:
+            row = self._hint(_as_i32(jnp, rel), 1)
+            win = ref[pl.ds(row, lines), :] if L > 1 else \
+                ref[pl.ds(row, lines)]
+        elif L > 1:
+            win, _wb = self._dyn_rows_2d(ref, rel, lines, blk_lines)
+        else:
+            win, _wb = self._dyn_window_1d(ref, rel, lines, blk_lines)
+        elem = buf.ty.elem
+        dt = _elem_dtype(jnp, buf.ty)
+        acc_dt = jnp.float32 if (elem.kind.name == "FLOAT"
+                                 and elem.bits < 32
+                                 and kind in ("sum", "prod")) else dt
+        red = {"sum": jnp.sum, "max": jnp.max, "min": jnp.min,
+               "prod": jnp.prod}[kind]
+        val = red(win.astype(acc_dt)).astype(dt)
+        return EV(arr=val, varying=False, line=1)
 
     def _load_span(self, ref, rel, c, L, blk_lines, masked):
         """(U, L) array of lines rel + c*u for u in [0, U).
@@ -1128,6 +1171,9 @@ class Evaluator:
             ev = self.load_buffer(op.args[0], op.args[1], None, out.ty.line,
                                   op.attrs.get("affine"))
             self.set_env(out, ev)
+            return
+        if oc == O.BLOCK_REDUCE:
+            self.set_env(out, self._eval_block_reduce(inst))
             return
         if oc == O.INDEX_MASKED:
             mask_ev = self.get(op.args[2])

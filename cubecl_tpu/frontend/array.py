@@ -95,6 +95,34 @@ class Slice:
         return cls(self.value, end - start, self._line,
                    offset=self._offset + start)
 
+    # -- cube-cooperative block reductions (TPU extension) -------------------
+    # The cube-scope analogue of VectorSum (cubecl-ir arithmetic.rs): reduce
+    # `lines` whole lines starting at a cube-uniform line index in ONE block
+    # op. On TPU per-unit load loops cannot reach DMA speed — this is the
+    # idiomatic reduce primitive (used by ops.reduce for the DSL fast path).
+
+    def _block_reduce(self, kind: str, start, lines: int) -> CubeVal:
+        if not isinstance(lines, int) or lines <= 0:
+            raise TypeError("block reduce line count must be a positive "
+                            "comptime int (static shapes)")
+        idx = self._index(start)
+        return emit(O.BLOCK_REDUCE, self.value, idx,
+                    out_ty=Type(self.value.ty.elem, 1),
+                    attrs={"kind": kind, "lines": lines})
+
+    def block_sum(self, start, lines: int) -> CubeVal:
+        """sum of buffer lines [start, start+lines) — cube-uniform scalar."""
+        return self._block_reduce("sum", start, lines)
+
+    def block_max(self, start, lines: int) -> CubeVal:
+        return self._block_reduce("max", start, lines)
+
+    def block_min(self, start, lines: int) -> CubeVal:
+        return self._block_reduce("min", start, lines)
+
+    def block_prod(self, start, lines: int) -> CubeVal:
+        return self._block_reduce("prod", start, lines)
+
     def with_line_size(self, line: int):
         """Reinterpret the buffer with a different line width (reference
         slice reinterpretation). Total element count is preserved."""

@@ -142,6 +142,12 @@ STORE = _op("mem.store", 3, pure=False)   # buffer, index, value
 INDEX_MASKED = _op("mem.index_masked", 3, pure=True)   # buffer, index, mask (checked read)
 STORE_MASKED = _op("mem.store_masked", 4, pure=False)  # buffer, index, value, mask
 COPY_MEMORY = _op("mem.copy", -1, pure=False)
+# TPU extension (the cube-scope analogue of op.vec_sum / VectorSum,
+# cubecl-ir arithmetic.rs): cooperatively reduce `lines` whole lines of a
+# buffer starting at a cube-uniform line index, in ONE block op — the
+# idiomatic way to reduce on TPU, where per-unit load loops cannot reach
+# DMA speed. attrs: kind ("sum"|"max"|"min"|"prod"), lines (comptime int).
+BLOCK_REDUCE = _op("mem.block_reduce", 2, pure=True)  # buffer, start_line
 SLICE = _op("mem.slice", 3, pure=True)    # buffer, start, end -> buffer view
 BUFFER_LEN = _op("meta.buffer_len", 1)    # length in lines (comptime on TPU)
 

@@ -499,6 +499,16 @@ def plan_buffers(scope: Scope, ua: UniformityAnalysis,
                              conditional=cond)
                 inst.op.attrs["affine"] = aff
                 accesses.setdefault(buf.vid, []).append(acc)
+            elif oc == O.BLOCK_REDUCE:
+                buf = inst.op.args[0]
+                if buf.kind != VarKind.BUFFER:
+                    continue
+                aff = get(inst.op.args[1])
+                inst.op.attrs["affine"] = aff
+                accesses.setdefault(buf.vid, []).append(
+                    Access(inst, aff, False, buf.ty.line,
+                           span=int(inst.op.attrs["lines"]),
+                           conditional=depth > 0))
             elif oc in (O.MMA_LOAD, O.MMA_STORE):
                 buf = inst.op.args[1]
                 if buf.kind != VarKind.BUFFER:
@@ -547,6 +557,7 @@ def plan_buffers(scope: Scope, ua: UniformityAnalysis,
                 cu = flat_unit_coeff(a.affine.coeffs, cube_dim)
                 if cu:
                     plan.max_span = max(plan.max_span, abs(cu) * U)
+                plan.max_span = max(plan.max_span, a.span)
             else:
                 plan.max_span = max(plan.max_span, U, a.span)
         plans[bp.value.vid] = plan
@@ -596,6 +607,8 @@ def plan_buffers(scope: Scope, ua: UniformityAnalysis,
                     break
                 if c > 1:
                     amax = max(amax, amin + c * U - 1)
+                if a.span > 1:  # block-granular accesses (block_reduce)
+                    amax += a.span - 1
                 lo = amin if lo is None else min(lo, amin)
                 hi = amax if hi is None else max(hi, amax)
                 continue

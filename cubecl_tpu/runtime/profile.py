@@ -107,17 +107,27 @@ def time_launch(client, kernel, cube_count, cube_dim, *args,
     bufs = tuple(a.handle.array for a in args if isinstance(a, ArrayArg))
     scalars = tuple(a.value for a in args if isinstance(a, ScalarArg))
 
-    def make(n):
-        def body(_i, carry):
-            carry = jax.lax.optimization_barrier(carry)
-            outs = ck.fn(list(carry), scalars)
-            nxt = list(carry)
-            for k, mi in enumerate(ck.mutable_indices):
-                nxt[mi] = outs[k]
-            return tuple(nxt)
+    mut = list(ck.mutable_indices)
 
-        return jax.jit(
-            lambda *b: jax.lax.fori_loop(0, n, body, tuple(b)))
+    def make(n):
+        # carry ONLY the mutable buffers: a read-only input in the fori
+        # carry gets copied every iteration (XLA cannot alias a loop
+        # carry it must also keep live), which would bill the kernel for
+        # a full extra read+write of its inputs — close over them instead
+        def run(*all_bufs):
+            # close over jit PARAMETERS (not concrete arrays — those would
+            # ship as literal constants through the compile path)
+            def body(_i, carry):
+                carry = jax.lax.optimization_barrier(carry)
+                full = list(all_bufs)
+                for j, mi in enumerate(mut):
+                    full[mi] = carry[j]
+                return tuple(ck.fn(full, scalars))
+
+            init = tuple(all_bufs[mi] for mi in mut)
+            return jax.lax.fori_loop(0, n, body, init)
+
+        return jax.jit(run)
 
     def timed(fn):
         best = float("inf")

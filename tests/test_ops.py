@@ -207,3 +207,15 @@ def test_reduce_sum_bf16(client):
     s = client.read_one(reduce_sum(client, h, line_size=128, target_cubes=8))
     ref = x.astype(np.float32).sum()
     np.testing.assert_allclose(s[0], ref, rtol=2e-2)
+
+
+def test_reduce_sum_blockwise(client):
+    """Cube-cooperative block_sum path (TPU-idiomatic DSL reduce)."""
+    from cubecl_tpu.ops.reduce import reduce_sum_blockwise
+
+    for n, cubes in ((1 << 14, 4), (512 * 48, 6), (4096, 64)):
+        x = np.random.randn(n).astype(np.float32)
+        h = client.create(x)
+        s = client.read_one(reduce_sum_blockwise(client, h, cubes=cubes))
+        np.testing.assert_allclose(s[0], x.astype(np.float64).sum(),
+                                   rtol=1e-4)
