@@ -10,3 +10,5 @@ from .transformer import (
     make_train_step,
     param_shardings,
 )
+from . import llama
+from .llama import LlamaConfig

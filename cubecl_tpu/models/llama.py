@@ -1,0 +1,265 @@
+"""Llama-family LM: RMSNorm + RoPE + GQA + SwiGLU (+ optional MoE FFN).
+
+Second flagship model family (the reference is a kernel framework; this
+is the "downstream user" exercising cubecl-tpu the way Burn/cubek sit on
+cubecl): flash attention from ops.attention on the hot path, and the
+full parallelism menu over a mesh — dp (batch), tp (heads / ffn
+columns), ep (experts) — with XLA inserting the ICI collectives from
+NamedShardings (the scaling-book recipe).
+
+TPU-first choices:
+- static shapes everywhere; GQA via a reshape-broadcast (no gather)
+- RoPE as two fused elementwise muls (VPU) on split halves
+- MoE computed densely over experts with top-k gate masking: no ragged
+  dispatch, experts einsum shards cleanly on ep, MXU stays saturated
+  (the sparse-dispatch variant is a serving optimization, not needed
+  for correctness/scaling tests)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+
+@dataclasses.dataclass
+class LlamaConfig:
+    vocab: int = 256
+    d_model: int = 128
+    n_heads: int = 4
+    n_kv_heads: int = 2          # GQA: kv heads < q heads
+    n_layers: int = 2
+    d_ff: int = 256
+    seq: int = 64
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    dtype: str = "float32"
+    use_flash_attention: bool = False  # needs seq%128==0, head_dim%128==0
+    n_experts: int = 0           # 0 = dense SwiGLU; >0 = MoE
+    top_k: int = 2
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+
+def init_params(cfg: LlamaConfig, seed: int = 0) -> Dict[str, Any]:
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(seed)
+    ks = iter(jax.random.split(key, 2 + 16 * cfg.n_layers))
+    dt = jnp.dtype(cfg.dtype)
+
+    def rnd(shape, scale=0.02):
+        return (jax.random.normal(next(ks), shape) * scale).astype(dt)
+
+    d, hd = cfg.d_model, cfg.head_dim
+    layers = []
+    for _ in range(cfg.n_layers):
+        layer: Dict[str, Any] = {
+            "rms1": jnp.ones((d,), dt),
+            "rms2": jnp.ones((d,), dt),
+            "wq": rnd((d, cfg.n_heads * hd)),
+            "wk": rnd((d, cfg.n_kv_heads * hd)),
+            "wv": rnd((d, cfg.n_kv_heads * hd)),
+            "wo": rnd((cfg.n_heads * hd, d)),
+        }
+        if cfg.n_experts:
+            e, f = cfg.n_experts, cfg.d_ff
+            layer["moe"] = {
+                "router": rnd((d, e)),
+                "w1": rnd((e, d, f)),   # gate proj per expert
+                "w3": rnd((e, d, f)),   # up proj per expert
+                "w2": rnd((e, f, d)),   # down proj per expert
+            }
+        else:
+            layer["mlp"] = {
+                "w1": rnd((d, cfg.d_ff)),
+                "w3": rnd((d, cfg.d_ff)),
+                "w2": rnd((cfg.d_ff, d)),
+            }
+        layers.append(layer)
+    return {
+        "embed": rnd((cfg.vocab, d)),
+        "layers": layers,
+        "rms_out": jnp.ones((d,), dt),
+    }
+
+
+def _rmsnorm(x, g, eps):
+    import jax.numpy as jnp
+
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    return (x * jnp.reciprocal(jnp.sqrt(var + eps)).astype(x.dtype)) * g
+
+
+def _rope(x, theta):
+    """x: (B, S, H, hd) — rotate pairs (split-halves layout)."""
+    import jax.numpy as jnp
+
+    b, s, h, hd = x.shape
+    half = hd // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = jnp.arange(s, dtype=jnp.float32)[:, None] * freqs[None, :]
+    cos = jnp.cos(ang)[None, :, None, :].astype(x.dtype)
+    sin = jnp.sin(ang)[None, :, None, :].astype(x.dtype)
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos],
+                           axis=-1)
+
+
+def _attention(x, layer, cfg: LlamaConfig):
+    import jax.numpy as jnp
+
+    b, s, d = x.shape
+    hd, nh, nkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    q = (x @ layer["wq"]).reshape(b, s, nh, hd)
+    k = (x @ layer["wk"]).reshape(b, s, nkv, hd)
+    v = (x @ layer["wv"]).reshape(b, s, nkv, hd)
+    q = _rope(q, cfg.rope_theta)
+    k = _rope(k, cfg.rope_theta)
+    # GQA: broadcast kv heads across the query-head groups (no gather)
+    rep = nh // nkv
+    k = jnp.repeat(k, rep, axis=2)
+    v = jnp.repeat(v, rep, axis=2)
+    if cfg.use_flash_attention:
+        from ..ops.attention import flash_attention
+
+        o = flash_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                            v.transpose(0, 2, 1, 3), True, None, 128, 128,
+                            True).transpose(0, 2, 1, 3)
+    else:
+        qh = q.transpose(0, 2, 1, 3)             # (B, H, S, hd)
+        kh = k.transpose(0, 2, 1, 3)
+        vh = v.transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / jnp.sqrt(
+            jnp.asarray(hd, qh.dtype))
+        mask = jnp.tril(jnp.ones((s, s), bool))
+        scores = jnp.where(mask, scores, jnp.asarray(-1e30, scores.dtype))
+        o = jnp.einsum("bhqk,bhkd->bhqd",
+                       jnp.asarray(
+                           jnp.exp(scores - scores.max(-1, keepdims=True))
+                           / jnp.exp(
+                               scores - scores.max(-1, keepdims=True)
+                           ).sum(-1, keepdims=True), qh.dtype),
+                       vh).transpose(0, 2, 1, 3)
+    return o.reshape(b, s, nh * hd) @ layer["wo"]
+
+
+def _swiglu(x, mlp):
+    import jax.nn as jnn
+
+    return (jnn.silu(x @ mlp["w1"]) * (x @ mlp["w3"])) @ mlp["w2"]
+
+
+def _moe(x, moe, cfg: LlamaConfig):
+    """Dense MoE: every expert computed (static shapes, ep-shardable
+    einsum), gated by top-k router weights. b t d -> b t d."""
+    import jax
+    import jax.nn as jnn
+    import jax.numpy as jnp
+
+    logits = x @ moe["router"]                   # (B, T, E)
+    k = min(cfg.top_k, cfg.n_experts)
+    topv, _ = jax.lax.top_k(logits, k)
+    thresh = topv[..., -1:]
+    masked = jnp.where(logits >= thresh, logits,
+                       jnp.asarray(-1e30, logits.dtype))
+    gates = jnn.softmax(masked, axis=-1)         # zeros off the top-k
+    h = jnn.silu(jnp.einsum("btd,edf->ebtf", x, moe["w1"])) * \
+        jnp.einsum("btd,edf->ebtf", x, moe["w3"])
+    y = jnp.einsum("ebtf,efd->ebtd", h, moe["w2"])
+    return jnp.einsum("bte,ebtd->btd", gates.astype(y.dtype), y)
+
+
+def forward(params, tokens, cfg: LlamaConfig):
+    """tokens (B, S) int32 -> logits (B, S, vocab)."""
+    x = params["embed"][tokens]
+    for layer in params["layers"]:
+        h = _rmsnorm(x, layer["rms1"], cfg.rms_eps)
+        x = x + _attention(h, layer, cfg)
+        h = _rmsnorm(x, layer["rms2"], cfg.rms_eps)
+        x = x + (_moe(h, layer["moe"], cfg) if cfg.n_experts
+                 else _swiglu(h, layer["mlp"]))
+    x = _rmsnorm(x, params["rms_out"], cfg.rms_eps)
+    return x @ params["embed"].T                 # tied head
+
+
+def loss_fn(params, tokens, cfg: LlamaConfig):
+    import jax.numpy as jnp
+
+    logits = forward(params, tokens[:, :-1], cfg).astype(jnp.float32)
+    targets = tokens[:, 1:]
+    logp = logits - jnp.log(jnp.sum(jnp.exp(
+        logits - logits.max(-1, keepdims=True)), -1, keepdims=True)) - \
+        logits.max(-1, keepdims=True)
+    nll = -jnp.take_along_axis(logp, targets[..., None], -1)
+    return jnp.mean(nll)
+
+
+def make_train_step(cfg: LlamaConfig, lr: float = 1e-3):
+    import jax
+
+    def step(params, tokens):
+        loss, grads = jax.value_and_grad(loss_fn)(params, tokens, cfg)
+        new = jax.tree.map(lambda p, g: p - lr * g.astype(p.dtype),
+                           params, grads)
+        return new, loss
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Sharding over a (dp, tp[, ep]) mesh
+# ---------------------------------------------------------------------------
+
+
+def param_shardings(params, mesh):
+    """tp shards head/ffn columns; ep shards the expert dimension of MoE
+    weights; norms/embeddings replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    has_ep = "ep" in mesh.axis_names
+
+    def spec_for(path: str, ndim: int):
+        if "/moe/" in path:
+            e = "ep" if has_ep else None
+            if path.endswith(("w1", "w3")):
+                return P(e, None, "tp")
+            if path.endswith("w2"):
+                return P(e, "tp", None)
+            return P()                           # router replicated
+        if path.endswith(("wq", "wk", "wv")) or path.endswith("/w1") \
+                or path.endswith("/w3"):
+            return P(None, "tp")                 # column-parallel
+        if path.endswith("wo") or path.endswith("/w2"):
+            return P("tp", None)                 # row-parallel
+        return P()
+
+    def walk(obj, path=""):
+        if isinstance(obj, dict):
+            return {k: walk(v, f"{path}/{k}") for k, v in obj.items()}
+        if isinstance(obj, list):
+            return [walk(v, f"{path}/{i}") for i, v in enumerate(obj)]
+        return NamedSharding(mesh, spec_for(path, getattr(obj, "ndim", 0)))
+
+    return walk(params)
+
+
+def data_sharding(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P("dp"))
+
+
+def make_sharded_train_step(cfg: LlamaConfig, mesh, lr: float = 1e-3):
+    import jax
+
+    step = make_train_step(cfg, lr)
+    params0 = init_params(cfg)
+    pshard = param_shardings(params0, mesh)
+    dshard = data_sharding(mesh)
+    jstep = jax.jit(step, in_shardings=(pshard, dshard),
+                    out_shardings=(pshard, None))
+    return jstep, pshard, dshard

@@ -96,3 +96,81 @@ def test_sharded_step_matches_single():
     t2 = jax.device_put(tokens, dshard)
     _, loss_sh = jstep(p2, t2)
     np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+
+
+# ---------------------------------------------------------------- llama
+
+
+def test_llama_forward_and_train():
+    import jax.numpy as jnp
+
+    from cubecl_tpu.models import llama
+
+    cfg = llama.LlamaConfig(vocab=64, d_model=32, n_heads=4, n_kv_heads=2,
+                            n_layers=2, d_ff=64, seq=16)
+    params = llama.init_params(cfg)
+    tokens = jnp.arange(2 * 16, dtype=jnp.int32).reshape(2, 16) % 64
+    logits = llama.forward(params, tokens, cfg)
+    assert logits.shape == (2, 16, 64)
+    step = llama.make_train_step(cfg)
+    p1, l1 = step(params, tokens)
+    p2, l2 = step(p1, tokens)
+    assert float(l2) < float(l1)  # loss decreases on repeated batch
+
+
+def test_llama_causality():
+    """Changing a future token must not change past logits (RoPE + causal
+    mask correctness)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cubecl_tpu.models import llama
+
+    cfg = llama.LlamaConfig(vocab=64, d_model=32, n_heads=4, n_kv_heads=2,
+                            n_layers=1, d_ff=64, seq=8)
+    params = llama.init_params(cfg)
+    t1 = jnp.zeros((1, 8), jnp.int32)
+    t2 = t1.at[0, 7].set(5)
+    l1 = llama.forward(params, t1, cfg)
+    l2 = llama.forward(params, t2, cfg)
+    np.testing.assert_allclose(np.asarray(l1[0, :7]), np.asarray(l2[0, :7]),
+                               atol=1e-6)
+
+
+def test_llama_moe():
+    import jax.numpy as jnp
+
+    from cubecl_tpu.models import llama
+
+    cfg = llama.LlamaConfig(vocab=64, d_model=32, n_heads=4, n_kv_heads=4,
+                            n_layers=1, d_ff=32, seq=8, n_experts=4,
+                            top_k=2)
+    params = llama.init_params(cfg)
+    tokens = jnp.ones((2, 8), jnp.int32)
+    logits = llama.forward(params, tokens, cfg)
+    assert logits.shape == (2, 8, 64)
+    step = llama.make_train_step(cfg)
+    p1, l1 = step(params, tokens)
+    assert jnp.isfinite(l1)
+
+
+def test_llama_sharded_train_step():
+    """dp x tp x ep mesh: full MoE train step with NamedShardings."""
+    import jax
+    import jax.numpy as jnp
+
+    from cubecl_tpu.models import llama
+
+    devs = jax.devices()[:8]
+    mesh = jax.sharding.Mesh(
+        np.array(devs).reshape(2, 2, 2), ("dp", "tp", "ep"))
+    cfg = llama.LlamaConfig(vocab=64, d_model=32, n_heads=4, n_kv_heads=2,
+                            n_layers=1, d_ff=32, seq=8, n_experts=2,
+                            top_k=1)
+    with mesh:
+        jstep, pshard, dshard = llama.make_sharded_train_step(cfg, mesh)
+        params = jax.device_put(llama.init_params(cfg), pshard)
+        tokens = jax.device_put(
+            jnp.ones((4, 8), jnp.int32), dshard)
+        p1, loss = jstep(params, tokens)
+        assert jnp.isfinite(loss)
