@@ -124,11 +124,16 @@ def _attention(x, layer, cfg: LlamaConfig):
     k = jnp.repeat(k, rep, axis=2)
     v = jnp.repeat(v, rep, axis=2)
     if cfg.use_flash_attention:
-        from ..ops.attention import flash_attention
+        # padded variant: any seq/head_dim (pads to TPU tiles internally)
+        import jax
 
-        o = flash_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                            v.transpose(0, 2, 1, 3), True, None, 128, 128,
-                            True).transpose(0, 2, 1, 3)
+        from ..ops.attention import flash_attention_padded
+
+        interp = jax.default_backend() != "tpu"  # CPU: pallas interpret
+        o = flash_attention_padded(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), True, None, 128, 128,
+            interp).transpose(0, 2, 1, 3)
     else:
         qh = q.transpose(0, 2, 1, 3)             # (B, H, S, hd)
         kh = k.transpose(0, 2, 1, 3)

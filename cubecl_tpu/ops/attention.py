@@ -30,7 +30,8 @@ MIN_BLOCK = 128  # NUM_LANES — TPU tile constraint
 
 
 def _fwd_call(q, k, v, causal: bool, sm_scale: float,
-              block_q: int, block_k: int, interpret: bool):
+              block_q: int, block_k: int, interpret: bool,
+              kv_len=None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -44,6 +45,7 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
         f"seq lens ({Sq},{Skv}) must tile by ({bq},{bk})"
     grid = (B, H, Sq // bq, Skv // bk)
     n_kv = Skv // bk
+    kv_mask = kv_len is not None and kv_len < Skv
 
     def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc, l_sc, acc_sc):
         qi = pl.program_id(2)
@@ -63,12 +65,15 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
                 preferred_element_type=jnp.float32)       # [bq, bk]
             if sm_scale != 1.0:
                 s = s * sm_scale
-            if causal:
+            if causal or kv_mask:
                 rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) \
                     + qi * bq
                 cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) \
                     + ki * bk
-                s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+                ok = cols <= rows if causal else cols == cols
+                if kv_mask:  # padded keys (static length) masked out
+                    ok = ok & (cols < kv_len)
+                s = jnp.where(ok, s, DEFAULT_MASK_VALUE)
 
             m_prev = m_sc[...]                             # [bq, 128]
             l_prev = l_sc[...]
@@ -155,11 +160,12 @@ def _reference_attention(q, k, v, causal, sm_scale):
                       v.astype(jnp.float32)).astype(q.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def flash_attention(q, k, v, causal: bool = True,
                     sm_scale: Optional[float] = None,
                     block_q: int = 256, block_k: int = 256,
-                    interpret: bool = False):
+                    interpret: bool = False,
+                    kv_len: Optional[int] = None):
     """softmax(q k^T / sqrt(d)) v with flash tiling.
 
     q/k/v: [batch, heads, seq, head_dim]; head_dim should be a multiple
@@ -167,18 +173,22 @@ def flash_attention(q, k, v, causal: bool = True,
     """
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(
         q.shape[-1])
-    o, _lse = _fwd_call(q, k, v, causal, scale, block_q, block_k, interpret)
+    o, _lse = _fwd_call(q, k, v, causal, scale, block_q, block_k, interpret,
+                        kv_len)
     return o
 
 
-def _fwd(q, k, v, causal, sm_scale, block_q, block_k, interpret):
+def _fwd(q, k, v, causal, sm_scale, block_q, block_k, interpret,
+         kv_len=None):
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(
         q.shape[-1])
-    o, lse = _fwd_call(q, k, v, causal, scale, block_q, block_k, interpret)
+    o, lse = _fwd_call(q, k, v, causal, scale, block_q, block_k, interpret,
+                       kv_len)
     return o, (q, k, v, o, lse)
 
 
-def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret):
+def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
+                  kv_len=None):
     """dK/dV kernel: grid (B, H, kv, q) with q innermost so the dk/dv
     accumulators stay resident per KV tile (guide §7: dKV iterates Q
     per KV tile)."""
@@ -191,6 +201,7 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret):
     Skv = k.shape[2]
     grid = (B, H, Skv // bk, Sq // bq)
     n_q = Sq // bq
+    kv_mask = kv_len is not None and kv_len < Skv
 
     def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                dk_ref, dv_ref, dk_sc, dv_sc):
@@ -212,12 +223,15 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret):
             s = jax.lax.dot_general(
                 qt, kt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
-            if causal:
+            if causal or kv_mask:
                 rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) \
                     + qi * bq
                 cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) \
                     + ki * bk
-                s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+                ok = cols <= rows if causal else cols == cols
+                if kv_mask:
+                    ok = ok & (cols < kv_len)
+                s = jnp.where(ok, s, DEFAULT_MASK_VALUE)
             p = jnp.exp(s - lse)                          # [bq, bk]
             # dV += P^T dO
             dv_sc[...] += jax.lax.dot_general(
@@ -281,7 +295,8 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret):
     )(q, k, v, do, lse, di)
 
 
-def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret):
+def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
+                 kv_len=None):
     """dQ kernel: grid (B, H, q, kv) with kv innermost (resident dq acc)."""
     import jax
     import jax.numpy as jnp
@@ -292,6 +307,7 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret):
     Skv = k.shape[2]
     grid = (B, H, Sq // bq, Skv // bk)
     n_kv = Skv // bk
+    kv_mask = kv_len is not None and kv_len < Skv
 
     def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_sc):
         qi = pl.program_id(2)
@@ -311,12 +327,15 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret):
             s = jax.lax.dot_general(
                 qt, kt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
-            if causal:
+            if causal or kv_mask:
                 rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) \
                     + qi * bq
                 cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) \
                     + ki * bk
-                s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+                ok = cols <= rows if causal else cols == cols
+                if kv_mask:
+                    ok = ok & (cols < kv_len)
+                s = jnp.where(ok, s, DEFAULT_MASK_VALUE)
             p = jnp.exp(s - lse)
             dp = jax.lax.dot_general(
                 dot, vt, (((1,), (1,)), ((), ())),
@@ -364,7 +383,7 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret):
     )(q, k, v, do, lse, di)
 
 
-def _bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
+def _bwd(causal, sm_scale, block_q, block_k, interpret, kv_len, res, do):
     """Flash backward: dKV + dQ Pallas kernels over saved (o, lse)
     residuals (guide §7 structure)."""
     import jax.numpy as jnp
@@ -379,10 +398,46 @@ def _bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
                  axis=-1, keepdims=True)
     di = jnp.broadcast_to(di, di.shape[:-1] + (128,))
     dk, dv = _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk,
-                           interpret)
+                           interpret, kv_len)
     dq = _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk,
-                      interpret)
+                      interpret, kv_len)
     return dq, dk, dv
 
 
 flash_attention.defvjp(_fwd, _bwd)
+
+
+def flash_attention_padded(q, k, v, causal: bool = True,
+                           sm_scale: Optional[float] = None,
+                           block_q: int = 256, block_k: int = 256,
+                           interpret: bool = False):
+    """flash_attention for ARBITRARY seq lens / head dims.
+
+    Pads head_dim up to a lane multiple (zero q/k columns leave the
+    scores unchanged; zero v columns are sliced off) and the sequence
+    dims up to tile multiples; padded KEYS are masked inside the kernel
+    via the static ``kv_len`` (padded queries produce rows that are
+    sliced off). Fully differentiable — pad/slice transpose through the
+    custom_vjp. The softmax scale always comes from the REAL head_dim.
+    """
+    import jax.numpy as jnp
+
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
+    Dp = -(-D // MIN_BLOCK) * MIN_BLOCK
+    bq = min(block_q, -(-Sq // MIN_BLOCK) * MIN_BLOCK)
+    bk = min(block_k, -(-Skv // MIN_BLOCK) * MIN_BLOCK)
+    Sqp = -(-Sq // bq) * bq
+    Skp = -(-Skv // bk) * bk
+    if (Dp, Sqp, Skp) == (D, Sq, Skv):
+        return flash_attention(q, k, v, causal, scale, bq, bk, interpret)
+
+    def pad(x, s_to):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, s_to - x.shape[2]),
+                           (0, Dp - D)))
+
+    o = flash_attention(pad(q, Sqp), pad(k, Skp), pad(v, Skp), causal,
+                        scale, bq, bk, interpret,
+                        Skv if Skp != Skv else None)
+    return o[:, :, :Sq, :D]

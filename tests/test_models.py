@@ -174,3 +174,22 @@ def test_llama_sharded_train_step():
             jnp.ones((4, 8), jnp.int32), dshard)
         p1, loss = jstep(params, tokens)
         assert jnp.isfinite(loss)
+
+
+def test_llama_flash_attention_path():
+    """use_flash_attention with non-tile head_dim/seq (padded kernel)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cubecl_tpu.models import llama
+
+    base = dict(vocab=64, d_model=64, n_heads=2, n_kv_heads=1, n_layers=1,
+                d_ff=64, seq=24)
+    tokens = jnp.arange(2 * 24, dtype=jnp.int32).reshape(2, 24) % 64
+    cfg0 = llama.LlamaConfig(**base, use_flash_attention=False)
+    cfg1 = llama.LlamaConfig(**base, use_flash_attention=True)
+    params = llama.init_params(cfg0)
+    l0 = llama.forward(params, tokens, cfg0)
+    l1 = llama.forward(params, tokens, cfg1)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                               atol=2e-5, rtol=1e-4)

@@ -219,3 +219,56 @@ def test_reduce_sum_blockwise(client):
         s = client.read_one(reduce_sum_blockwise(client, h, cubes=cubes))
         np.testing.assert_allclose(s[0], x.astype(np.float64).sum(),
                                    rtol=1e-4)
+
+
+def test_flash_attention_padded_shapes(client):
+    """Arbitrary seq/head_dim: pads to tiles, masks padded keys."""
+    import jax.numpy as jnp
+
+    from cubecl_tpu.ops.attention import (
+        _reference_attention,
+        flash_attention_padded,
+    )
+
+    cases = [((1, 2, 200, 200, 64), True), ((1, 2, 200, 200, 64), False),
+             ((1, 1, 130, 260, 72), False)]
+    for (B, H, Sq, Skv, D), causal in cases:
+        q = np.random.randn(B, H, Sq, D).astype(np.float32) * 0.5
+        k = np.random.randn(B, H, Skv, D).astype(np.float32) * 0.5
+        v = np.random.randn(B, H, Skv, D).astype(np.float32)
+        o = flash_attention_padded(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v), causal, None, 128, 128,
+                                   True)
+        ref = _reference_attention(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v), causal,
+                                   1.0 / np.sqrt(D))
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_flash_attention_padded_grad_matches_xla(client):
+    import jax
+    import jax.numpy as jnp
+
+    from cubecl_tpu.ops.attention import (
+        _reference_attention,
+        flash_attention_padded,
+    )
+
+    B, H, S, D = 1, 1, 200, 64
+    q = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32) * 0.3)
+    k = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32) * 0.3)
+    v = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32))
+
+    def loss(q, k, v):
+        return flash_attention_padded(q, k, v, True, None, 128, 128,
+                                      True).sum()
+
+    def ref_loss(q, k, v):
+        return _reference_attention(q, k, v, True, 1.0 / np.sqrt(D)).sum()
+
+    g1 = jax.grad(loss, (0, 1, 2))(q, k, v)
+    g2 = jax.grad(ref_loss, (0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-4
