@@ -2094,13 +2094,26 @@ def _mk_pure_table():
     def _reinterpret(ev, inst, xs):
         to = inst.op.attrs["to"]
         x = ev.jnp.asarray(xs[0])
-        src_bits = x.dtype.itemsize
+        src_b = x.dtype.itemsize
         dst = _elem_dtype(ev.jnp, to)
-        if src_bits == dst.itemsize:
+        if src_b == dst.itemsize:
             return ev.lax.bitcast_convert_type(x, dst)
-        flat = ev.lax.bitcast_convert_type(x, ev.jnp.uint8)
-        flat = flat.reshape(*x.shape[:-1], -1) if x.ndim else flat
-        _kernel_fail("reinterpret across different widths")
+        if x.ndim == 0:
+            _kernel_fail("reinterpret of a scalar across widths "
+                         "(line width must absorb the ratio)")
+        if src_b > dst.itemsize:
+            # wider -> narrower: bitcast adds a trailing ratio dim; fold
+            # it into the line
+            r = src_b // dst.itemsize
+            y = ev.lax.bitcast_convert_type(x, dst)        # (..., L, r)
+            return y.reshape(*x.shape[:-1], x.shape[-1] * r)
+        # narrower -> wider: group ratio lanes then bitcast folds them
+        r = dst.itemsize // src_b
+        if x.shape[-1] % r:
+            _kernel_fail(f"reinterpret: line {x.shape[-1]} not divisible "
+                         f"by width ratio {r}")
+        xx = x.reshape(*x.shape[:-1], x.shape[-1] // r, r)
+        return ev.lax.bitcast_convert_type(xx, dst)        # (..., L//r)
 
     t[O.REINTERPRET] = _reinterpret
 

@@ -149,9 +149,10 @@ class ComputeClient:
         TPU — data dependencies are tracked by the arrays themselves."""
         pool = getattr(self, "_stream_pool", None)
         if pool is None:
-            from .stream import SchedulerMultiStream, StreamPool
+            from .config import runtime_config
+            from .stream import StreamPool
 
-            pool = StreamPool(SchedulerMultiStream())
+            pool = StreamPool.from_config(runtime_config())
             self._stream_pool = pool
         pool.set_stream(index)
 

@@ -98,16 +98,44 @@ class SchedulerMultiStream:
 
 
 class StreamPool:
-    """Per-thread / explicit stream identity (StreamPolicy). ``set_stream``
-    pins subsequent work to a logical stream (reference client.set_stream
-    used by runtime_tests/stream.rs)."""
+    """Stream identity under a ``StreamPolicy`` (reference
+    cubecl-environment/src/stream/policy.rs:11-29: PerThread / PerTask /
+    Single). ``set_stream`` pins subsequent work explicitly (reference
+    client.set_stream used by runtime_tests/stream.rs); without a pin,
+    the policy decides:
 
-    def __init__(self, scheduler: SchedulerMultiStream):
+    - ``single``     — everything on stream 0
+    - ``per_thread`` — stream id derived from the OS thread identity
+    - ``per_task``   — explicit pins only (the reference's tokio
+      task-stable id has no Python analogue; asyncio tasks run on one
+      thread, so explicit pinning is the faithful mapping)
+    """
+
+    def __init__(self, scheduler: SchedulerMultiStream,
+                 policy: str = "per_task"):
+        assert policy in ("single", "per_thread", "per_task")
         self.scheduler = scheduler
+        self.policy = policy
         self._tls = threading.local()
 
     def current(self) -> int:
-        return getattr(self._tls, "stream", 0)
+        pinned = getattr(self._tls, "stream", None)
+        if pinned is not None:
+            return pinned
+        if self.policy == "per_thread":
+            n = len(self.scheduler.streams)
+            return threading.get_ident() % n
+        return 0
 
     def set_stream(self, index: Optional[int]) -> None:
-        self._tls.stream = index or 0
+        self._tls.stream = index
+
+    @staticmethod
+    def from_config(cfg: dict) -> "StreamPool":
+        sc = cfg.get("streaming", {})
+        return StreamPool(
+            SchedulerMultiStream(
+                num_streams=int(sc.get("max_streams", 4)),
+                max_tasks=int(sc.get("max_tasks", 16)),
+                strategy=sc.get("strategy", "interleave")),
+            policy=sc.get("policy", "per_task"))

@@ -54,9 +54,41 @@ def reinterpret_slice(slice_, elem):
 
 
 def _reinterpret_typed(slice_, elem, new_line):
-    raise NotImplementedError(
-        "cross-dtype slice reinterpretation requires a bitcast kernel; "
-        "use frontend reinterpret() on loaded values instead")
+    """Cross-dtype view: loads go through the ORIGINAL buffer type and a
+    per-access bitcast (op.reinterpret lowers to lax.bitcast_convert_type
+    with the line absorbing any width ratio)."""
+    old = slice_.ty
+    # one view line == one underlying line in bytes
+    assert new_line * elem.size == old.line * old.elem.size
+    return _ReinterpretedSlice(slice_, elem, new_line)
+
+
+class _ReinterpretedSlice:
+    """Read-only typed view over another slice (quantized-view pattern,
+    reference quant/view.rs + reinterpret_slice.rs)."""
+
+    def __init__(self, base, elem, line):
+        self._base = base
+        self._elem = elem
+        self._line = line
+
+    def len(self) -> int:
+        return self._base.len()
+
+    __len__ = len
+
+    @property
+    def line_size(self) -> int:
+        return self._line
+
+    @property
+    def ty(self):
+        from ..ir.types import Type
+
+        return Type(self._elem, self._line)
+
+    def __getitem__(self, idx):
+        return self._base[idx].reinterpret(self._elem)
 
 
 # -------------------------------------------------------- trigonometry

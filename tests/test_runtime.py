@@ -200,3 +200,20 @@ def test_autotune_checks_cross_validation(client):
     tuner.cache.store = None
     with pytest.raises(AssertionError, match="disagrees"):
         tuner.execute(np.ones(8, np.float32))
+
+
+def test_lease_pool():
+    """Generic lease pool (reference cubecl-common/src/pool.rs)."""
+    from cubecl_tpu.utils.pool import LeasePool
+
+    made = []
+    pool = LeasePool(lambda: made.append(1) or len(made), max_size=2)
+    with pool.acquire() as a:
+        with pool.acquire() as b:
+            assert {a, b} == {1, 2}
+            with pytest.raises(TimeoutError):
+                pool.acquire(timeout=0.01)
+        # b returned — reused, not recreated
+        with pool.acquire() as c:
+            assert c in (1, 2)
+    assert pool.size == 2 and pool.free == 2 and len(made) == 2

@@ -16,6 +16,10 @@ from cubecl_tpu.std import (
     quantize_np,
 )
 from cubecl_tpu.std.quant import QuantLevel
+from cubecl_tpu import cube
+from cubecl_tpu.frontend import MutSlice, Slice, UNIT_POS
+from cubecl_tpu.ir.types import i32, u8
+from cubecl_tpu.std.misc import reinterpret_slice
 
 
 def test_linear_layout():
@@ -187,3 +191,35 @@ def test_into_contiguous_3d_permute(client):
     np.testing.assert_array_equal(
         client.read_one(out.handle).reshape(4, 2, 3),
         np.transpose(x, (2, 0, 1)))
+
+
+@cube
+def k_reinterp_i32(inp: Slice, out: MutSlice):
+    v = reinterpret_slice(inp, i32)
+    out[UNIT_POS] = v[UNIT_POS]
+
+
+@cube
+def k_reinterp_u8(inp: Slice, out: MutSlice):
+    v = reinterpret_slice(inp, u8)  # line widens 4x
+    out[UNIT_POS] = v[UNIT_POS]
+
+
+def test_reinterpret_slice_cross_dtype(client):
+    """Cross-dtype slice views (reference reinterpret_slice.rs): same
+    width bitcast and width-changing views with line absorption."""
+    from cubecl_tpu.frontend import ArrayArg
+    from cubecl_tpu.runtime.base import CubeCount, CubeDim
+
+    x = np.random.rand(8).astype(np.float32)
+    h = client.create(x)
+    o = client.empty((8,), "int32")
+    k_reinterp_i32.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                                    ArrayArg(h), ArrayArg(o, mutable=True))
+    np.testing.assert_array_equal(client.read_one(o), x.view(np.int32))
+
+    o2 = client.empty((32,), "uint8")
+    k_reinterp_u8.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                                   ArrayArg(h),
+                                   ArrayArg(o2, line_size=4, mutable=True))
+    np.testing.assert_array_equal(client.read_one(o2), x.view(np.uint8))
