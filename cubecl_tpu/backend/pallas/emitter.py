@@ -25,7 +25,8 @@ from typing import Any, Dict, List, Optional, Tuple
 from ...ir import ops as O
 from ...ir.scope import Scope, walk
 from ...ir.value import VarKind
-from ...opt.analysis import UniformityAnalysis, plan_buffers
+from ...opt.analysis import (UniformityAnalysis, plan_buffers,
+                             shared_dynamic_vids)
 from ...opt.checked_io import insert_checked_io
 from ...opt.passes import optimize_scope
 from ..compiler import CompiledKernel, Compiler, KernelDefinition
@@ -69,6 +70,7 @@ class PallasCompiler(Compiler):
 
         ua = UniformityAnalysis(scope)
         plans = plan_buffers(scope, ua, cd, cc)
+        shared_dyn = shared_dynamic_vids(scope, ua, cd, cc)
         state = scope.state
         U = cd[0] * cd[1] * cd[2]
 
@@ -209,11 +211,15 @@ class PallasCompiler(Compiler):
                 shape = (sd.shape[0], L)
             else:
                 n = sd.shape[0]
-                if not self.interpret:
-                    # quantum-pad so dynamic 1D windows stay in bounds
+                if not self.interpret and sd.value.vid in shared_dyn:
+                    # quantum-pad so dynamic 1D windows stay in bounds —
+                    # only for shareds the span analysis flags as seeing
+                    # dynamic/strided offsets (exact size otherwise)
                     sub = {4: 8, 2: 16, 1: 32}.get(sd.ty.elem.size, 8)
                     A = sub * 128
                     n = -(-(n + U + 2 * A) // A) * A
+                elif not self.interpret and n % 128:
+                    n = -(-n // 128) * 128  # 1D VMEM lane alignment
                 shape = (n,)
             scratch_shapes.append(pltpu.VMEM(shape, sd.ty.elem.jnp_dtype()))
             scratch_meta.append(sd.value.vid)

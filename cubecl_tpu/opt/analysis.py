@@ -447,7 +447,15 @@ def _try_nd_plan(plan: BufferPlan, accs, get, cube_dim, cube_count,
         if rank >= 2 and blocks[-2] % 8 and blocks[-2] != dims[-2]:
             return False
     if any(dims[d] % blocks[d] for d in range(rank)):
-        return False  # exact tiling only (pallas pads, but keep it simple)
+        # non-exact tiling: pallas pads the last block with undefined
+        # values — only safe when every access is masked (checked mode):
+        # masked loads select their fallback and masked stores skip the
+        # out-of-range lanes, so the padding never leaks
+        masked_only = all(a.inst.op.opcode in (O.INDEX_MASKED,
+                                               O.STORE_MASKED)
+                          for a in accs)
+        if not masked_only:
+            return False
 
     plan.mode = "nd"
     plan.nd_shape = tuple(dims)
@@ -465,6 +473,50 @@ def _try_nd_plan(plan: BufferPlan, accs, get, cube_dim, cube_count,
     plan.store_covers_all = (plan.has_store and sweep >= n_blocks
                              and all_uncond)
     return True
+
+
+def shared_dynamic_vids(scope: Scope, ua: UniformityAnalysis,
+                        cube_dim: Tuple[int, int, int],
+                        cube_count: Tuple[int, int, int]) -> set:
+    """vids of SHARED buffers that may see dynamic-offset 1D windows
+    (traced/grid-dependent rel, or strided unit access) and therefore
+    need quantum padding for the superspan+roll path. Shareds indexed
+    only by constants + a unit stride of 0/1 keep their exact size —
+    per-shared span tracking instead of the blanket conservative pad."""
+    loop_ranges = collect_loop_ranges(scope)
+    _env, get = analyze_affine(scope, ua, loop_ranges, cube_dim, cube_count)
+    dyn: set = set()
+
+    def idx_of(inst):
+        oc = inst.op.opcode
+        if oc in (O.INDEX, O.STORE, O.INDEX_MASKED, O.STORE_MASKED,
+                  O.BLOCK_REDUCE) or oc.startswith("atomic."):
+            return inst.op.args[0], inst.op.args[1]
+        return None, None
+
+    for _s, inst in walk(scope):
+        buf, idx = idx_of(inst)
+        if buf is None or buf.kind != VarKind.SHARED:
+            # unknown access kinds touching shareds: conservative
+            if buf is None and any(
+                    a.kind == VarKind.SHARED for a in inst.op.args
+                    if hasattr(a, "kind")) and \
+                    inst.op.opcode not in (O.SLICE,):
+                dyn.update(a.vid for a in inst.op.args
+                           if getattr(a, "kind", None) == VarKind.SHARED)
+            continue
+        aff = get(idx)
+        if aff is None:
+            dyn.add(buf.vid)
+            continue
+        cu = flat_unit_coeff(aff.coeffs, cube_dim) or 0
+        # grid syms do NOT cancel for shareds (no block base) — any
+        # non-unit symbol makes the offset traced at kernel level
+        traced = any(s not in ("ux", "uy", "uz") and c != 0
+                     for s, c in aff.coeffs.items())
+        if traced or cu > 1 or cu < 0:
+            dyn.add(buf.vid)
+    return dyn
 
 
 def plan_buffers(scope: Scope, ua: UniformityAnalysis,

@@ -404,3 +404,24 @@ def test_nd_fallback_whole_strided(client):
         TensorArg(h, shape=(R, C), line_size=L),
         TensorArg(o, shape=(R, C), line_size=L, mutable=True))
     np.testing.assert_allclose(client.read_one(o).reshape(R, C), x + 1)
+
+
+def test_nd_nonexact_tiling_checked(client):
+    """Non-multiple row count: nd planning pads the last block; checked
+    (masked) accesses keep the padding from leaking."""
+    R, C, L = 60, 256, 128   # 60 % 8 != 0 -> padded row tiles
+    x = np.random.rand(R, C).astype(np.float32)
+    h = client.create(x.reshape(-1))
+    o = client.create(np.full(R * C, -1, np.float32))
+    cubes = -(-R // 8)
+    ck = k_scale_rows_nd.compile_only(
+        client, CubeCount(cubes), CubeDim.new_1d(8),
+        TensorArg(h, shape=(R, C), line_size=L),
+        TensorArg(o, shape=(R, C), line_size=L, mutable=True), C // L,
+        checked=True)
+    assert "mode=nd" in ck.source, ck.source
+    k_scale_rows_nd.launch(
+        client, CubeCount(cubes), CubeDim.new_1d(8),
+        TensorArg(h, shape=(R, C), line_size=L),
+        TensorArg(o, shape=(R, C), line_size=L, mutable=True), C // L)
+    np.testing.assert_allclose(client.read_one(o).reshape(R, C), x * 2)
