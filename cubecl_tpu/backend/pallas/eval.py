@@ -1664,7 +1664,10 @@ class Evaluator:
             mat, buf, off, stride = args[0], args[1], args[2], args[3]
             rows, cols = mat.shape
             layout = inst.op.attrs.get("layout", "row_major")
-            arr = self._mma_slab(buf, off, stride, rows, cols, layout)
+            if self._mma_is_nd(inst):
+                arr = self._mma_slab_nd(inst, rows, cols, layout)
+            else:
+                arr = self._mma_slab(buf, off, stride, rows, cols, layout)
             self.env[mat.vid] = EV(arr=arr.astype(_elem_dtype(jnp, mat.ty)),
                                    varying=False)
             return
@@ -1672,8 +1675,11 @@ class Evaluator:
             mat, buf, off, stride = args[0], args[1], args[2], args[3]
             rows, cols = mat.shape
             m = self.env[mat.vid].arr
-            self._mma_store_slab(buf, off, stride, m,
-                                 inst.op.attrs.get("layout", "row_major"))
+            layout = inst.op.attrs.get("layout", "row_major")
+            if self._mma_is_nd(inst):
+                self._mma_slab_nd(inst, rows, cols, layout, store_m=m)
+            else:
+                self._mma_store_slab(buf, off, stride, m, layout)
             return
         if oc == O.MMA_EXECUTE:
             a, b, c, d = args
@@ -1707,6 +1713,51 @@ class Evaluator:
                 varying=False)
             return
         _kernel_fail(f"mma op {oc}")
+
+    def _mma_is_nd(self, inst) -> bool:
+        buf = inst.op.args[1]
+        return ("nd_affine" in inst.op.attrs
+                and buf.kind == VarKind.BUFFER
+                and self.plans[buf.vid].mode == "nd")
+
+    def _mma_slab_nd(self, inst, rows, cols, layout, store_m=None):
+        """Fragment load/store through an ND-blocked 2D tensor: per-dim
+        block-relative offsets (grid terms cancel against the BlockSpec),
+        slab = ref[r : r+rows, c : c+cols_lines, :]."""
+        jnp, pl = self.jnp, self.pl
+        op = inst.op
+        buf = op.args[1]
+        plan = self.plans[buf.vid]
+        ref = self.refs[buf.vid]
+        L = plan.param.ty.line
+        rels = []
+        for aff in op.attrs["nd_affine"]:
+            r = self.static_rel(aff, blocked=True)
+            if r is None or r[1]:
+                _kernel_fail("nd mma offset must be cube-uniform affine")
+            rels.append(r[0])
+        # storage region extent (layout = storage order of the fragment)
+        reg_r, reg_c = (rows, cols) if layout == "row_major" else \
+            (cols, rows)
+        cl = -(-reg_c // max(L, 1))
+        r0 = self._hint(_as_i32(jnp, rels[0]), 1)
+        c0 = self._hint(_as_i32(jnp, rels[1]), 1)
+        if L > 1:
+            idx = (pl.ds(r0, reg_r), pl.ds(c0, cl), slice(None))
+        else:
+            idx = (pl.ds(r0, reg_r), pl.ds(c0, reg_c))
+        if store_m is None:
+            chunk = ref[idx]
+            arr = chunk.reshape(reg_r, cl * L)[:, :reg_c] if L > 1 else chunk
+            return arr if layout == "row_major" else arr.T
+        m = store_m if layout == "row_major" else store_m.T
+        if L > 1:
+            if reg_c % L:
+                _kernel_fail("nd mma store needs line-aligned fragment "
+                             "columns")
+            ref[idx] = m.astype(ref.dtype).reshape(reg_r, cl, L)
+        else:
+            ref[idx] = m.astype(ref.dtype)
 
     def _mma_geometry(self, buf, off, stride, rows):
         """Resolve an MMA slab access on a (lines, L) 2D or (N,) 1D ref.

@@ -81,6 +81,38 @@ def load(mat: Matrix, slice_, stride, offset=0,
         {"layout": layout or mat.layout, "line_size": slice_.line_size}))
 
 
+def _tensor_frag_op(opcode, mat, t, row, col, layout):
+    from ..ir.types import Type, index_ty
+
+    assert len(t._shape) == 2, "tensor fragment access needs a 2D tensor"
+    L = t.line_size
+    stride = t._strides[0]
+    nd = t._nd_attrs((row, col))
+    offset = row * stride + col * L  # elements
+    b = active_builder()
+    attrs = {"layout": layout or mat.layout, "line_size": L}
+    if nd is not None:
+        attrs.update(nd)
+    b.scope.register(None, Operation(
+        opcode, (mat.value, t.value, as_value(offset), as_value(stride)),
+        attrs))
+
+
+def load_tensor(mat: Matrix, t, row, col,
+                layout: Optional[str] = None) -> None:
+    """Load a fragment from a 2D Tensor at (row, col) — ``col`` in LINE
+    units (the tensor-indexing convention). Carries per-dim indices so
+    the ND block planner can window the operand (tiled large matmuls:
+    operands become VMEM stripes instead of whole-resident buffers)."""
+    _tensor_frag_op(O.MMA_LOAD, mat, t, row, col, layout)
+
+
+def store_tensor(mat: Matrix, t, row, col,
+                 layout: str = ROW_MAJOR) -> None:
+    """Store a fragment into a 2D MutTensor at (row, col in lines)."""
+    _tensor_frag_op(O.MMA_STORE, mat, t, row, col, layout)
+
+
 def store(mat: Matrix, slice_, stride, offset=0,
           layout: str = ROW_MAJOR) -> None:
     b = active_builder()

@@ -22,7 +22,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from ..frontend import ArrayArg, MutSlice, ScalarArg, Slice, cube, cube_range
+from ..frontend import (ArrayArg, MutSlice, MutTensor, ScalarArg,
+                        Slice, Tensor, cube, cube_range)
 from ..frontend import cmma
 from ..frontend.topology import CUBE_POS_X, CUBE_POS_Y
 from ..ir.types import bf16, f32
@@ -209,16 +210,49 @@ def matmul_cmma_kernel(a: Slice, b: Slice, out: MutSlice,
     cmma.store(acc, out, n, offset=row * n + col)
 
 
+@cube
+def matmul_cmma_nd_kernel(a: Tensor, b: Tensor, out: MutTensor,
+                          tm: int, tn: int, tk: int, k: int, elem):
+    """Tiled CMMA matmul over TENSOR params: load_tensor/store_tensor
+    carry per-dim indices, so the ND planner windows the operands —
+    A becomes a (tm, K) row stripe per cy, B a (K, tn) column stripe per
+    cx, OUT a (tm, tn) block. tn must span >=8 lines (Mosaic sublane
+    blocks) for B/OUT to window; large matmuls then fit VMEM."""
+    L = a.line_size
+    row = CUBE_POS_Y * tm
+    col_l = CUBE_POS_X * (tn // L)
+    acc = cmma.Matrix("accumulator", tm, tn, tk, f32)
+    cmma.fill(acc, 0.0)
+    ma = cmma.Matrix("a", tm, tn, tk, elem)
+    mb = cmma.Matrix("b", tm, tn, tk, elem)
+    for kk in cube_range(0, k // tk):
+        cmma.load_tensor(ma, a, row, kk * (tk // L))
+        cmma.load_tensor(mb, b, kk * tk, col_l)
+        cmma.execute(ma, mb, acc, acc)
+    cmma.store_tensor(acc, out, row, col_l)
+
+
 def matmul_cmma(client, a: Handle, b: Handle, out: Handle,
                 m: int, n: int, k: int, tile: int = 128) -> None:
-    """DSL CMMA matmul. Buffers are whole-VMEM-resident (the nd-tensor
-    window planner will lift this); suited to parity tests and fused small
-    matmuls — use matmul_autotuned for large shapes."""
+    """DSL CMMA matmul. With 128-line tensors the ND window planner
+    turns operands into VMEM stripes (large shapes); the 1-line fallback
+    keeps buffers whole-resident (small/parity shapes only)."""
+    from ..frontend import TensorArg
     from ..ir.types import elem_from_dtype
 
     elem = elem_from_dtype(a.dtype)
     # 128-lines → 2D refs: slab row windows need only sublane alignment
     line = 128 if (k % 128 == 0 and n % 128 == 0) else 1
+    if line == 128:
+        # tn spans >=8 lines when possible so B/OUT window per cx
+        tn = 1024 if n % 1024 == 0 else tile
+        matmul_cmma_nd_kernel.launch_unchecked(
+            client, CubeCount(n // tn, m // tile), CubeDim.new_1d(8),
+            TensorArg(a, shape=(m, k), line_size=line),
+            TensorArg(b, shape=(k, n), line_size=line),
+            TensorArg(out, shape=(m, n), line_size=line, mutable=True),
+            tile, tn, tile, k, elem)
+        return
     matmul_cmma_kernel.launch_unchecked(
         client, CubeCount(n // tile, m // tile), CubeDim.new_1d(8),
         ArrayArg(a, line_size=line), ArrayArg(b, line_size=line),

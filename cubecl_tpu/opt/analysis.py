@@ -379,6 +379,17 @@ def _try_nd_plan(plan: BufferPlan, accs, get, cube_dim, cube_count,
     L = plan.param.ty.line
     dims = list(shape[:-1]) + [shape[-1] // max(L, 1)]  # innermost in lines
 
+    def nd_spans(a):
+        """Per-dim extent of one access: 1 for element accesses, the
+        fragment extent (rows, cols-in-lines) for MMA slab accesses."""
+        if a.inst.op.opcode in (O.MMA_LOAD, O.MMA_STORE):
+            mat = a.inst.op.args[0]
+            r_, c_ = mat.shape
+            if a.inst.op.attrs.get("layout") == "col_major":
+                r_, c_ = c_, r_
+            return (r_, -(-c_ // max(L, 1)))
+        return (1,) * rank
+
     grid: Optional[list] = None
     windows = [0] * rank
     for a in accs:
@@ -387,6 +398,7 @@ def _try_nd_plan(plan: BufferPlan, accs, get, cube_dim, cube_count,
         if any(x is None for x in affs):
             return False
         a.inst.op.attrs["nd_affine"] = affs
+        spans = nd_spans(a)
         unit_dims = 0
         g_this = []
         for d, aff in enumerate(affs):
@@ -413,7 +425,7 @@ def _try_nd_plan(plan: BufferPlan, accs, get, cube_dim, cube_count,
                 return False
             if cu > 1:
                 hi = max(hi, lo + cu * U - 1)
-            windows[d] = max(windows[d], hi + 1)
+            windows[d] = max(windows[d], hi + spans[d])
         if unit_dims > 1:
             return False
         if grid is None:
@@ -571,10 +583,28 @@ def plan_buffers(scope: Scope, ua: UniformityAnalysis,
                 L = buf.ty.line
                 span = 1
                 if stride_v.is_const and mat.shape:
-                    rows = max(mat.shape)
-                    span = -(-rows * int(stride_v.const) // max(L, 1))
+                    # exact slab span: (rows-1)*stride + ceil(cols/L)
+                    s_lines = max(1, int(stride_v.const) // max(L, 1))
+                    r_, c_ = mat.shape[0], mat.shape[-1]
+                    span = (r_ - 1) * s_lines + -(-c_ // max(L, 1))
+                # affine of the LINE offset enables blocked planning for
+                # MMA slabs (the tile offset's grid terms become the
+                # BlockSpec; _mma_geometry subtracts the block base)
+                aff = get(inst.op.args[2])
+                if aff is not None and L > 1:
+                    if aff.const % L or any(c % L for c in
+                                            aff.coeffs.values()):
+                        aff = None  # offset not line-aligned
+                    else:
+                        aff = Affine(aff.const // L,
+                                     {s: c // L
+                                      for s, c in aff.coeffs.items()})
+                if aff is not None:
+                    cu = flat_unit_coeff(aff.coeffs, cube_dim)
+                    if cu is None or cu != 0:
+                        aff = None  # unit-varying mma offsets unsupported
                 accesses.setdefault(buf.vid, []).append(
-                    Access(inst, None, oc == O.MMA_STORE, L, span=span,
+                    Access(inst, aff, oc == O.MMA_STORE, L, span=span,
                            conditional=depth > 0))
             elif oc.startswith("atomic."):
                 buf = inst.op.args[0]

@@ -425,3 +425,27 @@ def test_nd_nonexact_tiling_checked(client):
         TensorArg(h, shape=(R, C), line_size=L),
         TensorArg(o, shape=(R, C), line_size=L, mutable=True), C // L)
     np.testing.assert_allclose(client.read_one(o).reshape(R, C), x * 2)
+
+
+def test_cmma_nd_windowed_matmul(client):
+    """load_tensor/store_tensor fragments drive ND planning: operands
+    become VMEM stripes, so shapes far beyond whole-mode VMEM work."""
+    from cubecl_tpu.frontend import TensorArg
+    from cubecl_tpu.ir.types import elem_from_dtype
+    from cubecl_tpu.ops.matmul import matmul_cmma, matmul_cmma_nd_kernel
+
+    M, N, K = 256, 1024, 256
+    A = np.random.randn(M, K).astype(np.float32)
+    B = np.random.randn(K, N).astype(np.float32)
+    hA, hB = client.create(A.reshape(-1)), client.create(B.reshape(-1))
+    hO = client.empty((M * N,), "float32")
+    ck = matmul_cmma_nd_kernel.compile_only(
+        client, CubeCount(N // 1024, M // 128), CubeDim.new_1d(8),
+        TensorArg(hA, shape=(M, K), line_size=128),
+        TensorArg(hB, shape=(K, N), line_size=128),
+        TensorArg(hO, shape=(M, N), line_size=128, mutable=True),
+        128, 1024, 128, K, elem_from_dtype(A.dtype))
+    assert ck.source.count("mode=nd") == 3, ck.source
+    matmul_cmma(client, hA, hB, hO, M, N, K, tile=128)
+    got = client.read_one(hO).reshape(M, N)
+    np.testing.assert_allclose(got, A @ B, atol=1e-3, rtol=1e-4)
