@@ -1,7 +1,8 @@
 """cubecl_tpu.ops — the kernel library (reference: examples/ + the cubek
 kernel crates the reference ecosystem splits out; README.md:164)."""
 
-from .attention import flash_attention, flash_attention_padded
+from .attention import (flash_attention, flash_attention_padded,
+                        flash_attention_segmented)
 
 from .fusion import FUSABLE, fused_chain, launch_fused
 from .gelu import gelu_array, gelu_scalar, launch_gelu

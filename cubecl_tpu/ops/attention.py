@@ -31,7 +31,7 @@ MIN_BLOCK = 128  # NUM_LANES — TPU tile constraint
 
 def _fwd_call(q, k, v, causal: bool, sm_scale: float,
               block_q: int, block_k: int, interpret: bool,
-              kv_len=None):
+              kv_len=None, seg=None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -47,7 +47,13 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
     n_kv = Skv // bk
     kv_mask = kv_len is not None and kv_len < Skv
 
-    def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc, l_sc, acc_sc):
+    def kernel(*refs):
+        if seg is None:
+            q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc, l_sc, acc_sc = refs
+            sq_ref = sk_ref = None
+        else:
+            (q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref, lse_ref,
+             m_sc, l_sc, acc_sc) = refs
         qi = pl.program_id(2)
         ki = pl.program_id(3)
 
@@ -65,7 +71,7 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
                 preferred_element_type=jnp.float32)       # [bq, bk]
             if sm_scale != 1.0:
                 s = s * sm_scale
-            if causal or kv_mask:
+            if causal or kv_mask or seg is not None:
                 rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) \
                     + qi * bq
                 cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) \
@@ -73,6 +79,10 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
                 ok = cols <= rows if causal else cols == cols
                 if kv_mask:  # padded keys (static length) masked out
                     ok = ok & (cols < kv_len)
+                if seg is not None:  # packed sequences: same-segment only
+                    sq = sq_ref[0, :, 0]
+                    sk = sk_ref[0, :, 0]
+                    ok = ok & (sq[:, None] == sk[None, :])
                 s = jnp.where(ok, s, DEFAULT_MASK_VALUE)
 
             m_prev = m_sc[...]                             # [bq, 128]
@@ -109,18 +119,30 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
         jax.ShapeDtypeStruct((B, H, Sq, 128), jnp.float32),  # lse residual
     )
     flops = 4 * B * H * Sq * Skv * D * (0.5 if causal else 1.0)
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [q, k, v]
+    if seg is not None:
+        # segment ids ride an lse-style broadcast layout (B, S, 128):
+        # Mosaic rejects (1, bq) blocks on a (B, S) array
+        in_specs += [
+            pl.BlockSpec((1, bq, 128), lambda b, h, qi, ki: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, 128), lambda b, h, qi, ki: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        inputs += [seg[0], seg[1]]
     return pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0),
                          memory_space=pltpu.VMEM),
@@ -142,7 +164,7 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
             transcendentals=B * H * Sq * Skv),
         interpret=interpret,
         name=f"flash_attn_{bq}x{bk}",
-    )(q, k, v)
+    )(*inputs)
 
 
 def _reference_attention(q, k, v, causal, sm_scale):
@@ -188,7 +210,7 @@ def _fwd(q, k, v, causal, sm_scale, block_q, block_k, interpret,
 
 
 def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
-                  kv_len=None):
+                  kv_len=None, seg=None):
     """dK/dV kernel: grid (B, H, kv, q) with q innermost so the dk/dv
     accumulators stay resident per KV tile (guide §7: dKV iterates Q
     per KV tile)."""
@@ -203,8 +225,14 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
     n_q = Sq // bq
     kv_mask = kv_len is not None and kv_len < Skv
 
-    def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-               dk_ref, dv_ref, dk_sc, dv_sc):
+    def kernel(*refs):
+        if seg is None:
+            (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+             dk_ref, dv_ref, dk_sc, dv_sc) = refs
+            sq_ref = sk_ref = None
+        else:
+            (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, sq_ref, sk_ref,
+             dk_ref, dv_ref, dk_sc, dv_sc) = refs
         qi = pl.program_id(3)
         ki = pl.program_id(2)
 
@@ -223,7 +251,7 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
             s = jax.lax.dot_general(
                 qt, kt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
-            if causal or kv_mask:
+            if causal or kv_mask or seg is not None:
                 rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) \
                     + qi * bq
                 cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) \
@@ -231,6 +259,10 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
                 ok = cols <= rows if causal else cols == cols
                 if kv_mask:
                     ok = ok & (cols < kv_len)
+                if seg is not None:
+                    sq = sq_ref[0, :, 0]
+                    sk = sk_ref[0, :, 0]
+                    ok = ok & (sq[:, None] == sk[None, :])
                 s = jnp.where(ok, s, DEFAULT_MASK_VALUE)
             p = jnp.exp(s - lse)                          # [bq, bk]
             # dV += P^T dO
@@ -256,23 +288,33 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
             dk_ref[0, 0] = dk_sc[...].astype(dk_ref.dtype)
             dv_ref[0, 0] = dv_sc[...].astype(dv_ref.dtype)
 
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, ki, qi: (b, h, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, qi: (b, h, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, qi: (b, h, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, ki, qi: (b, h, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq, 128), lambda b, h, ki, qi: (b, h, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq, 128), lambda b, h, ki, qi: (b, h, qi, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [q, k, v, do, lse, di]
+    if seg is not None:
+        in_specs += [
+            pl.BlockSpec((1, bq, 128), lambda b, h, ki, qi: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, 128), lambda b, h, ki, qi: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        inputs += [seg[0], seg[1]]
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, ki, qi: (b, h, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, qi: (b, h, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, qi: (b, h, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, ki, qi: (b, h, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, 128), lambda b, h, ki, qi: (b, h, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, 128), lambda b, h, ki, qi: (b, h, qi, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, qi: (b, h, ki, 0),
                          memory_space=pltpu.VMEM),
@@ -292,11 +334,11 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
                                  "arbitrary")),
         interpret=interpret,
         name=f"flash_bwd_dkv_{bq}x{bk}",
-    )(q, k, v, do, lse, di)
+    )(*inputs)
 
 
 def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
-                 kv_len=None):
+                 kv_len=None, seg=None):
     """dQ kernel: grid (B, H, q, kv) with kv innermost (resident dq acc)."""
     import jax
     import jax.numpy as jnp
@@ -309,7 +351,14 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
     n_kv = Skv // bk
     kv_mask = kv_len is not None and kv_len < Skv
 
-    def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_sc):
+    def kernel(*refs):
+        if seg is None:
+            (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+             dq_ref, dq_sc) = refs
+            sq_ref = sk_ref = None
+        else:
+            (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, sq_ref, sk_ref,
+             dq_ref, dq_sc) = refs
         qi = pl.program_id(2)
         ki = pl.program_id(3)
 
@@ -327,7 +376,7 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
             s = jax.lax.dot_general(
                 qt, kt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
-            if causal or kv_mask:
+            if causal or kv_mask or seg is not None:
                 rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) \
                     + qi * bq
                 cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) \
@@ -335,6 +384,10 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
                 ok = cols <= rows if causal else cols == cols
                 if kv_mask:
                     ok = ok & (cols < kv_len)
+                if seg is not None:
+                    sq = sq_ref[0, :, 0]
+                    sk = sk_ref[0, :, 0]
+                    ok = ok & (sq[:, None] == sk[None, :])
                 s = jnp.where(ok, s, DEFAULT_MASK_VALUE)
             p = jnp.exp(s - lse)
             dp = jax.lax.dot_general(
@@ -353,23 +406,33 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
         def _done():
             dq_ref[0, 0] = dq_sc[...].astype(dq_ref.dtype)
 
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq, 128), lambda b, h, qi, ki: (b, h, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq, 128), lambda b, h, qi, ki: (b, h, qi, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [q, k, v, do, lse, di]
+    if seg is not None:
+        in_specs += [
+            pl.BlockSpec((1, bq, 128), lambda b, h, qi, ki: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, 128), lambda b, h, qi, ki: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        inputs += [seg[0], seg[1]]
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, 128), lambda b, h, qi, ki: (b, h, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, 128), lambda b, h, qi, ki: (b, h, qi, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, bq, D),
                                lambda b, h, qi, ki: (b, h, qi, 0),
                                memory_space=pltpu.VMEM),
@@ -380,7 +443,7 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
                                  "arbitrary")),
         interpret=interpret,
         name=f"flash_bwd_dq_{bq}x{bk}",
-    )(q, k, v, do, lse, di)
+    )(*inputs)
 
 
 def _bwd(causal, sm_scale, block_q, block_k, interpret, kv_len, res, do):
@@ -441,3 +504,72 @@ def flash_attention_padded(q, k, v, causal: bool = True,
                         scale, bq, bk, interpret,
                         Skv if Skp != Skv else None)
     return o[:, :, :Sq, :D]
+
+
+# ---------------------------------------------------------------------------
+# Segmented (packed-sequence) flash attention
+# ---------------------------------------------------------------------------
+
+
+def _bcast_seg(seg):
+    """(B, S) int32 -> the (B, S, 128) lane-broadcast layout Mosaic needs
+    (a (1, bq) block on a (B, S) array violates the sublane rule)."""
+    import jax.numpy as jnp
+
+    s = jnp.asarray(seg, jnp.int32)
+    return jnp.broadcast_to(s[..., None], s.shape + (128,))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_seg(q, k, v, seg_q_b, seg_kv_b, causal, scale, block_q, block_k,
+               interpret):
+    o, _lse = _fwd_call(q, k, v, causal, scale, block_q, block_k, interpret,
+                        None, (seg_q_b, seg_kv_b))
+    return o
+
+
+def _flash_seg_fwd(q, k, v, seg_q_b, seg_kv_b, causal, scale, block_q,
+                   block_k, interpret):
+    o, lse = _fwd_call(q, k, v, causal, scale, block_q, block_k, interpret,
+                       None, (seg_q_b, seg_kv_b))
+    return o, (q, k, v, seg_q_b, seg_kv_b, o, lse)
+
+
+def _flash_seg_bwd(causal, scale, block_q, block_k, interpret, res, do):
+    import jax.numpy as jnp
+
+    q, k, v, seg_q_b, seg_kv_b, o, lse = res
+    bq = min(block_q, q.shape[2])
+    bk = min(block_k, k.shape[2])
+    di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                 axis=-1, keepdims=True)
+    di = jnp.broadcast_to(di, di.shape[:-1] + (128,))
+    seg = (seg_q_b, seg_kv_b)
+    dk, dv = _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk,
+                           interpret, None, seg)
+    dq = _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk,
+                      interpret, None, seg)
+    zq = np.zeros(seg_q_b.shape, jax.dtypes.float0)
+    zk = np.zeros(seg_kv_b.shape, jax.dtypes.float0)
+    return dq, dk, dv, zq, zk
+
+
+_flash_seg.defvjp(_flash_seg_fwd, _flash_seg_bwd)
+
+
+def flash_attention_segmented(q, k, v, segment_ids_q, segment_ids_kv=None,
+                              causal: bool = True,
+                              sm_scale: Optional[float] = None,
+                              block_q: int = 256, block_k: int = 256,
+                              interpret: bool = False):
+    """Packed-sequence flash attention: positions attend only within the
+    same segment id (plus the causal mask). segment_ids: (B, S) int32;
+    use a reserved id (e.g. -1) for padding slots so they attend nothing
+    real. Fully differentiable."""
+    if segment_ids_kv is None:
+        segment_ids_kv = segment_ids_q
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(
+        q.shape[-1])
+    return _flash_seg(q, k, v, _bcast_seg(segment_ids_q),
+                      _bcast_seg(segment_ids_kv), causal, scale,
+                      block_q, block_k, interpret)

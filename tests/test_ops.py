@@ -272,3 +272,51 @@ def test_flash_attention_padded_grad_matches_xla(client):
     for a, b in zip(g1, g2):
         scale = float(jnp.max(jnp.abs(b))) + 1e-9
         assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-4
+
+
+def test_flash_attention_segmented(client):
+    """Packed sequences: attention confined to same-segment positions."""
+    import jax
+    import jax.numpy as jnp
+
+    from cubecl_tpu.ops.attention import (
+        DEFAULT_MASK_VALUE,
+        flash_attention_segmented,
+    )
+
+    B, H, S, D = 2, 2, 256, 128
+    q = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32) * 0.4)
+    k = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32) * 0.4)
+    v = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32))
+    seg = np.zeros((B, S), np.int32)
+    seg[:, 100:180] = 1
+    seg[:, 180:] = 2
+    seg = jnp.asarray(seg)
+
+    def ref(q, k, v, causal):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(D)
+        ok = seg[:, None, :, None] == seg[:, None, None, :]
+        if causal:
+            ok = ok & jnp.tril(jnp.ones((S, S), bool))
+        s = jnp.where(ok, s, DEFAULT_MASK_VALUE)
+        return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v)
+
+    for causal in (True, False):
+        o = flash_attention_segmented(q, k, v, seg, None, causal, None,
+                                      128, 128, True)
+        np.testing.assert_allclose(np.asarray(o),
+                                   np.asarray(ref(q, k, v, causal)),
+                                   atol=3e-5, rtol=1e-4)
+
+    def loss(q, k, v):
+        return flash_attention_segmented(q, k, v, seg, None, True, None,
+                                         128, 128, True).sum()
+
+    def rloss(q, k, v):
+        return ref(q, k, v, True).sum()
+
+    g1 = jax.grad(loss, (0, 1, 2))(q, k, v)
+    g2 = jax.grad(rloss, (0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-4
