@@ -157,3 +157,13 @@ def test_dry_run_mode(client, monkeypatch):
     np.testing.assert_array_equal(client.read_one(o), 5 * x)
     monkeypatch.delenv("CUBECL_COMPILATION_DRY_RUN")
     runtime_config(reload=True)
+
+
+def test_cli_info(capsys):
+    """xtask-analogue CLI (python -m cubecl_tpu info)."""
+    from cubecl_tpu.__main__ import main
+
+    assert main(["info"]) == 0
+    out = capsys.readouterr().out
+    assert "type support" in out and "bf16" in out
+    assert main(["nope"]) == 2
