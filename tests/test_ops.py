@@ -320,3 +320,28 @@ def test_flash_attention_segmented(client):
     for a, b in zip(g1, g2):
         scale = float(jnp.max(jnp.abs(b))) + 1e-9
         assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-4
+
+
+def test_paged_attention(client):
+    """Serving decode kernel: scalar-prefetched block tables drive the
+    page DMA; GQA groups ride the fragment rows."""
+    import jax.numpy as jnp
+
+    from cubecl_tpu.ops.paged_attention import (
+        paged_attention,
+        paged_attention_reference,
+    )
+
+    B, H, Hkv, D = 3, 4, 2, 128
+    page, P, max_pages = 128, 16, 4
+    q = jnp.asarray(np.random.randn(B, H, D).astype(np.float32) * 0.4)
+    kp = jnp.asarray(
+        np.random.randn(Hkv, P, page, D).astype(np.float32) * 0.4)
+    vp = jnp.asarray(np.random.randn(Hkv, P, page, D).astype(np.float32))
+    pi = np.stack([np.random.permutation(P)[:max_pages] for _ in range(B)])
+    pi = jnp.asarray(pi.astype(np.int32))
+    lengths = jnp.asarray(np.array([100, 512, 300], np.int32))
+    o = paged_attention(q, kp, vp, pi, lengths, interpret=True)
+    ref = paged_attention_reference(q, kp, vp, pi, lengths)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
