@@ -268,3 +268,131 @@ def make_sharded_train_step(cfg: LlamaConfig, mesh, lr: float = 1e-3):
     jstep = jax.jit(step, in_shardings=(pshard, dshard),
                     out_shardings=(pshard, None))
     return jstep, pshard, dshard
+
+
+# ---------------------------------------------------------------------------
+# Serving: paged-KV decode (ops.paged_attention)
+# ---------------------------------------------------------------------------
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_pages: int,
+                  page: int = 128, dtype=None):
+    """Paged KV cache: per layer (H_kv, P, page, head_dim) pools + a
+    static block table (each sequence owns max_pages preassigned pages —
+    the allocator side of vLLM-style serving is orthogonal to the
+    kernel and kept simple here)."""
+    import jax.numpy as jnp
+
+    dt = jnp.dtype(dtype or cfg.dtype)
+    P = batch * max_pages
+    hd = cfg.head_dim
+    zeros = jnp.zeros((cfg.n_layers, cfg.n_kv_heads, P, page, hd), dt)
+    table = jnp.arange(P, dtype=jnp.int32).reshape(batch, max_pages)
+    return {
+        "k": zeros,
+        "v": zeros,
+        "page_indices": table,
+        "lengths": jnp.zeros((batch,), jnp.int32),
+        "page_size": page,
+    }
+
+
+def _cache_write(pages, table, lengths, new, page: int):
+    """Scatter one new (B, H_kv, hd) KV entry per sequence at position
+    ``lengths[b]`` of its page list. Static shapes: dynamic_update_slice
+    per batch row (B is small at decode time)."""
+    import jax
+    import jax.numpy as jnp
+
+    B = new.shape[0]
+
+    def write_one(pgs, b):
+        pos = lengths[b]
+        pid = table[b, pos // page]
+        slot = pos % page
+        # pgs: (H_kv, P, page, hd); new[b]: (H_kv, hd)
+        return jax.lax.dynamic_update_slice(
+            pgs, new[b][:, None, None, :].astype(pgs.dtype),
+            (0, pid, slot, 0))
+
+    for b in range(B):  # unrolled: B is small and static
+        pages = write_one(pages, b)
+    return pages
+
+
+def decode_step(params, cache, tokens, cfg: LlamaConfig):
+    """One token per sequence: returns (logits (B, vocab), new cache).
+    Attention runs through ops.paged_attention; interpret mode is chosen
+    from the backend (CPU tests)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.paged_attention import paged_attention
+
+    interp = jax.default_backend() != "tpu"
+    page = cache["page_size"]
+    B = tokens.shape[0]
+    hd, nh, nkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    pos = cache["lengths"]                          # (B,)
+    x = params["embed"][tokens]                     # (B, d)
+
+    k_cache, v_cache = cache["k"], cache["v"]
+    for li, layer in enumerate(params["layers"]):
+        h = _rmsnorm(x, layer["rms1"], cfg.rms_eps)
+        q = (h @ layer["wq"]).reshape(B, nh, hd)
+        k = (h @ layer["wk"]).reshape(B, nkv, hd)
+        v = (h @ layer["wv"]).reshape(B, nkv, hd)
+        # rotary at the current position
+        q = _rope_at(q, pos, cfg.rope_theta)
+        k = _rope_at(k, pos, cfg.rope_theta)
+        k_cache = k_cache.at[li].set(_cache_write(
+            k_cache[li], cache["page_indices"], pos, k, page))
+        v_cache = v_cache.at[li].set(_cache_write(
+            v_cache[li], cache["page_indices"], pos, v, page))
+        o = paged_attention(q, k_cache[li], v_cache[li],
+                            cache["page_indices"], pos + 1,
+                            interpret=interp)       # (B, H, hd)
+        x = x + o.reshape(B, nh * hd) @ layer["wo"]
+        h = _rmsnorm(x, layer["rms2"], cfg.rms_eps)
+        x = x + (_moe(h[:, None, :], layer["moe"], cfg)[:, 0]
+                 if cfg.n_experts else _swiglu(h, layer["mlp"]))
+    x = _rmsnorm(x, params["rms_out"], cfg.rms_eps)
+    logits = x @ params["embed"].T
+    new_cache = dict(cache, k=k_cache, v=v_cache, lengths=pos + 1)
+    return logits, new_cache
+
+
+def _rope_at(x, pos, theta):
+    """Rotary embedding for single positions: x (B, H, hd), pos (B,)."""
+    import jax.numpy as jnp
+
+    b, h, hd = x.shape
+    half = hd // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = pos.astype(jnp.float32)[:, None] * freqs[None, :]   # (B, half)
+    cos = jnp.cos(ang)[:, None, :].astype(x.dtype)
+    sin = jnp.sin(ang)[:, None, :].astype(x.dtype)
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos],
+                           axis=-1)
+
+
+def generate(params, prompt, steps: int, cfg: LlamaConfig,
+             max_pages: int = 4, page: int = 128):
+    """Greedy decode: prefill the cache token-by-token (clarity over
+    speed — a production prefill runs the batched forward once), then
+    generate ``steps`` tokens. Returns (B, steps) int32."""
+    import jax.numpy as jnp
+
+    B, S = prompt.shape
+    cache = init_kv_cache(cfg, B, max_pages, page)
+    logits = None
+    for t in range(S):
+        logits, cache = decode_step(params, cache, prompt[:, t], cfg)
+    out = []
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    for _ in range(steps):
+        out.append(tok)
+        logits, cache = decode_step(params, cache, tok, cfg)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jnp.stack(out, axis=1)

@@ -193,3 +193,29 @@ def test_llama_flash_attention_path():
     l1 = llama.forward(params, tokens, cfg1)
     np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_llama_paged_decode_matches_forward():
+    """Serving path: paged-KV decode reproduces the batched forward's
+    logits position by position (RoPE + cache writes + paged attention)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cubecl_tpu.models import llama
+
+    cfg = llama.LlamaConfig(vocab=64, d_model=128, n_heads=2, n_kv_heads=1,
+                            n_layers=2, d_ff=64, seq=8)
+    params = llama.init_params(cfg)
+    B, S = 2, 6
+    prompt = jnp.asarray(np.random.randint(0, 64, (B, S)).astype(np.int32))
+    cache = llama.init_kv_cache(cfg, B, max_pages=2, page=128)
+    dec = []
+    for t in range(S):
+        lg, cache = llama.decode_step(params, cache, prompt[:, t], cfg)
+        dec.append(lg)
+    dec = jnp.stack(dec, axis=1)
+    full = llama.forward(params, prompt, cfg)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(full),
+                               atol=2e-4, rtol=1e-3)
+    toks = llama.generate(params, prompt, 3, cfg, max_pages=2)
+    assert toks.shape == (B, 3)
