@@ -3,6 +3,7 @@ kernel crates the reference ecosystem splits out; README.md:164)."""
 
 from .attention import (flash_attention, flash_attention_padded,
                         flash_attention_segmented)
+from .conv import conv2d, conv2d_im2col
 from .paged_attention import paged_attention, paged_attention_reference
 
 from .fusion import FUSABLE, fused_chain, launch_fused

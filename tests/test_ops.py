@@ -345,3 +345,42 @@ def test_paged_attention(client):
     ref = paged_attention_reference(q, kp, vp, pi, lengths)
     np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
                                atol=3e-5, rtol=1e-4)
+
+
+def test_conv2d_native(client):
+    """NHWC conv on the MXU (native path), odd shapes + strides/pads."""
+    import jax
+
+    from cubecl_tpu.ops.conv import conv2d
+
+    n, h, w, ch, r, s, k = 2, 12, 10, 7, 3, 3, 5
+    x = np.random.randn(n, h, w, ch).astype(np.float32)
+    wgt = np.random.randn(r, s, ch, k).astype(np.float32)
+    hx, hw = client.create(x.reshape(-1)), client.create(wgt.reshape(-1))
+    for stride, pad, padspec in [((1, 1), "SAME", "SAME"),
+                                 ((2, 2), "VALID", "VALID"),
+                                 ((1, 2), 1, [(1, 1), (1, 1)])]:
+        o = conv2d(client, hx, hw, n, h, w, ch, r, s, k, stride, pad)
+        ref = np.asarray(jax.lax.conv_general_dilated(
+            x, wgt, stride, padspec,
+            dimension_numbers=("NHWC", "HWIO", "NHWC")))
+        np.testing.assert_allclose(client.read_one(o).reshape(ref.shape),
+                                   ref, atol=1e-4)
+
+
+def test_conv2d_im2col_through_matmul(client):
+    """Conv FLOPs routed through the framework's autotuned MXU matmul."""
+    import jax
+
+    from cubecl_tpu.ops.conv import conv2d_im2col
+
+    n, h, w, ch, r, s, k = 2, 8, 8, 128, 2, 2, 128
+    x = np.random.randn(n, h, w, ch).astype(np.float32)
+    wgt = np.random.randn(r, s, ch, k).astype(np.float32)
+    hx, hw = client.create(x.reshape(-1)), client.create(wgt.reshape(-1))
+    o = conv2d_im2col(client, hx, hw, n, h, w, ch, r, s, k, (1, 1), "SAME")
+    ref = np.asarray(jax.lax.conv_general_dilated(
+        x, wgt, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    got = client.read_one(o).reshape(ref.shape)
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-4)
