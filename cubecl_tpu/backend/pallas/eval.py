@@ -356,21 +356,40 @@ class Evaluator:
             base = base + c * self.program_id(s)
         return base * plan.block_lines
 
+    def _rel_mult(self, static_aff, blocked) -> int:
+        """Provable divisor of the (grid-cancelled) relative offset: the
+        gcd of its constant and coefficients. Lets dynamic offsets that
+        are sublane/tile-aligned use direct hinted slices instead of the
+        superspan+rotate path (Mosaic can only rotate 32-bit data)."""
+        import math as _m
+
+        if static_aff is None:
+            return 1
+        g = abs(static_aff.const)
+        for sym, k in static_aff.coeffs.items():
+            if sym in ("ux", "uy", "uz"):
+                continue
+            if blocked and sym in ("cx", "cy", "cz"):
+                continue
+            g = _m.gcd(g, abs(k))
+        return g or (1 << 30)   # rel ≡ 0
+
     def _resolve_rel(self, buf: Value, idx: Value, static_aff):
-        """(rel_line_index, unit_coeff) of an access, or None if non-affine.
-        Prefers the planner's symbolic form (grid terms cancelled) so Mosaic
-        can prove offset alignment."""
+        """(rel_line_index, unit_coeff, mult) of an access, or None if
+        non-affine. Prefers the planner's symbolic form (grid terms
+        cancelled) so Mosaic can prove offset alignment; ``mult`` is a
+        provable divisor of rel (1 = unknown)."""
         blocked = buf.kind == VarKind.BUFFER and \
             self.plans[buf.vid].mode == "blocked"
         sr = self.static_rel(static_aff, blocked) if static_aff is not None \
             else None
         if sr is not None:
-            return sr
+            return sr + (self._rel_mult(static_aff, blocked),)
         aff = self.index_affine(idx)
         if aff is None:
             return None
         start_u, c = aff
-        return (start_u - self._block_base(buf), c)
+        return (start_u - self._block_base(buf), c, 1)
 
     def _hint(self, start, mult: int):
         """pl.multiple_of alignment hint for traced offsets."""
@@ -397,7 +416,7 @@ class Evaluator:
         ra = self._resolve_rel(buf, idx, static_aff)
         if ra is None:
             return self._gather_load(buf, idx, mask_ev, out_line)
-        rel, c = ra
+        rel, c, mult = ra
         ref, L, blk_lines, _blocked = self._buffer_geometry(buf)
         U = self.U
         if c == 0:
@@ -413,8 +432,10 @@ class Evaluator:
                 # multi_reductions past ~64k lanes, so the select is only
                 # safe on small blocks anyway).
                 A = self._quantum(ref.dtype)
-                if not self.interpret and blk_lines >= 2 * A:
-                    win, _wb = self._dyn_window_1d(ref, rel, 1, blk_lines)
+                if not self.interpret and (blk_lines >= 2 * A
+                                           or mult % A == 0):
+                    win, _wb = self._dyn_window_1d(ref, rel, 1, blk_lines,
+                                                   mult)
                     return EV(arr=win[0], varying=False, line=1)
                 data = ref[...]
                 iota = self.jax.lax.broadcasted_iota(
@@ -422,9 +443,9 @@ class Evaluator:
                 sel = jnp.where(iota == rel, data, jnp.zeros_like(data))
                 return EV(arr=jnp.sum(sel), varying=False, line=1)
             if L > 1 and not isinstance(rel, int) and not self.interpret \
-                    and blk_lines >= 16:
+                    and (blk_lines >= 16 or mult % 8 == 0):
                 # dynamic single-row load on a 2D ref: aligned superspan
-                win, _wb = self._dyn_rows_2d(ref, rel, 1, blk_lines)
+                win, _wb = self._dyn_rows_2d(ref, rel, 1, blk_lines, mult)
                 return EV(arr=win.reshape(L), varying=False, line=L)
             row = self._hint(_as_i32(jnp, rel), 1)
             if L > 1:
@@ -437,9 +458,10 @@ class Evaluator:
             # span from the lowest index and flip the unit axis
             lo = rel + c * (U - 1)
             val = self._load_span(ref, lo, -c, L, blk_lines,
-                                  mask_ev is not None)
+                                  mask_ev is not None, mult)
             return EV(arr=self.jnp.flip(val, axis=0), varying=True, line=L)
-        val = self._load_span(ref, rel, c, L, blk_lines, mask_ev is not None)
+        val = self._load_span(ref, rel, c, L, blk_lines, mask_ev is not None,
+                              mult)
         return EV(arr=val, varying=True, line=L)
 
     # -- dynamic 1D windows (Mosaic proves no alignment for dynamic 1D
@@ -465,13 +487,23 @@ class Evaluator:
         lane = self.jax.lax.broadcasted_iota(jnp.int32, x2d.shape, 1)
         return jnp.where(lane < 128 - cc, a, b)
 
-    def _dyn_window_1d(self, ref, rel, span, blk_lines):
+    def _dyn_window_1d(self, ref, rel, span, blk_lines, mult=1):
         """Flat window ref[rel : rel+span] at a traced offset on a 1D ref.
         Returns (window[span], writeback) where writeback(new_window)
         merges it back (RMW). Requires blk_lines ≥ rel + span (whole-mode
-        padding guarantees this)."""
+        padding guarantees this). ``mult``: provable divisor of rel — a
+        tile-aligned offset slices directly (no rotate; Mosaic can only
+        rotate 32-bit data, and the rotate costs a VPU pass)."""
         jnp, pl = self.jnp, self.pl
         A = self._quantum(ref.dtype)
+        if mult % A == 0:
+            rel_i = self._hint(_as_i32(jnp, rel), A)
+            chunk = ref[pl.ds(rel_i, span)]
+
+            def wb_direct(new_window):
+                ref[pl.ds(rel_i, span)] = new_window.astype(chunk.dtype)
+
+            return chunk, wb_direct
         sup = ((span + A - 1) // A) * A + A
         assert blk_lines >= sup, (
             f"dynamic 1D window needs padding: blk={blk_lines} < sup={sup}")
@@ -501,11 +533,21 @@ class Evaluator:
 
         return win, writeback
 
-    def _dyn_rows_2d(self, ref, row, nrows, blk_rows):
+    def _dyn_rows_2d(self, ref, row, nrows, blk_rows, mult=1):
         """ref[row : row+nrows, :] at a traced row offset on a 2D ref:
         8-aligned row superspan + one sublane roll. Returns (window,
-        writeback)."""
+        writeback). A provably 8-aligned row (``mult`` % 8 == 0) slices
+        directly — no rotate (required for sub-32-bit dtypes, cheaper
+        for all)."""
         jnp, pl, pltpu = self.jnp, self.pl, self.pltpu
+        if mult % 8 == 0:
+            row_i = self._hint(_as_i32(jnp, row), 8)
+            chunk = ref[pl.ds(row_i, nrows), :]
+
+            def wb_direct(new_window):
+                ref[pl.ds(row_i, nrows), :] = new_window.astype(chunk.dtype)
+
+            return chunk, wb_direct
         sup = -(-nrows // 8) * 8 + 8
         assert blk_rows >= sup, (
             f"dynamic 2D row window needs padding: rows={blk_rows} < {sup}")
@@ -546,7 +588,7 @@ class Evaluator:
         ra = self._resolve_rel(buf, idx, op.attrs.get("affine"))
         if ra is None:
             _kernel_fail("block_reduce needs an affine start index")
-        rel, c = ra
+        rel, c, mult = ra
         if c != 0:
             _kernel_fail("block_reduce start must be cube-uniform "
                          "(it is a cube-cooperative op)")
@@ -556,9 +598,9 @@ class Evaluator:
             win = ref[pl.ds(row, lines), :] if L > 1 else \
                 ref[pl.ds(row, lines)]
         elif L > 1:
-            win, _wb = self._dyn_rows_2d(ref, rel, lines, blk_lines)
+            win, _wb = self._dyn_rows_2d(ref, rel, lines, blk_lines, mult)
         else:
-            win, _wb = self._dyn_window_1d(ref, rel, lines, blk_lines)
+            win, _wb = self._dyn_window_1d(ref, rel, lines, blk_lines, mult)
         elem = buf.ty.elem
         dt = _elem_dtype(jnp, buf.ty)
         acc_dt = jnp.float32 if (elem.kind.name == "FLOAT"
@@ -569,7 +611,7 @@ class Evaluator:
         val = red(win.astype(acc_dt)).astype(dt)
         return EV(arr=val, varying=False, line=1)
 
-    def _load_span(self, ref, rel, c, L, blk_lines, masked):
+    def _load_span(self, ref, rel, c, L, blk_lines, masked, mult=1):
         """(U, L) array of lines rel + c*u for u in [0, U).
 
         The EXACT coverage is (U-1)*c + 1 lines — slicing the full c*U
@@ -593,7 +635,8 @@ class Evaluator:
                 f"buffer; guard the access or use launch() (checked)")
         if L == 1 and not isinstance(rel, int) and not self.interpret:
             # dynamic 1D offset: aligned superspan + rotate
-            win, _wb = self._dyn_window_1d(ref, rel, span_eff, blk_lines)
+            win, _wb = self._dyn_window_1d(ref, rel, span_eff, blk_lines,
+                                           mult)
             if span_eff < span:
                 win = jnp.concatenate(
                     [win, jnp.zeros((span - span_eff,), win.dtype)])
@@ -604,7 +647,8 @@ class Evaluator:
             if not isinstance(rel, int) and not self.interpret:
                 # dynamic row offset on a 2D ref: Mosaic cannot prove the
                 # sublane alignment — aligned row superspan + roll
-                chunk, _wb = self._dyn_rows_2d(ref, rel, span_eff, blk_lines)
+                chunk, _wb = self._dyn_rows_2d(ref, rel, span_eff, blk_lines,
+                                               mult)
             else:
                 chunk = ref[pl.ds(row, span_eff), :]   # (span_eff, L)
             if span_eff < span:
@@ -631,7 +675,7 @@ class Evaluator:
                                            ignore_mask)
             _kernel_fail("non-affine unit-varying store index (use plane ops "
                          "or contiguous indexing)")
-        rel, c = ra
+        rel, c, mult = ra
         ref, L, blk_lines, _blocked = self._buffer_geometry(buf)
         U = self.U
         dtype = _elem_dtype(self.jnp, buf.ty)
@@ -680,9 +724,9 @@ class Evaluator:
             vv = jnp.asarray(v, dtype).reshape(1, L) if L > 1 else \
                 jnp.asarray(v, dtype).reshape(1)
             if L > 1 and not isinstance(rel, int) and not self.interpret \
-                    and blk_lines >= 16:
+                    and (blk_lines >= 16 or mult % 8 == 0):
                 # dynamic single-row store on a 2D ref: superspan RMW
-                win, wb = self._dyn_rows_2d(ref, rel, 1, blk_lines)
+                win, wb = self._dyn_rows_2d(ref, rel, 1, blk_lines, mult)
                 wb(jnp.where(m, vv, win).astype(win.dtype)
                    if m is not None else vv.astype(win.dtype))
                 return
@@ -707,7 +751,7 @@ class Evaluator:
         v = self.broadcast_to_canon(val_ev, True, L, dtype)  # (U, L)
         if L == 1 and not isinstance(rel, int) and not self.interpret:
             # dynamic 1D offset store: aligned superspan RMW + rotate
-            win, wb = self._dyn_window_1d(ref, rel, exact, blk_lines)
+            win, wb = self._dyn_window_1d(ref, rel, exact, blk_lines, mult)
             w2 = jnp.concatenate(
                 [win, jnp.zeros((span - exact,), win.dtype)]).reshape(U, c) \
                 if span > exact else win.reshape(U, c)
@@ -727,7 +771,7 @@ class Evaluator:
         if c == 1 and span <= blk_lines:
             new = v if L > 1 else v.reshape(U)
             if dyn2d:
-                win, wb = self._dyn_rows_2d(ref, rel, U, blk_lines)
+                win, wb = self._dyn_rows_2d(ref, rel, U, blk_lines, mult)
                 if m is not None:
                     mm = m if getattr(m, "ndim", 0) > 0 \
                         else jnp.full((U, 1), m)
@@ -791,7 +835,8 @@ class Evaluator:
         # exact-span RMW (the full c*U slice would overshoot the block)
         if L > 1:
             if dyn2d:
-                chunk, wb = self._dyn_rows_2d(ref, rel, exact, blk_lines)
+                chunk, wb = self._dyn_rows_2d(ref, rel, exact, blk_lines,
+                                              mult)
             else:
                 chunk = ref[pl.ds(row, exact), :]      # (exact, L)
                 wb = None

@@ -258,3 +258,52 @@ def matmul_cmma(client, a: Handle, b: Handle, out: Handle,
         ArrayArg(a, line_size=line), ArrayArg(b, line_size=line),
         ArrayArg(out, line_size=line, mutable=True),
         m, n, k, tile, elem)
+
+
+# ---------------------------------------------------------------------------
+# 3. Quantized int8 matmul (serving path: MXU int8 pass is EXACT to i32)
+# ---------------------------------------------------------------------------
+
+
+def _build_matmul_int8_dq(m, n, k, tm, tn, tk, interpret):
+    import jax.numpy as jnp
+
+    base = _build_matmul(m, n, k, tm, tn, tk, "int8", "int32", "int32",
+                         interpret)
+
+    def fn(buffers, scalars=()):
+        a, sa, b, sb, o = buffers
+        (i32_out,) = base.fn([a, b, jnp.zeros((m * n,), jnp.int32)])
+        scale = (sa.reshape(-1)[0].astype(jnp.float32)
+                 * sb.reshape(-1)[0].astype(jnp.float32))
+        y = i32_out.reshape(-1).astype(jnp.float32) * scale
+        return (y.astype(o.dtype).reshape(o.shape),)
+
+    return CompiledKernel(
+        fn=fn, mutable_indices=[4],
+        source=f"int8 matmul + dequant {m}x{n}x{k} tiles {tm}x{tn}x{tk}",
+        name="matmul_int8_dq", flops=2 * m * n * k)
+
+
+def matmul_quantized(client, a: Handle, b: Handle, out: Handle,
+                     m: int, n: int, k: int,
+                     tm: int = 512, tn: int = 512, tk: int = 512) -> None:
+    """f32 matmul through per-tensor symmetric int8 quantization: absmax
+    scales on-device (std.quant_kernels), EXACT int8->int32 MXU GEMM,
+    fused dequant epilogue. ~2x the bf16 FLOPs on int8-capable MXUs at
+    ~1e-2 relative error (quantization noise)."""
+    from ..std.quant import QuantScheme
+    from ..std.quant_kernels import quantize
+
+    scheme = QuantScheme()  # per-tensor symmetric int8
+    qa, sa = quantize(client, a, scheme)
+    qb, sb = quantize(client, b, scheme)
+    tm, tn, tk = min(tm, m), min(tn, n), min(tk, k)
+    interpret = bool(client._dev.call(
+        lambda s: getattr(s.compiler, "interpret", False)))
+    kid = KernelId.build("matmul_int8_dq", m, n, k, tm, tn, tk,
+                         str(out.dtype), interpret)
+    task = NativeKernelTask(
+        kid, lambda: _build_matmul_int8_dq(m, n, k, tm, tn, tk, interpret),
+        name="matmul_int8_dq")
+    client.launch(task, [qa, sa, qb, sb, out])

@@ -384,3 +384,34 @@ def test_conv2d_im2col_through_matmul(client):
         dimension_numbers=("NHWC", "HWIO", "NHWC")))
     got = client.read_one(o).reshape(ref.shape)
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-4)
+
+
+def test_matmul_int8_exact(client):
+    """int8 x int8 -> int32 on the MXU is EXACT."""
+    from cubecl_tpu.ops.matmul import matmul_pallas
+
+    M = N = K = 256
+    A = np.random.randint(-127, 127, (M, K)).astype(np.int8)
+    B = np.random.randint(-127, 127, (K, N)).astype(np.int8)
+    hA, hB = client.create(A.reshape(-1)), client.create(B.reshape(-1))
+    hO = client.empty((M * N,), "int32")
+    matmul_pallas(client, hA, hB, hO, M, N, K, tm=128, tn=128, tk=128,
+                  in_dtype="int8", acc_dtype="int32")
+    got = client.read_one(hO).reshape(M, N)
+    np.testing.assert_array_equal(got, A.astype(np.int64) @ B)
+
+
+def test_matmul_quantized(client):
+    """f32 matmul through per-tensor int8 quantization (serving path)."""
+    from cubecl_tpu.ops.matmul import matmul_quantized
+
+    M = N = K = 256
+    A = np.random.randn(M, K).astype(np.float32)
+    B = np.random.randn(K, N).astype(np.float32)
+    hA, hB = client.create(A.reshape(-1)), client.create(B.reshape(-1))
+    hO = client.empty((M * N,), "float32")
+    matmul_quantized(client, hA, hB, hO, M, N, K)
+    got = client.read_one(hO).reshape(M, N)
+    ref = A @ B
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 3e-2, rel  # int8 quantization noise
