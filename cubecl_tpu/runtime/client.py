@@ -125,6 +125,20 @@ class ComputeClient:
         end = time.perf_counter()
         return ProfileDuration(seconds=end - start, method="system")
 
+    def start_trace(self, log_dir: str) -> None:
+        """Device-level tracing (reference ProfileLevel::Full device
+        timing / wgpu query sets): wraps jax.profiler — open the dump
+        with TensorBoard or xprof for per-kernel device timelines."""
+        import jax
+
+        jax.profiler.start_trace(log_dir)
+
+    def stop_trace(self) -> None:
+        import jax
+
+        self.sync()
+        jax.profiler.stop_trace()
+
     # ----------------------------------------------------------- parity API
 
     def io_optimized_vector_sizes(self, n_elems: int,

@@ -217,3 +217,16 @@ def test_lease_pool():
         with pool.acquire() as c:
             assert c in (1, 2)
     assert pool.size == 2 and pool.free == 2 and len(made) == 2
+
+
+def test_device_trace(client, tmp_path):
+    """jax.profiler device traces behind the client (ProfileLevel::Full)."""
+    x = np.random.rand(1024).astype(np.float32)
+    h = client.create(x)
+    o = client.empty((1024,), "float32")
+    client.start_trace(str(tmp_path))
+    _k_double.launch_unchecked(client, CubeCount(128), CubeDim.new_1d(8),
+                               ArrayArg(h), ArrayArg(o, mutable=True))
+    client.stop_trace()
+    dumped = list(tmp_path.rglob("*"))
+    assert dumped, "trace produced no files"
