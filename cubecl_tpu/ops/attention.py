@@ -185,7 +185,7 @@ def _reference_attention(q, k, v, causal, sm_scale):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def flash_attention(q, k, v, causal: bool = True,
                     sm_scale: Optional[float] = None,
-                    block_q: int = 256, block_k: int = 256,
+                    block_q: int = 1024, block_k: int = 2048,
                     interpret: bool = False,
                     kv_len: Optional[int] = None):
     """softmax(q k^T / sqrt(d)) v with flash tiling.
@@ -448,14 +448,16 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
 
 def _bwd(causal, sm_scale, block_q, block_k, interpret, kv_len, res, do):
     """Flash backward: dKV + dQ Pallas kernels over saved (o, lse)
-    residuals (guide §7 structure)."""
+    residuals (guide §7 structure). KV blocks cap at 1024 — the backward
+    carries more live scratch, and (1024, 1024) measures fastest on v5e
+    (119 TF-equiv at S=2048; the forward prefers (1024, 2048))."""
     import jax.numpy as jnp
 
     q, k, v, o, lse = res
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(
         q.shape[-1])
     bq = min(block_q, q.shape[2])
-    bk = min(block_k, k.shape[2])
+    bk = min(block_k, 1024, k.shape[2])
     # D_i = rowsum(dO * O), broadcast to the (bq, 128) stats layout
     di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                  axis=-1, keepdims=True)
@@ -472,7 +474,7 @@ flash_attention.defvjp(_fwd, _bwd)
 
 def flash_attention_padded(q, k, v, causal: bool = True,
                            sm_scale: Optional[float] = None,
-                           block_q: int = 256, block_k: int = 256,
+                           block_q: int = 1024, block_k: int = 2048,
                            interpret: bool = False):
     """flash_attention for ARBITRARY seq lens / head dims.
 
@@ -540,7 +542,7 @@ def _flash_seg_bwd(causal, scale, block_q, block_k, interpret, res, do):
 
     q, k, v, seg_q_b, seg_kv_b, o, lse = res
     bq = min(block_q, q.shape[2])
-    bk = min(block_k, k.shape[2])
+    bk = min(block_k, 1024, k.shape[2])
     di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                  axis=-1, keepdims=True)
     di = jnp.broadcast_to(di, di.shape[:-1] + (128,))
@@ -560,7 +562,7 @@ _flash_seg.defvjp(_flash_seg_fwd, _flash_seg_bwd)
 def flash_attention_segmented(q, k, v, segment_ids_q, segment_ids_kv=None,
                               causal: bool = True,
                               sm_scale: Optional[float] = None,
-                              block_q: int = 256, block_k: int = 256,
+                              block_q: int = 1024, block_k: int = 2048,
                               interpret: bool = False):
     """Packed-sequence flash attention: positions attend only within the
     same segment id (plus the causal mask). segment_ids: (B, S) int32;
