@@ -93,6 +93,56 @@ def normalize_rows(inp: Slice, out: MutSlice, iters: int, eps: float):
         out[idx] = inp[idx] * inv
 
 
+# -- wide variants: one LINE per row ----------------------------------------
+# The cube-per-row kernels above are the teaching/parity shape; at small
+# rows they leave the chip idle (one ~4KB row per grid step). The wide
+# variants put the WHOLE row on the lane axis (line_size = row length) so
+# each unit owns a row and a cube sweeps 8*iters rows per grid step —
+# fat blocks, pure lane-reductions, no plane ops.
+
+
+@cube
+def softmax_lines(inp: Slice, out: MutSlice, iters: int):
+    base = CUBE_POS_X * (iters * 8)
+    for k in cube_range(0, iters):
+        idx = base + k * 8 + UNIT_POS
+        x = inp[idx]
+        e = exp(x - line_max(x))
+        out[idx] = e * (1.0 / line_sum(e))
+
+
+@cube
+def layernorm_lines(inp: Slice, gamma: Slice, beta: Slice, out: MutSlice,
+                    iters: int, inv_n: float, eps: float):
+    g = gamma[0]
+    b = beta[0]
+    base = CUBE_POS_X * (iters * 8)
+    for k in cube_range(0, iters):
+        idx = base + k * 8 + UNIT_POS
+        x = inp[idx]
+        mu = line_sum(x) * inv_n
+        xc = x - mu
+        var = line_sum(xc * xc) * inv_n
+        out[idx] = xc * rsqrt(var + eps) * g + b
+
+
+@cube
+def normalize_lines(inp: Slice, out: MutSlice, iters: int, eps: float):
+    base = CUBE_POS_X * (iters * 8)
+    for k in cube_range(0, iters):
+        idx = base + k * 8 + UNIT_POS
+        x = inp[idx]
+        out[idx] = x * rsqrt(line_sum(x * x) + eps)
+
+
+def _wide_plan(rows: int, row: int, target_block_rows: int = 256):
+    """(iters, cubes): 8*iters rows per cube, ~1MB blocks."""
+    iters = max(1, min(target_block_rows // CD, rows // CD))
+    while rows % (iters * CD):
+        iters -= 1
+    return iters, rows // (iters * CD)
+
+
 def _row_plan(row: int, line_size: int):
     line = line_size
     while line > 1 and row % (line * CD) != 0:
@@ -105,6 +155,15 @@ def _row_plan(row: int, line_size: int):
 def launch_layernorm(client, inp: Handle, gamma: Handle, beta: Handle,
                      out: Handle, rows: int, row: int,
                      line_size: int = 128, eps: float = 1e-5) -> None:
+    if row % 128 == 0 and rows % CD == 0:
+        iters, cubes = _wide_plan(rows, row)
+        layernorm_lines.launch_unchecked(
+            client, CubeCount(cubes), CubeDim.new_1d(CD),
+            ArrayArg(inp, line_size=row), ArrayArg(gamma, line_size=row),
+            ArrayArg(beta, line_size=row),
+            ArrayArg(out, line_size=row, mutable=True),
+            iters, 1.0 / row, eps)
+        return
     line, iters = _row_plan(row, line_size)
     layernorm_rows.launch_unchecked(
         client, CubeCount(rows), CubeDim.new_1d(CD),
@@ -116,6 +175,14 @@ def launch_layernorm(client, inp: Handle, gamma: Handle, beta: Handle,
 
 def launch_softmax(client, inp: Handle, out: Handle, rows: int, row: int,
                    line_size: int = 128) -> None:
+    if row % 128 == 0 and rows % CD == 0:
+        # wide path: one line per row, 8*iters rows per cube
+        iters, cubes = _wide_plan(rows, row)
+        softmax_lines.launch_unchecked(
+            client, CubeCount(cubes), CubeDim.new_1d(CD),
+            ArrayArg(inp, line_size=row),
+            ArrayArg(out, line_size=row, mutable=True), iters)
+        return
     line, iters = _row_plan(row, line_size)
     softmax_rows.launch_unchecked(
         client, CubeCount(rows), CubeDim.new_1d(CD),
@@ -125,6 +192,13 @@ def launch_softmax(client, inp: Handle, out: Handle, rows: int, row: int,
 
 def launch_normalize(client, inp: Handle, out: Handle, rows: int, row: int,
                      line_size: int = 128, eps: float = 0.0) -> None:
+    if row % 128 == 0 and rows % CD == 0:
+        iters, cubes = _wide_plan(rows, row)
+        normalize_lines.launch_unchecked(
+            client, CubeCount(cubes), CubeDim.new_1d(CD),
+            ArrayArg(inp, line_size=row),
+            ArrayArg(out, line_size=row, mutable=True), iters, eps)
+        return
     line, iters = _row_plan(row, line_size)
     normalize_rows.launch_unchecked(
         client, CubeCount(rows), CubeDim.new_1d(CD),

@@ -108,6 +108,20 @@ def time_launch(client, kernel, cube_count, cube_dim, *args,
     scalars = tuple(a.value for a in args if isinstance(a, ScalarArg))
 
     mut = list(ck.mutable_indices)
+    # a kernel whose stores cover its whole output IGNORES the out
+    # operand's value — the barrier carry then creates no data dependency
+    # and XLA hoists the repeated pure call out of the loop. Ping-pong
+    # the output back into a same-shaped immutable input so every
+    # iteration genuinely consumes the previous one's result.
+    feed = None
+    if mut:
+        for ii in range(len(bufs)):
+            if ii in mut:
+                continue
+            if (bufs[ii].shape == bufs[mut[0]].shape
+                    and bufs[ii].dtype == bufs[mut[0]].dtype):
+                feed = ii
+                break
 
     def make(n):
         # carry ONLY the mutable buffers: a read-only input in the fori
@@ -118,11 +132,24 @@ def time_launch(client, kernel, cube_count, cube_dim, *args,
             # close over jit PARAMETERS (not concrete arrays — those would
             # ship as literal constants through the compile path)
             def body(_i, carry):
+                import jax.numpy as jnp
+
                 carry = jax.lax.optimization_barrier(carry)
                 full = list(all_bufs)
                 for j, mi in enumerate(mut):
                     full[mi] = carry[j]
-                return tuple(ck.fn(full, scalars))
+                if feed is not None:
+                    full[feed] = carry[0]
+                    return tuple(ck.fn(full, scalars))
+                # no feedable input: guard the call behind a carry-
+                # dependent (always-true) cond so LICM cannot hoist it
+                pred = jnp.isfinite(
+                    carry[0].reshape(-1)[0].astype(jnp.float32)) \
+                    if mut else jnp.bool_(True)
+                return jax.lax.cond(
+                    pred,
+                    lambda: tuple(ck.fn(full, scalars)),
+                    lambda: tuple(jnp.zeros_like(c) for c in carry))
 
             init = tuple(all_bufs[mi] for mi in mut)
             return jax.lax.fori_loop(0, n, body, init)

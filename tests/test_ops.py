@@ -415,3 +415,29 @@ def test_matmul_quantized(client):
     ref = A @ B
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 3e-2, rel  # int8 quantization noise
+
+
+def test_normalization_wide_path(client):
+    """Wide (line-per-row) kernels: rows % 8 == 0 and row % 128 == 0."""
+    rows, R = 16, 256
+    x = np.random.randn(rows, R).astype(np.float32) * 2
+    i = client.create(x.reshape(-1))
+    o = client.empty((rows * R,), "float32")
+    launch_softmax(client, i, o, rows, R)
+    e = np.exp(x - x.max(1, keepdims=True))
+    np.testing.assert_allclose(client.read_one(o).reshape(rows, R),
+                               e / e.sum(1, keepdims=True), atol=1e-6)
+
+    g = np.random.rand(R).astype(np.float32)
+    b = np.random.randn(R).astype(np.float32)
+    launch_layernorm(client, i, client.create(g), client.create(b), o,
+                     rows, R)
+    mu = x.mean(1, keepdims=True)
+    ref = (x - mu) / np.sqrt(x.var(1, keepdims=True) + 1e-5) * g + b
+    np.testing.assert_allclose(client.read_one(o).reshape(rows, R), ref,
+                               atol=1e-3)
+
+    launch_normalize(client, i, o, rows, R)
+    ref = x / np.linalg.norm(x, axis=1, keepdims=True)
+    np.testing.assert_allclose(client.read_one(o).reshape(rows, R), ref,
+                               atol=1e-5)
