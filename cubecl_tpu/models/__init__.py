@@ -12,3 +12,4 @@ from .transformer import (
 )
 from . import llama
 from .llama import LlamaConfig
+from . import pipeline

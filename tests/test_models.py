@@ -219,3 +219,26 @@ def test_llama_paged_decode_matches_forward():
                                atol=2e-4, rtol=1e-3)
     toks = llama.generate(params, prompt, 3, cfg, max_pages=2)
     assert toks.shape == (B, 3)
+
+
+def test_pipeline_parallel_forward():
+    """GPipe pp over shard_map/ppermute matches the plain forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from cubecl_tpu.models import pipeline as pl
+    from cubecl_tpu.models import transformer as tr
+
+    cfg = tr.TransformerConfig(vocab=64, d_model=32, n_heads=2, n_layers=4,
+                               d_ff=64, seq=16)
+    params = tr.init_params(cfg)
+    tokens = jnp.asarray(
+        np.random.randint(0, 64, (8, 16)).astype(np.int32))
+    ref = tr.forward(params, tokens, cfg)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("pp",))
+    stacked = pl.stack_layer_params(cfg, params)
+    fwd = pl.make_pipelined_forward(cfg, mesh, n_micro=4)
+    with mesh:
+        got = fwd(stacked, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
