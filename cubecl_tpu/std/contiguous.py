@@ -140,3 +140,32 @@ def identity(client, n: int, dtype: str = "float32") -> Handle:
     _identity_kernel.launch(client, CubeCount(cubes), CubeDim.new_1d(cd),
                             ArrayArg(out, mutable=True), n)
     return out
+
+
+def empty_tensor(client, shape, dtype="float32",
+                 policy: str = "contiguous",
+                 pitch_align: int = 128) -> TensorHandle:
+    """Allocate a tensor under a MemoryLayoutPolicy (reference
+    allocator.rs / server MemoryLayoutPolicy): ``contiguous`` packs
+    rows; ``pitched`` pads the innermost stride up to ``pitch_align``
+    elements so every row starts lane-aligned (the TPU analogue of
+    CUDA's pitched allocations — row starts land on 128-lane tile
+    boundaries, keeping row-wise kernels on the fast aligned paths)."""
+    import numpy as np
+
+    shape = tuple(shape)
+    if policy == "contiguous" or len(shape) < 2:
+        h = client.empty((int(np.prod(shape)),), dtype)
+        return TensorHandle(h, shape)
+    if policy != "pitched":
+        raise ValueError(f"unknown layout policy {policy!r}")
+    inner = shape[-1]
+    pitch = -(-inner // pitch_align) * pitch_align
+    strides = []
+    acc = 1
+    for i, s in enumerate(reversed(shape)):
+        strides.append(acc)
+        acc *= pitch if i == 0 else s
+    strides = tuple(reversed(strides))
+    h = client.empty((acc,), dtype)
+    return TensorHandle(h, shape, strides)

@@ -223,3 +223,22 @@ def test_reinterpret_slice_cross_dtype(client):
                                    ArrayArg(h),
                                    ArrayArg(o2, line_size=4, mutable=True))
     np.testing.assert_array_equal(client.read_one(o2), x.view(np.uint8))
+
+
+def test_memory_layout_policy_pitched(client):
+    """Pitched allocations pad the row stride to the lane tile
+    (MemoryLayoutPolicy parity)."""
+    from cubecl_tpu.std import into_contiguous
+    from cubecl_tpu.std.contiguous import empty_tensor
+
+    t = empty_tensor(client, (4, 100), policy="pitched")
+    assert t.strides == (128, 1)
+    assert not t.is_contiguous()
+    c = empty_tensor(client, (4, 100))
+    assert c.is_contiguous()
+    # round-trip through into_contiguous: write pitched, read packed
+    src = np.random.rand(4, 128).astype(np.float32)
+    client.write(t.handle, src.reshape(-1))
+    dense = into_contiguous(client, t)
+    got = client.read_one(dense.handle).reshape(4, 100)
+    np.testing.assert_array_equal(got, src[:, :100])
