@@ -13,3 +13,4 @@ from .transformer import (
 from . import llama
 from .llama import LlamaConfig
 from . import pipeline
+from . import vit

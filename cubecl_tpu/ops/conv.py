@@ -144,3 +144,38 @@ def conv2d_im2col(client, x: Handle, wgt: Handle,
     out = client.empty((M * k,), str(x.dtype))
     matmul_autotuned(client, cols, wgt, out, M, k, K)
     return out
+
+
+from ..tune import LocalTuner, TunableSet  # noqa: E402
+from ..tune.anchor import anchor  # noqa: E402
+
+_conv_tuner = LocalTuner("conv2d")
+
+
+def conv2d_autotuned(client, x: Handle, wgt: Handle,
+                     n: int, h: int, w: int, c: int, r: int, s: int, k: int,
+                     stride: Tuple[int, int] = (1, 1),
+                     padding: Pad = "SAME") -> Handle:
+    """Autotuned conv entry: native XLA conv vs im2col-through-our-matmul
+    per anchored shape (the reference LocalTuner pattern over algorithm
+    variants rather than tile sizes)."""
+    oh, ow = _out_hw(h, w, r, s, stride, padding)
+    M, K = n * oh * ow, r * s * c
+
+    def key_fn(client_, x_, w_):
+        return ("conv2d", anchor(n * h * w), c, r, s, k, stride,
+                str(padding))
+
+    ts = TunableSet("conv2d", key_fn)
+    flops = 2 * M * K * k
+
+    ts.with_tunable(
+        lambda cl, xx, ww: conv2d(cl, xx, ww, n, h, w, c, r, s, k,
+                                  stride, padding),
+        name="native", work=lambda key: (flops, (M * K + K * k) * 4))
+    if M % 128 == 0 and K % 128 == 0 and k % 128 == 0:
+        ts.with_tunable(
+            lambda cl, xx, ww: conv2d_im2col(cl, xx, ww, n, h, w, c, r, s,
+                                             k, stride, padding),
+            name="im2col", work=lambda key: (flops, (M * K + K * k) * 4))
+    return _conv_tuner.execute(client, ts, client, x, wgt)

@@ -242,3 +242,46 @@ def test_pipeline_parallel_forward():
         got = fwd(stacked, tokens)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+# ------------------------------------------------------------------ vit
+
+
+def test_vit_forward_and_train():
+    import jax.numpy as jnp
+
+    from cubecl_tpu.models import vit
+
+    cfg = vit.ViTConfig(image=16, patch=4, channels=3, d_model=32,
+                        n_heads=2, n_layers=2, d_ff=64, n_classes=10)
+    params = vit.init_params(cfg)
+    imgs = jnp.asarray(np.random.rand(4, 16, 16, 3).astype(np.float32))
+    labels = jnp.asarray(np.array([0, 3, 7, 9], np.int32))
+    logits = vit.forward(params, imgs, cfg)
+    assert logits.shape == (4, 10)
+    step = vit.make_train_step(cfg, lr=0.05)
+    p, l1 = step(params, imgs, labels)
+    for _ in range(4):
+        p, l2 = step(p, imgs, labels)
+    assert float(l2) < float(l1)
+
+
+def test_vit_sharded_train_step():
+    import jax
+    import jax.numpy as jnp
+
+    from cubecl_tpu.models import vit
+
+    mesh = jax.sharding.Mesh(
+        np.array(jax.devices()[:4]).reshape(2, 2), ("dp", "tp"))
+    cfg = vit.ViTConfig(image=16, patch=4, channels=3, d_model=32,
+                        n_heads=2, n_layers=1, d_ff=64, n_classes=10)
+    with mesh:
+        jstep, pshard, ishard = vit.make_sharded_train_step(cfg, mesh)
+        params = jax.device_put(vit.init_params(cfg), pshard)
+        imgs = jax.device_put(
+            jnp.asarray(np.random.rand(4, 16, 16, 3).astype(np.float32)),
+            ishard)
+        labels = jax.device_put(jnp.zeros((4,), jnp.int32), ishard)
+        _, loss = jstep(params, imgs, labels)
+        assert jnp.isfinite(loss)

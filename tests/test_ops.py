@@ -441,3 +441,19 @@ def test_normalization_wide_path(client):
     ref = x / np.linalg.norm(x, axis=1, keepdims=True)
     np.testing.assert_allclose(client.read_one(o).reshape(rows, R), ref,
                                atol=1e-5)
+
+
+def test_conv2d_autotuned(client):
+    import jax
+
+    from cubecl_tpu.ops.conv import conv2d_autotuned
+
+    n, h, w, ch, r, s, k = 2, 8, 8, 128, 2, 2, 128
+    x = np.random.randn(n, h, w, ch).astype(np.float32)
+    wgt = np.random.randn(r, s, ch, k).astype(np.float32)
+    hx, hw = client.create(x.reshape(-1)), client.create(wgt.reshape(-1))
+    o = conv2d_autotuned(client, hx, hw, n, h, w, ch, r, s, k)
+    ref = np.asarray(jax.lax.conv_general_dilated(
+        x, wgt, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    np.testing.assert_allclose(client.read_one(o).reshape(ref.shape), ref,
+                               atol=1e-3, rtol=1e-4)
