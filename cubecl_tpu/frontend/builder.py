@@ -90,7 +90,10 @@ def cube_range(start, stop=None, step=1, unroll: bool = False) -> CubeRange:
 
 @dataclass
 class _Frame:
-    kind: str  # "loop_comptime" | "loop_runtime" | "branch"
+    kind: str  # "loop_comptime" | "loop_runtime" | "branch" | fn_*
+    cond: Any = None          # branch frames: the traced condition
+    polarity: bool = True     # then-arm True / else-arm False
+    rets: Optional[list] = None  # fn frames: conditional value returns
 
 
 class CubeBuilder:
@@ -154,11 +157,31 @@ class CubeBuilder:
     def push_function(self, entry: bool) -> None:
         """Mark an inline cube-function call boundary (returns are resolved
         relative to the innermost function, since calls are inlined)."""
-        self.frames.append(_Frame("fn_entry" if entry else "fn_inline"))
+        self.frames.append(_Frame("fn_entry" if entry else "fn_inline",
+                                  rets=[]))
 
-    def pop_function(self) -> None:
+    def pop_function(self) -> "_Frame":
         f = self.frames.pop()
         assert f.kind in ("fn_entry", "fn_inline")
+        return f
+
+    def combine_returns(self, frame: "_Frame", result):
+        """Fold conditional value-returns into the fall-through result:
+        earlier returns win (select chain in reverse order)."""
+        rets = frame.rets or []
+        if not rets:
+            return result
+        if result is None:
+            # every path returned inside a branch: the last return is the
+            # base (lanes outside every condition are unspecified in the
+            # source too)
+            result = rets[-1][1]
+            rets = rets[:-1]
+        for conj, v in reversed(rets):
+            ty = el._promote(v, result)
+            result = emit(O.SELECT, conj, v, result,
+                          out_ty=Type(ty.elem, ty.line))
+        return result
 
     def ret(self, value=None):
         """Handle a ``return`` statement (see transform.py)."""
@@ -173,10 +196,33 @@ class CubeBuilder:
         if runtime == 0:
             raise EarlyReturn(value)
         if value is not None:
-            raise TypeError(
-                "returning a value from inside runtime control flow is not "
-                "supported; restructure with a mutable local"
-            )
+            if entry:
+                raise TypeError(
+                    "returning a value from runtime control flow at kernel "
+                    "top level is not supported; restructure with a "
+                    "mutable local")
+            # inlined helper: record (condition conjunction, value); the
+            # call site folds them into a select chain. NOTE: this is
+            # trace-time reconstruction — values are exact (both branch
+            # arms are computed under predication), but buffer STORES
+            # after a taken return still execute; keep conditionally-
+            # returning helpers pure.
+            conj = None
+            for f in reversed(self.frames):
+                if f.kind in ("fn_entry", "fn_inline"):
+                    frame = f
+                    break
+                if f.kind == "loop_runtime":
+                    raise TypeError(
+                        "returning a value from inside a traced loop is "
+                        "not supported; restructure with a mutable local")
+                if f.kind == "branch" and f.cond is not None:
+                    term = f.cond if f.polarity else emit(
+                        O.NOT, f.cond, out_ty=f.cond.ty)
+                    conj = term if conj is None else emit(
+                        O.AND, conj, term, out_ty=term.ty)
+            frame.rets.append((conj, value))
+            return None
         if not entry:
             raise TypeError(
                 "early return from runtime control flow inside an inlined "
@@ -242,10 +288,13 @@ class CubeBuilder:
         parent = self.scope
         pre = get()
 
-        then_scope, then_vals = self._trace_branch(parent, then_fn, get, set_, pre)
+        then_scope, then_vals = self._trace_branch(parent, then_fn, get,
+                                                   set_, pre, cond, True)
         else_scope, else_vals = (None, pre)
         if else_fn is not None:
-            else_scope, else_vals = self._trace_branch(parent, else_fn, get, set_, pre)
+            else_scope, else_vals = self._trace_branch(parent, else_fn, get,
+                                                       set_, pre, cond,
+                                                       False)
 
         merged = self._merge_branches(parent, pre, [
             (then_scope, then_vals),
@@ -259,10 +308,11 @@ class CubeBuilder:
         parent.register(None, Operation(opcode, (as_value(cond),), attrs))
         set_(tuple(merged))
 
-    def _trace_branch(self, parent: Scope, fn: Callable, get, set_, pre):
+    def _trace_branch(self, parent: Scope, fn: Callable, get, set_, pre,
+                      cond=None, polarity=True):
         child = parent.child()
         self.scope = child
-        self.frames.append(_Frame("branch"))
+        self.frames.append(_Frame("branch", cond=cond, polarity=polarity))
         try:
             fn()
         finally:

@@ -116,11 +116,14 @@ class CubeFunction:
         b = active_builder()
         b.push_function(entry=False)
         try:
-            return self.impl(b, *args, **kwargs)
+            result = self.impl(b, *args, **kwargs)
         except EarlyReturn as e:
-            return e.value
-        finally:
-            b.pop_function()
+            result = e.value
+            frame = b.pop_function()
+            return b.combine_returns(frame, result)
+        else:
+            frame = b.pop_function()
+            return b.combine_returns(frame, result)
 
     # ------------------------------------------------------------- launch
 

@@ -342,3 +342,42 @@ def test_comptime_match_structural(client):
         res = run(client, k, [(x, False), (np.zeros(8, np.float32), True)],
                   comptimes=(cfg,))
         np.testing.assert_allclose(res[1], ref, rtol=1e-6)
+
+
+@cube
+def _clamp_helper(x):
+    if x > 1.0:
+        return 1.0
+    if x < -1.0:
+        return -1.0
+    return x
+
+
+@cube
+def _nested_ret_helper(x):
+    if x > 0.0:
+        if x > 2.0:
+            return 2.0
+        return x
+    return 0.0
+
+
+def test_value_return_from_runtime_branch(client):
+    """Conditional value returns in inlined helpers fold into selects
+    (earlier returns win); exact under predication for pure helpers."""
+
+    @cube
+    def k(inp: Slice, out: MutSlice, which: int):
+        if which == 0:
+            out[UNIT_POS] = _clamp_helper(inp[UNIT_POS])
+        else:
+            out[UNIT_POS] = _nested_ret_helper(inp[UNIT_POS])
+
+    x = np.array([-3, -0.5, 0.5, 3, 1.5, -1.2, 2.5, 0.0], np.float32)
+    res = run(client, k, [(x, False), (np.zeros(8, np.float32), True)],
+              comptimes=(0,))
+    np.testing.assert_allclose(res[1], np.clip(x, -1, 1))
+    res = run(client, k, [(x, False), (np.zeros(8, np.float32), True)],
+              comptimes=(1,))
+    np.testing.assert_allclose(res[1],
+                               np.where(x > 0, np.minimum(x, 2.0), 0.0))
