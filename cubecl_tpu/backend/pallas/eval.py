@@ -1642,7 +1642,11 @@ class Evaluator:
         elif oc == O.PLANE_BROADCAST:
             lane_ev = self.get(inst.op.args[1])
             if lane_ev.varying:
-                _kernel_fail("plane_broadcast with varying source lane")
+                # per-unit source lane: one-hot gather over the plane
+                ev = self._plane_gather(x, self.broadcast_to_canon(
+                    lane_ev, True, 1, self.jnp.int32).reshape(self.U))
+                self.set_env(out, ev)
+                return
             lane = self.materialize(lane_ev)
             xm = self.materialize(x)
             if not x.varying:
@@ -1663,15 +1667,51 @@ class Evaluator:
             _kernel_fail(f"plane op {oc}")
         self.set_env(out, ev)
 
+    def _plane_gather(self, x: EV, src_lanes) -> EV:
+        """Per-unit plane gather: unit u reads the value of lane
+        src_lanes[u] within its plane (one-hot select over the P=8
+        sublanes — O(P) VPU work; the general lowering for traced or
+        unit-varying shuffle/broadcast lanes)."""
+        jnp = self.jnp
+        P, U = self.plane, self.U
+        xm = self.materialize(x)
+        if not x.varying:
+            return x
+        L = xm.shape[-1] if xm.ndim > 1 else 1
+        g = xm.reshape(U // P, P, L)
+        src = jnp.clip(jnp.asarray(src_lanes, jnp.int32).reshape(U), 0,
+                       P - 1).reshape(U // P, P)
+        oneh = src[:, :, None] == self.jax.lax.broadcasted_iota(
+            jnp.int32, (U // P, P, P), 2)           # [grp, unit, src]
+        y = jnp.sum(jnp.where(oneh[..., None], g[:, None, :, :],
+                              jnp.zeros_like(g[:, None, :, :])), axis=2)
+        return EV(arr=y.reshape(U, L), varying=True, line=x.line)
+
     def _plane_shuffle(self, oc, x: EV, arg: Value) -> EV:
         jnp = self.jnp
         a_ev = self.get(arg)
-        if a_ev.varying:
-            _kernel_fail("shuffle with unit-varying lane argument")
-        a = self.materialize(a_ev)
-        if not isinstance(a, int):
-            _kernel_fail("shuffle lane argument must be comptime on TPU")
         P = self.plane
+        if a_ev.varying or not isinstance(
+                self.materialize(a_ev), (int,)):
+            # traced (or per-unit) lane argument: compute per-unit source
+            # lanes and gather
+            U = self.U
+            a = self.broadcast_to_canon(a_ev, True, 1, jnp.int32) \
+                if a_ev.varying else jnp.broadcast_to(
+                    jnp.asarray(self.materialize(a_ev), jnp.int32), (U, 1))
+            a = a.reshape(U)
+            li = self.jax.lax.broadcasted_iota(
+                jnp.int32, (U,), 0) % P
+            if oc == O.PLANE_SHUFFLE_XOR:
+                src = li ^ a
+            elif oc == O.PLANE_SHUFFLE_UP:
+                src = jnp.maximum(0, li - a)
+            elif oc == O.PLANE_SHUFFLE_DOWN:
+                src = jnp.minimum(P - 1, li + a)
+            else:  # PLANE_SHUFFLE: absolute source lane
+                src = a % P
+            return self._plane_gather(x, src)
+        a = self.materialize(a_ev)
         lanes = list(range(P))
         if oc == O.PLANE_SHUFFLE_XOR:
             perm = [l ^ a for l in lanes]

@@ -449,3 +449,35 @@ def test_cmma_nd_windowed_matmul(client):
     matmul_cmma(client, hA, hB, hO, M, N, K, tile=128)
     got = client.read_one(hO).reshape(M, N)
     np.testing.assert_allclose(got, A @ B, atol=1e-3, rtol=1e-4)
+
+
+@cube
+def k_bcast_varying(inp: Slice, out: MutSlice, lanes: Slice):
+    src = lanes[UNIT_POS]
+    out[UNIT_POS] = plane_broadcast(inp[UNIT_POS], src)
+
+
+@cube
+def k_shuffle_traced(inp: Slice, out: MutSlice, m: int):
+    out[UNIT_POS] = plane_shuffle_xor(inp[UNIT_POS], m)
+
+
+def test_plane_gather_dynamic_lanes(client):
+    """Traced / unit-varying lane arguments lower to a one-hot plane
+    gather (O(plane) VPU work) instead of requiring comptime lanes."""
+    from cubecl_tpu.frontend import ScalarArg
+    from cubecl_tpu.ir.types import i32
+
+    x = np.arange(8, dtype=np.float32) * 10
+    lanes = np.array([3, 3, 0, 1, 7, 2, 2, 5], np.int32)
+    h, hl = client.create(x), client.create(lanes)
+    o = client.empty((8,), "float32")
+    k_bcast_varying.launch_unchecked(
+        client, CubeCount(1), CubeDim.new_1d(8),
+        ArrayArg(h), ArrayArg(o, mutable=True), ArrayArg(hl))
+    np.testing.assert_array_equal(client.read_one(o), x[lanes])
+    k_shuffle_traced.launch_unchecked(
+        client, CubeCount(1), CubeDim.new_1d(8),
+        ArrayArg(h), ArrayArg(o, mutable=True), ScalarArg(5, i32))
+    np.testing.assert_array_equal(client.read_one(o),
+                                  x[np.arange(8) ^ 5])
