@@ -85,11 +85,18 @@ class PallasCompiler(Compiler):
             legal = whole or (
                 (L > 1 and L % 128 == 0 and plan.block_lines % 8 == 0)
                 or (L == 1 and plan.block_lines % 128 == 0))
-            if not legal:
+            # a degenerate single-block 1D plan (no grid sweep) is
+            # whole-mode in disguise — demote so it gets the quantum tail
+            # padding dynamic 1D windows need. (L>1 refs stay blocked:
+            # their dynamic row windows fit whole blocks, and padding a
+            # tiny (1, L) ref trips a Mosaic internal bug.) Store coverage
+            # carries over: a fully-covered blocked sweep fully covers the
+            # resident whole buffer too (keeping the out a pure output
+            # avoids donating an aliased input when in == out).
+            if not legal or (not plan.grid_coeffs and L == 1):
                 plan.mode = "whole"
                 plan.block_lines = 0
                 plan.grid_coeffs = {}
-                plan.store_covers_all = False
         for plan in plans.values():
             if plan.mode == "whole" and plan.max_span:
                 # pad so (a) span accesses never clamp their start (which

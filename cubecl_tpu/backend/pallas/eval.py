@@ -507,6 +507,28 @@ class Evaluator:
         sup = ((span + A - 1) // A) * A + A
         assert blk_lines >= sup, (
             f"dynamic 1D window needs padding: blk={blk_lines} < sup={sup}")
+        if blk_lines < sup:
+            # buffer too small for an aligned superspan: one-hot gather
+            # (O(span·blk) — only small buffers land here)
+            data = ref[...]
+            rel_i = _as_i32(jnp, rel)
+            idxs = rel_i + self.jax.lax.broadcasted_iota(
+                jnp.int32, (span,), 0)
+            pos = self.jax.lax.broadcasted_iota(
+                jnp.int32, (span, blk_lines), 1)
+            oneh = pos == idxs[:, None]
+            win = jnp.sum(jnp.where(oneh, data[None, :],
+                                    jnp.zeros_like(data)[None, :]), axis=1)
+
+            def wb_gather(new_window):
+                merged = jnp.sum(
+                    jnp.where(oneh, new_window[:, None],
+                              jnp.zeros((span, blk_lines), data.dtype)),
+                    axis=0)
+                hit = jnp.any(oneh, axis=0)
+                ref[...] = jnp.where(hit, merged.astype(data.dtype), data)
+
+            return win, wb_gather
         rel_i = _as_i32(jnp, rel)
         # clamp the aligned start so the superspan never runs past the
         # block (ds would clamp silently AFTER off was computed)
