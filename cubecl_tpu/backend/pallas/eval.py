@@ -1452,11 +1452,10 @@ class Evaluator:
         if static:
             n = trip
         else:
-            n = lax.max(0, lax.div(stop - start + step - (1 if True else 0),
-                                   step)) if not isinstance(
-                stop, int) or not isinstance(start, int) else trip
-            # ceil((stop-start)/step) for traced bounds
-            n = (stop - start + step - 1) // step
+            # sign-correct ceil((stop-start)/step) for traced bounds
+            # (floor-dividing the negated numerator matches Python range
+            # semantics for negative comptime steps too)
+            n = jnp.maximum(0, -((-(stop - start)) // step))
         final = lax.fori_loop(0, n, body_fn, init)
         self.env = saved_env
         for v, c in zip(carries, final if isinstance(final, tuple) else (final,)):
@@ -1727,9 +1726,11 @@ class Evaluator:
             if oc == O.PLANE_SHUFFLE_XOR:
                 src = li ^ a
             elif oc == O.PLANE_SHUFFLE_UP:
-                src = jnp.maximum(0, li - a)
+                # out-of-range lanes keep their own value (__shfl_up
+                # semantics, reference cubecl-cpp warp printers)
+                src = jnp.where(li - a < 0, li, li - a)
             elif oc == O.PLANE_SHUFFLE_DOWN:
-                src = jnp.minimum(P - 1, li + a)
+                src = jnp.where(li + a >= P, li, li + a)
             else:  # PLANE_SHUFFLE: absolute source lane
                 src = a % P
             return self._plane_gather(x, src)
@@ -1738,9 +1739,10 @@ class Evaluator:
         if oc == O.PLANE_SHUFFLE_XOR:
             perm = [l ^ a for l in lanes]
         elif oc == O.PLANE_SHUFFLE_UP:
-            perm = [max(0, l - a) for l in lanes]
+            # out-of-range lanes keep their own value (__shfl_up semantics)
+            perm = [l if l - a < 0 else l - a for l in lanes]
         elif oc == O.PLANE_SHUFFLE_DOWN:
-            perm = [min(P - 1, l + a) for l in lanes]
+            perm = [l if l + a >= P else l + a for l in lanes]
         else:  # PLANE_SHUFFLE with uniform src
             perm = [a % P for _ in lanes]
         xm = self.materialize(x)

@@ -72,9 +72,18 @@ def insert_checked_io(scope: Scope, cube_dim, cube_count) -> None:
                         lo, hi = _max_of(aff, cube_dim, cube_count, loop_ranges)
                         safe = lo is not None and lo >= 0 and hi < length
                     if not safe and length is not None:
+                        # indices are signed here (unlike the reference's
+                        # u32), so a lone upper-bound check would let a
+                        # negative index through — check both bounds
+                        ub = s.create_local(Type(bool_))
+                        new.append(Instruction(ub, Operation(
+                            O.LT, (idx, const_value(length, idx.ty)))))
+                        lb = s.create_local(Type(bool_))
+                        new.append(Instruction(lb, Operation(
+                            O.GE, (idx, const_value(0, idx.ty)))))
                         mask = s.create_local(Type(bool_))
                         new.append(Instruction(mask, Operation(
-                            O.LT, (idx, const_value(length, idx.ty)))))
+                            O.AND, (ub, lb))))
                         if oc == O.INDEX:
                             inst.op = Operation(
                                 O.INDEX_MASKED, (buf, idx, mask),

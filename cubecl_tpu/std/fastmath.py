@@ -34,10 +34,19 @@ def _magic(divisor: int):
 
 class FastDivmod:
     """Comptime-constructed divider; ``div``/``mod``/``divmod`` usable on
-    traced values inside kernels."""
+    traced values inside kernels.
+
+    Valid for dividends in [0, 2^31): the magic split here (and in
+    csrc/native.cc divmod_magic) uses shift = 31 + ceil(log2 d), whose
+    Granlund-Montgomery error bound only covers 31-bit dividends. That is
+    the full range of i32 index math, which is the only use; dividends
+    with the sign bit set would produce a wrong quotient."""
+
+    MAX_DIVIDEND = 1 << 31
 
     def __init__(self, divisor: int):
-        assert divisor > 0
+        assert 0 < divisor < FastDivmod.MAX_DIVIDEND, \
+            f"FastDivmod divisor must be in [1, 2^31), got {divisor}"
         self.divisor = divisor
         self.magic, self.shift = _magic(divisor)
 

@@ -41,6 +41,10 @@ def load_native() -> Optional[ctypes.CDLL]:
         if _TRIED:
             return _CACHED
         _TRIED = True
+        if os.environ.get("CUBECL_NO_NATIVE"):
+            # force the pure-Python fallbacks (hashing etc.) — used to
+            # exercise toolchain-free environments
+            return None
         d = _csrc_dir()
         src = os.path.join(d, "native.cc")
         so = os.path.join(d, "libcubecl_native.so")

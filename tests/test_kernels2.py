@@ -21,6 +21,7 @@ from cubecl_tpu.frontend import (
     Tensor,
     TensorArg,
     cast,
+    cube_range,
     plane_ballot,
     plane_broadcast,
     plane_elect,
@@ -296,8 +297,11 @@ def test_shuffles(client, kind):
                [(a, False), (np.zeros(8, np.float32), True)],
                comptimes=(kind,))
     lanes = np.arange(8)
-    perm = {"xor": lanes ^ 1, "up": np.maximum(0, lanes - 2),
-            "down": np.minimum(7, lanes + 2),
+    # up/down: out-of-range lanes keep their OWN value (__shfl_up/__shfl_down
+    # semantics — the reference leaves the calling lane unchanged)
+    perm = {"xor": lanes ^ 1,
+            "up": np.where(lanes - 2 < 0, lanes, lanes - 2),
+            "down": np.where(lanes + 2 > 7, lanes, lanes + 2),
             "broadcast": np.full(8, 3)}[kind]
     np.testing.assert_array_equal(res[1], a[perm])
 
@@ -481,3 +485,59 @@ def test_plane_gather_dynamic_lanes(client):
         ArrayArg(h), ArrayArg(o, mutable=True), ScalarArg(5, i32))
     np.testing.assert_array_equal(client.read_one(o),
                                   x[np.arange(8) ^ 5])
+
+
+# ------------------------------------------- round-2 regression coverage
+
+
+@cube
+def k_negstep_loop(out: MutSlice, start: i32, stop: i32):
+    acc = 0
+    for i in cube_range(start, stop, -2):
+        acc = acc + i
+    out[UNIT_POS] = cast(acc, f32)
+
+
+def test_traced_negative_step_loop(client):
+    # sign-correct trip count for traced bounds with a negative comptime
+    # step: range(10, 0, -2) has 5 iterations, not 6 (iv=0 excluded)
+    res = run1(client, k_negstep_loop, [(np.zeros(8, np.float32), True)],
+               scalars=((10, i32), (0, i32)))
+    np.testing.assert_allclose(res[0], float(sum(range(10, 0, -2))))
+    res = run1(client, k_negstep_loop, [(np.zeros(8, np.float32), True)],
+               scalars=((9, i32), (3, i32)))
+    np.testing.assert_allclose(res[0], float(sum(range(9, 3, -2))))
+
+
+@cube
+def k_read_at(a: Slice, out: MutSlice, idx: i32):
+    out[UNIT_POS] = a[idx]
+
+
+def test_checked_negative_index(client):
+    # checked mode must mask NEGATIVE indices too (indices here are signed,
+    # unlike the reference's u32) — a lone upper-bound check lets them by
+    a = np.arange(8, dtype=np.float32) + 1.0
+    res = run1(client, k_read_at,
+               [(a, False), (np.full(8, -1.0, np.float32), True)],
+               scalars=((-3, i32),), checked=True)
+    assert not np.array_equal(res[1], np.full(8, a[-3 % 8])), \
+        "negative index wrapped/clamped instead of failing the bound check"
+
+
+@cube
+def k_shuffle_dyn_up(a: Slice, out: MutSlice, d: i32):
+    x = a[UNIT_POS]
+    out[UNIT_POS] = plane_shuffle_up(x, d)
+
+
+def test_shuffle_up_traced_delta(client):
+    # traced shuffle delta exercises the one-hot gather path; OOB lanes
+    # keep their own value
+    a = (np.arange(8, dtype=np.float32) + 1.0) * 10.0
+    res = run1(client, k_shuffle_dyn_up,
+               [(a, False), (np.zeros(8, np.float32), True)],
+               scalars=((3, i32),))
+    lanes = np.arange(8)
+    perm = np.where(lanes - 3 < 0, lanes, lanes - 3)
+    np.testing.assert_array_equal(res[1], a[perm])
