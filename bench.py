@@ -4,10 +4,14 @@
 BASELINE.md §3 target: >= 90% of MXU peak on the available TPU.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+The tile comes from the REAL autotune path (ops.matmul.autotune_best_tile:
+capture + chained-slope timing, VMEM pre-pruning), then the winning config
+is re-measured with the chained-slope harness for the headline number.
+
 Timing notes: through the axon tunnel, block_until_ready does not reliably
 block, so completion is forced with a 1-element D2H readback and the
 per-iteration time comes from the slope between a short and a long chained
-run (subtracting fixed dispatch/transfer overhead).
+run (subtracting fixed dispatch/transfer overhead). See BENCH_NOTES.md.
 """
 
 import json
@@ -36,7 +40,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from cubecl_tpu import TpuRuntime, CpuRuntime
-    from cubecl_tpu.ops.matmul import _build_matmul, _tile_candidates
+    from cubecl_tpu.ops.matmul import _build_matmul, autotune_top_tiles
 
     try:
         client = TpuRuntime.client()
@@ -55,13 +59,21 @@ def main() -> int:
     a = jax.device_put(jnp.asarray(A, jnp.bfloat16), dev)
     b = jax.device_put(jnp.asarray(B, jnp.bfloat16), dev)
 
-    # small autotune sweep over the strongest tile candidates
-    cands = [(1024, 1024, 512), (512, 1024, 512), (1024, 1024, 1024)]
-    cands = [t for t in cands if M % t[0] == 0 and N % t[1] == 0
-             and K % t[2] == 0]
+    # the real autotune path picks the tile (VMEM-pruned, slope-timed)
+    ah = client.create(a)
+    bh = client.create(b)
+    oh = client.empty((M * N,), "bfloat16")
+    try:
+        tiles = autotune_top_tiles(client, ah, bh, oh, M, N, K, "bfloat16")
+        print(f"# autotune shortlist {tiles}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"# autotune failed ({e}); falling back to 1024x1024x512",
+              file=sys.stderr)
+        tiles = [(1024, 1024, 512)]
+
     best = None
     short_i, long_i = 4, 36
-    for tm, tn, tk in cands:
+    for tm, tn, tk in tiles:
         try:
             ck = _build_matmul(M, N, K, tm, tn, tk, "bfloat16", "bfloat16",
                                "float32")

@@ -74,6 +74,7 @@ class Graph:
                     env[rec.buffer_ids[i]] = outs[k]
             return [env[hid] for hid in self._output_ids]
 
+        self._fn = whole  # unjitted body (re-traceable, e.g. for timing)
         self._jfn = jax.jit(whole)
 
     def replay(self) -> None:

@@ -169,3 +169,66 @@ def time_launch(client, kernel, cube_count, cube_dim, *args,
     flo(*bufs), fhi(*bufs)  # compile
     client.sync()
     return max((timed(fhi) - timed(flo)) / (hi - lo), 1e-9)
+
+
+def seq_slope_time(run_once, read_back, reps: int = 3,
+                   max_n: int = 512) -> float:
+    """Per-call DEVICE time of a dispatched computation, tunnel-proof.
+
+    ``run_once()`` dispatches one (async) execution and returns its
+    outputs; ``read_back(outs)`` forces completion (1-element D2H).
+
+    Design note (round 2): chaining calls inside one jitted ``fori_loop``
+    is NOT safe generically — XLA strips ``optimization_barrier`` ties
+    before loop-invariant code motion, so a kernel that ignores its
+    output operand's value gets hoisted and the chain times as ~0
+    (observed on hardware; see BENCH_NOTES.md). Sequential python-level
+    executions are immune: separate PJRT executes cannot be CSE'd, and
+    dispatch is async, so the tunnel RTT is paid once per *measurement*
+    (cancelled by the slope), not once per call. The per-call dispatch
+    overhead (~36us) is included — it is part of the real launch cost,
+    as in the reference's tune benchmarks.
+
+    The iteration counts adapt: a pilot estimates the per-call time, and
+    (lo, hi) are sized so the timed spread dwarfs the tunnel's +-2-4ms
+    jitter."""
+
+    def run_n(n):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            outs = None
+            for _i in range(n):
+                outs = run_once()
+            read_back(outs)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = run_n(1)
+    t8 = run_n(8)
+    est = max((t8 - t1) / 7, 1e-7)
+    # spread target: well above jitter, but don't waste time on slow hosts
+    target = min(max(4 * t1, 0.010), 0.050)
+    hi = int(min(max(target / est, 16), max_n))
+    lo = max(hi // 4, 1)
+    tlo, thi = run_n(lo), run_n(hi)
+    return max((thi - tlo) / (hi - lo), 1e-9)
+
+
+def time_graph(client, graph, reps: int = 3) -> float:
+    """Per-replay device time of a captured ``Graph`` via
+    ``seq_slope_time`` — the tunnel-proof way to benchmark a launch
+    sequence (used by autotune; reference tune/tune_benchmark.rs:26 with
+    device timestamps)."""
+    import numpy as np
+
+    inputs = [graph._handles[hid].array for hid in graph._input_ids]
+    jfn = graph._jfn
+
+    def run_once():
+        return jfn(inputs)
+
+    def read_back(outs):
+        np.asarray(outs[0].reshape(-1)[:1])
+
+    return seq_slope_time(run_once, read_back, reps=reps)

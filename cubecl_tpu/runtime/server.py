@@ -117,14 +117,16 @@ class JaxServer(ComputeServer):
 
         from .kernel import NativeKernelTask
 
+        from .validation import validate_compiled, validate_launch
+
         if isinstance(task, NativeKernelTask):
             compiled = task.build()
         else:
             defn = task.define()
-            from .validation import validate_launch
-
             validate_launch(defn, self.props)
             compiled = self.compiler.compile(defn)
+        # both paths: VMEM-budget check BEFORE any remote AOT compile
+        validate_compiled(compiled, self.props)
         self.compile_count += 1
         if self.logger is not None:
             self.logger.log_compile(task, compiled)

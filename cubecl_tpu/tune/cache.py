@@ -67,7 +67,7 @@ class TuneCache:
 
     def __init__(self, set_name: str, device_fingerprint: str,
                  checksum: str, persistent: bool = True):
-        self.mem: Dict[str, Tuple[int, str]] = {}  # key -> (index, name)
+        self.mem: Dict[str, Tuple[int, str, dict]] = {}  # key -> (index, name, timings)
         self.checksum = checksum
         self.store = PersistentStore(
             f"autotune/{device_fingerprint}/{set_name}") if persistent else None
@@ -82,15 +82,21 @@ class TuneCache:
                 continue
             if entry.get("checksum") != self.checksum:
                 continue  # stale code — ignore (reference checksum guard)
-            self.mem[k] = (entry["index"], entry.get("name", "?"))
+            self.mem[k] = (entry["index"], entry.get("name", "?"),
+                           entry.get("timings", {}))
 
     def get(self, key: Any) -> Optional[int]:
         hit = self.mem.get(str(key))
         return hit[0] if hit else None
 
+    def timings(self, key: Any) -> dict:
+        """Measured per-candidate seconds recorded when the key was tuned."""
+        hit = self.mem.get(str(key))
+        return hit[2] if hit else {}
+
     def put(self, key: Any, index: int, name: str,
             timings: Optional[dict] = None) -> None:
-        self.mem[str(key)] = (index, name)
+        self.mem[str(key)] = (index, name, timings or {})
         if self.store is not None:
             self.store.put(str(key), json.dumps({
                 "index": index, "name": name, "checksum": self.checksum,

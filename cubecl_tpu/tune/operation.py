@@ -82,4 +82,6 @@ def checksum(tunables: TunableSet) -> str:
     from ..utils.hashing import stable_hash_str
 
     names = ",".join(t.name for t in tunables.tunables)
-    return stable_hash_str(f"{tunables.name}|{names}")
+    # TUNE_FORMAT_VERSION invalidates persisted entries when the timing
+    # methodology changes (v2: capture + barrier-tied chained slope)
+    return stable_hash_str(f"v2|{tunables.name}|{names}")

@@ -1,10 +1,17 @@
-"""Tuner: benchmark-all-on-miss with early elimination + roofline bounds.
+"""Tuner: benchmark-all-on-miss with pruning + roofline short-circuit.
 
 Reference: ``Tuner::check_tune`` (cubecl-runtime/src/tune/tuner.rs:212-263),
-round-robin benchmarking with early elimination and short-circuit
-(tune/schedule.rs:27-47), roofline time bounds from device peaks
-(tune/bounds_generator.rs:46-113), output cross-validation under
-autotune-checks (tune/local.rs:100-117).
+candidate scheduling (tune/schedule.rs:27-47), roofline time bounds from
+device peaks (tune/bounds_generator.rs:46-113), output cross-validation
+under autotune-checks (tune/local.rs:100-117).
+
+Timing: each candidate's launch sequence is captured as a Graph and timed
+with the chained-slope harness (``runtime.profile.time_graph``) — per-call
+host timing through the axon tunnel measures the 15-30ms RTT, not the chip
+(BENCH_NOTES.md hazards 1+2), and the reference's equivalent is device
+timestamps around the tune benchmark (tune/tune_benchmark.rs:26).
+Candidates whose compiled kernels exceed the scoped-VMEM budget are pruned
+by ``validate_compiled`` during capture, BEFORE any remote AOT compile.
 """
 
 from __future__ import annotations
@@ -23,6 +30,18 @@ from .operation import TunableSet, checksum
 log = logging.getLogger("cubecl_tpu.tune")
 
 
+def _tolerances(dtype) -> Tuple[float, float]:
+    """Dtype-aware (rtol, atol) for autotune-checks cross-validation."""
+    dt = np.dtype(dtype) if not hasattr(dtype, "kind") else dtype
+    if dt.kind in "iub":
+        return 0.0, 0.0
+    if dt.itemsize >= 8:
+        return 1e-10, 1e-12
+    if dt.itemsize == 4:
+        return 1e-4, 1e-6
+    return 2e-2, 1e-3  # bf16/f16/fp8
+
+
 class Tuner:
     def __init__(self, tunables: TunableSet, client,
                  level: Optional[str] = None, checks: bool = False):
@@ -36,6 +55,9 @@ class Tuner:
         self.cache = TuneCache(tunables.name, props.identity.fingerprint,
                                checksum(tunables), persistent)
         self.props = props
+        # slope-timing repeats per candidate by level
+        self.reps = {"minimal": 2, "balanced": 3, "extensive": 4,
+                     "full": 5}.get(self.level, 3)
 
     # ------------------------------------------------------------------
 
@@ -49,8 +71,8 @@ class Tuner:
     # ------------------------------------------------------------------
 
     def _time_bound(self, tunable, key) -> Optional[float]:
-        """Roofline lower bound × slack: candidates slower than the current
-        best already exceeding the bound are cut (reference Thresholds)."""
+        """Roofline lower bound: a candidate within 5% of it cannot be
+        beaten — short-circuit the search (reference Thresholds)."""
         if tunable.work is None:
             return None
         flops, bytes_ = tunable.work(key)
@@ -58,63 +80,83 @@ class Tuner:
         t = max(flops / gen.bf16_flops, bytes_ / gen.hbm_bw)
         return t
 
-    def _bench_once(self, fn, args, kwargs) -> float:
+    def _bench_candidate(self, fn, inputs, kwargs) -> float:
+        """Per-call seconds for one candidate: capture its launches into a
+        Graph (compiling + VMEM-validating every kernel — a doomed
+        candidate raises here before any remote AOT compile), then
+        slope-time the captured sequence. Falls back to coarse host
+        timing only if the candidate cannot be captured (e.g. it reads
+        results mid-flight)."""
         from ..runtime.dry_run import real_run
+        from ..runtime.profile import time_graph
 
         with real_run():  # autotune always executes (reference RealRun)
-            t0 = time.perf_counter()
-            fn(*args, **kwargs)
+            self.client.start_capture()
+            try:
+                fn(*inputs, **kwargs)
+            finally:
+                # builds the Graph: compiles + VMEM-validates every
+                # recorded kernel (raises on doomed candidates)
+                graph = self.client.stop_capture()
+            if graph.num_kernels > 0:
+                return time_graph(self.client, graph, reps=self.reps)
+            # nothing captured: candidate drives the device directly
+            # (pure-jax candidate) — coarse host timing with sync
+            fn(*inputs, **kwargs)  # warm (compile excluded from timing)
             self.client.sync()
-            return time.perf_counter() - t0
+            best = math.inf
+            for _ in range(self.reps + 1):
+                t0 = time.perf_counter()
+                fn(*inputs, **kwargs)
+                self.client.sync()
+                best = min(best, time.perf_counter() - t0)
+            return best
 
     def _tune(self, key, *args, **kwargs) -> int:
         inputs = self.tunables.generate_inputs(key, *args, **kwargs)
-        samples = {"minimal": 3, "balanced": 5, "extensive": 8,
-                   "full": 10}.get(self.level, 5)
         best_idx: Optional[int] = None
         best_time = math.inf
         timings: Dict[str, float] = {}
-        outputs: Dict[int, Any] = {}
-        flat = [t for batch in self.tunables.plan(key) for t in batch]
         index_of = {id(t): i for i, t in
                     enumerate(self.tunables.tunables)}
 
+        done = False
         for batch in self.tunables.plan(key):
-            alive: List[Tuple[Any, List[float]]] = []
             for t in batch:
                 try:
-                    warm = self._bench_once(t.fn, inputs, kwargs)
-                except Exception as e:  # candidate unsupported for this key
-                    log.debug("tunable %s failed for %s: %s", t.name, key, e)
+                    per = self._bench_candidate(t.fn, inputs, kwargs)
+                except Exception as e:  # unsupported / VMEM-pruned
+                    log.debug("tunable %s pruned for %s: %s",
+                              t.name, key, e)
                     continue
-                alive.append((t, [warm]))
-            # round-robin with early elimination (reference schedule.rs)
-            for _round in range(samples):
-                still = []
-                for t, durs in alive:
-                    d = self._bench_once(t.fn, inputs, kwargs)
-                    durs.append(d)
-                    med = sorted(durs)[len(durs) // 2]
-                    # eliminate: 3× slower than best so far after 2 rounds
-                    if len(durs) >= 3 and med > 3 * best_time:
-                        timings[t.name] = med
-                        continue
-                    still.append((t, durs))
-                    if med < best_time:
-                        best_time = med
-                        best_idx = index_of[id(t)]
-                alive = still
-            for t, durs in alive:
-                med = sorted(durs)[len(durs) // 2]
-                timings[t.name] = med
-                if med < best_time or best_idx is None:
-                    best_time = med
+                timings[t.name] = per
+                if per < best_time:
+                    best_time = per
                     best_idx = index_of[id(t)]
-                # short-circuit: within 5% of roofline — can't do better
+                # short-circuit: within 5% of roofline — can't do
+                # better. A measurement far BELOW the roofline is
+                # physically impossible (harness failure): never
+                # short-circuit on it, and distrust it as a winner.
                 bound = self._time_bound(t, key)
-                if bound is not None and med < bound * 1.05:
+                if bound is not None and per < bound * 0.5:
+                    log.warning(
+                        "autotune %s: %s measured %.3fms, below the "
+                        "roofline bound %.3fms — timing suspect, ignored",
+                        self.tunables.name, t.name, per * 1e3, bound * 1e3)
+                    timings.pop(t.name, None)
+                    if best_idx == index_of[id(t)]:
+                        best_idx, best_time = None, math.inf
+                        name_to_idx = {tt.name: i for i, tt in
+                                       enumerate(self.tunables.tunables)}
+                        for nm, tv in timings.items():
+                            if tv < best_time:
+                                best_time = tv
+                                best_idx = name_to_idx[nm]
+                    continue
+                if bound is not None and per < bound * 1.05:
+                    done = True
                     break
-            if best_idx is not None and self.level == "minimal":
+            if done or (best_idx is not None and self.level == "minimal"):
                 break  # minimal level: first viable batch wins
 
         if best_idx is None:
@@ -130,19 +172,47 @@ class Tuner:
         return best_idx
 
     def _cross_validate(self, inputs, kwargs) -> None:
-        """autotune-checks: all candidates must produce matching outputs."""
+        """autotune-checks: all candidates must produce matching outputs.
+
+        Candidates usually write device handles and return None, so the
+        outputs are discovered by capturing each candidate's launches
+        (the Graph knows which handles it writes), running it for real,
+        and reading those handles; tolerances are dtype-aware."""
+        from ..runtime.dry_run import real_run
+
         ref = None
         for t in self.tunables.tunables:
             try:
-                out = t.fn(*inputs, **kwargs)
+                self.client.start_capture()
+                try:
+                    t.fn(*inputs, **kwargs)
+                finally:
+                    graph = self.client.stop_capture()
+                if graph.num_kernels:
+                    with real_run():
+                        t.fn(*inputs, **kwargs)
+                    arrs = [np.asarray(self.client.read_one(
+                        graph._handles[hid]))
+                        for hid in graph._output_ids]
+                else:
+                    with real_run():
+                        out = t.fn(*inputs, **kwargs)
+                    if out is None:
+                        continue
+                    arrs = [np.asarray(out)]
             except Exception:
                 continue
-            arr = np.asarray(out)
             if ref is None:
-                ref = (t.name, arr)
-            elif not np.allclose(ref[1], arr, rtol=1e-2, atol=1e-3):
-                raise AssertionError(
-                    f"autotune-checks: {t.name} disagrees with {ref[0]}")
+                ref = (t.name, arrs)
+                continue
+            for r, a in zip(ref[1], arrs):
+                rtol, atol = _tolerances(a.dtype)
+                if not np.allclose(r.astype(np.float64),
+                                   a.astype(np.float64),
+                                   rtol=rtol, atol=atol):
+                    raise AssertionError(
+                        f"autotune-checks: {t.name} disagrees with "
+                        f"{ref[0]} (rtol={rtol}, atol={atol})")
 
 
 class LocalTuner:

@@ -106,3 +106,95 @@ def test_autotuned_reduce(client):
     h = client.create(x)
     out = reduce_sum_autotuned(client, h)
     np.testing.assert_allclose(client.read_one(out)[0], x.sum(), rtol=1e-4)
+
+
+def test_tuner_prunes_vmem_doomed_candidates(client):
+    """A candidate whose kernels exceed the scoped-VMEM budget must be
+    pruned during capture (before any AOT compile), not crash the tune
+    (round-2 VERDICT: bench.py showed a mid-run Mosaic VMEM OOM)."""
+    from cubecl_tpu import CubeCount, CubeDim, cube
+    from cubecl_tpu.frontend import (ABSOLUTE_POS, ArrayArg, MutSlice,
+                                     Slice, cast)
+    from cubecl_tpu.ir.types import f32, i32
+
+    @cube
+    def gathered(src: Slice, idx: Slice, out: MutSlice):
+        # data-dependent gather: the planner cannot window src, so the
+        # whole buffer must be VMEM-resident
+        j = cast(idx[ABSOLUTE_POS], i32)
+        out[ABSOLUTE_POS] = src[j]
+
+    @cube
+    def windowed(src: Slice, idx: Slice, out: MutSlice):
+        out[ABSOLUTE_POS] = src[ABSOLUTE_POS] * 1.0
+
+    n = 4 * 1024 * 1024  # 16MB f32: whole-resident (x2 buffers) busts VMEM
+    src = client.create(np.random.randn(n).astype(np.float32))
+    small = client.create(np.random.randn(1024).astype(np.float32))
+    idx = client.create(np.arange(1024, dtype=np.int32))
+    out = client.empty((1024,), "float32")
+
+    from cubecl_tpu.tune import TunableSet, Tuner
+
+    ts = TunableSet("vmem_prune_test", lambda *a: "k")
+
+    def doomed(_key=None):
+        gathered.launch_unchecked(client, CubeCount(8),
+                                  CubeDim.new_1d(128),
+                                  ArrayArg(src), ArrayArg(idx),
+                                  ArrayArg(out, mutable=True))
+
+    def fine(_key=None):
+        windowed.launch_unchecked(client, CubeCount(1),
+                                  CubeDim.new_1d(8),
+                                  ArrayArg(small, line_size=128),
+                                  ArrayArg(idx),
+                                  ArrayArg(out, mutable=True,
+                                           line_size=128))
+
+    ts.with_tunable(doomed, "doomed")
+    ts.with_tunable(fine, "fine")
+    tuner = Tuner(ts, client, level="minimal")
+    tuner.cache.store = None
+    tuner.cache.mem.clear()
+    idx_won = tuner._tune("k", None)
+    assert ts.tunables[idx_won].name == "fine"
+    timings = tuner.cache.timings("k")
+    assert "doomed" not in timings, "doomed candidate must be pruned"
+
+
+def test_tuner_times_launch_candidates_via_capture(client):
+    """Launch-sequence candidates are captured and slope-timed; the
+    winner's cached timing must be device-plausible (>0, finite)."""
+    import math
+
+    from cubecl_tpu import CubeCount, CubeDim, cube
+    from cubecl_tpu.frontend import ABSOLUTE_POS, ArrayArg, MutSlice, Slice
+
+    @cube
+    def scale2(a: Slice, out: MutSlice):
+        out[ABSOLUTE_POS] = a[ABSOLUTE_POS] * 2.0
+
+    a = client.create(np.arange(256, dtype=np.float32))
+    o = client.empty((256,), "float32")
+
+    from cubecl_tpu.tune import TunableSet, Tuner
+
+    ts = TunableSet("capture_time_test", lambda *a: "k")
+
+    def cand_cd8(_key=None):
+        scale2.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                                ArrayArg(a, line_size=32),
+                                ArrayArg(o, mutable=True, line_size=32))
+
+    ts.with_tunable(cand_cd8, "cd8")
+    tuner = Tuner(ts, client, level="minimal")
+    tuner.cache.store = None
+    tuner.cache.mem.clear()
+    widx = tuner._tune("k", None)
+    per = tuner.cache.timings("k")["cd8"]
+    assert math.isfinite(per) and per > 0
+    # and executing for real still produces the right answer
+    ts.tunables[widx].fn(None)
+    np.testing.assert_array_equal(client.read_one(o),
+                                  np.arange(256, dtype=np.float32) * 2)
