@@ -84,6 +84,13 @@ def _arr_of(handle):
     return handle.array if isinstance(handle, Handle) else handle
 
 
+def _meta_of(handle):
+    """(shape, dtype) WITHOUT touching handle.array — the array property
+    flushes the stream scheduler, which must not happen on the classify /
+    memo launch path (it would defeat dispatch batching)."""
+    return (tuple(handle.shape), handle.dtype)
+
+
 class CubeFunction:
     """The decorated object."""
 
@@ -202,8 +209,8 @@ class CubeFunction:
             if isinstance(value, (ArrayArg, TensorArg)) or \
                     isinstance(value, Handle) or _is_device_array(value):
                 if isinstance(value, TensorArg):
-                    arr = _arr_of(value.handle)
-                    shape = value.shape or tuple(arr.shape)
+                    hshape, _hdt = _meta_of(value.handle)
+                    shape = value.shape or hshape
                     strides = value.strides or _c_strides(shape)
                     params.append(dict(
                         kind="buffer", name=name, handle=_as_handle(value.handle),
@@ -214,8 +221,7 @@ class CubeFunction:
                 else:
                     aa = value if isinstance(value, ArrayArg) else \
                         ArrayArg(value)
-                    arr = _arr_of(aa.handle)
-                    shape = tuple(arr.shape)
+                    shape, _hdt = _meta_of(aa.handle)
                     params.append(dict(
                         kind="buffer", name=name, handle=_as_handle(aa.handle),
                         line=aa.line_size,
@@ -236,14 +242,14 @@ class CubeFunction:
                 items = []
                 for i, x in enumerate(value):
                     aa = x if isinstance(x, ArrayArg) else ArrayArg(x)
-                    arr = _arr_of(aa.handle)
+                    hshape, _hdt = _meta_of(aa.handle)
                     items.append(dict(
                         kind="buffer", name=f"{name}_{i}",
                         handle=_as_handle(aa.handle), line=aa.line_size,
                         mutable=aa.mutable if aa.mutable is not None
                         else mut_ann,
-                        tensor=False, shape=tuple(arr.shape),
-                        strides=_c_strides(tuple(arr.shape)),
+                        tensor=False, shape=hshape,
+                        strides=_c_strides(hshape),
                         length=aa.length))
                 params.append(dict(kind="seq", name=name, items=items))
             else:
@@ -255,9 +261,11 @@ class CubeFunction:
                  f"cc={cc.as_tuple()}", f"cd={cd.as_tuple()}",
                  f"checked={checked}"]
         def buffer_part(p):
-            arr = p["handle"].array
-            elem = elem_from_dtype(arr.dtype)
-            return (f"b:{p['name']}:{elem}x{p['line']}:{tuple(arr.shape)}:"
+            # cached shape/dtype — do NOT touch handle.array here (it
+            # flushes the stream scheduler; ids need only metadata)
+            h = p["handle"]
+            elem = elem_from_dtype(h.dtype)
+            return (f"b:{p['name']}:{elem}x{p['line']}:{tuple(h.shape)}:"
                     f"{p['mutable']}:{p.get('tensor', False)}")
 
         for p in params:
@@ -280,9 +288,9 @@ class CubeFunction:
         plane_dim = _pick_plane(cd.num_units)
 
         def buffer_proxy(p):
-            arr = p["handle"].array
-            elem = elem_from_dtype(arr.dtype)
-            total = int(np.prod(arr.shape)) if arr.shape else 1
+            h = p["handle"]  # cached metadata only; .array would flush
+            elem = elem_from_dtype(h.dtype)
+            total = int(np.prod(h.shape)) if h.shape else 1
             if p.get("length"):
                 total = p["length"]
             line = p["line"]
@@ -346,14 +354,18 @@ def _flat_buffers(p: dict):
 
 def _arg_desc(a):
     """Hashable structural descriptor of a launch argument (raises
-    TypeError for unhashable comptime values → no memo)."""
+    TypeError for unhashable comptime values → no memo). Uses the
+    handle's CACHED shape/dtype — touching .array flushes the stream
+    scheduler, which would defeat dispatch batching."""
     if isinstance(a, ArrayArg):
-        arr = _arr_of(a.handle)
-        return ("b", tuple(arr.shape), str(arr.dtype), a.line_size,
+        h = a.handle
+        shape, dt = _meta_of(h)
+        return ("b", shape, str(dt), a.line_size,
                 a.mutable, a.length)
     if isinstance(a, TensorArg):
-        arr = _arr_of(a.handle)
-        return ("t", tuple(arr.shape), str(arr.dtype), a.shape, a.strides,
+        h = a.handle
+        shape, dt = _meta_of(h)
+        return ("t", shape, str(dt), a.shape, a.strides,
                 a.line_size, a.mutable)
     if isinstance(a, Handle):
         return ("h", a.shape, str(a.dtype))

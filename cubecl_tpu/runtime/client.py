@@ -66,7 +66,31 @@ class ComputeClient:
         if cap is not None:
             cap.record(task, buffers, scalars)
             return
-        self._dev.call(lambda s: s.launch(task, buffers, scalars))
+        idx = self.current_stream()
+        self._dev.call(lambda s: s.launch(task, buffers, scalars,
+                                          stream=idx))
+
+    # ------------------------------------------------------------ streams
+
+    def _streams(self):
+        """Client-side stream IDENTITY (policy + per-thread pinning); the
+        scheduler/queues live on the server (reference WgpuServer owns
+        its SchedulerMultiStream, compute/server.rs:66-82)."""
+        pool = getattr(self, "_stream_pool", None)
+        if pool is None:
+            from .config import runtime_config
+            from .stream import StreamPool
+
+            sched = self._dev.call(lambda s: s.scheduler)
+            pool = StreamPool(
+                sched,
+                policy=runtime_config().get("streaming", {})
+                .get("policy", "per_task"))
+            self._stream_pool = pool
+        return pool
+
+    def _flush_streams(self) -> None:
+        self._dev.call(lambda s: s.flush_streams())
 
     # ------------------------------------------------------- graph capture
 
@@ -83,6 +107,7 @@ class ComputeClient:
 
         if getattr(self, "_capture", None) is not None:
             raise RuntimeError("capture already active")
+        self._flush_streams()
         self._capture = CaptureState()
 
     def stop_capture(self):
@@ -161,18 +186,16 @@ class ComputeClient:
         """Pin subsequent work to a logical stream (reference
         client.set_stream; runtime_tests/stream.rs). Dispatch-order only on
         TPU — data dependencies are tracked by the arrays themselves."""
-        pool = getattr(self, "_stream_pool", None)
-        if pool is None:
-            from .config import runtime_config
-            from .stream import StreamPool
-
-            pool = StreamPool.from_config(runtime_config())
-            self._stream_pool = pool
-        pool.set_stream(index)
+        self._streams().set_stream(index)
 
     def current_stream(self) -> int:
-        pool = getattr(self, "_stream_pool", None)
-        return pool.current() if pool else 0
+        return self._streams().current()
+
+    def set_stream(self, index) -> None:
+        """Pin subsequent work to a logical stream (reference
+        client.set_stream; runtime_tests/stream.rs). Dispatch-order only on
+        TPU — data dependencies are tracked by the arrays themselves."""
+        self._streams().set_stream(index)
 
     def read_tensor(self, handle: Handle, shape, strides=None):
         """Shape/stride-typed read (reference CopyDescriptor,

@@ -17,25 +17,43 @@ _IDS = itertools.count()
 
 
 class Handle:
-    __slots__ = ("id", "array", "shape", "dtype", "offset_start", "offset_end",
-                 "stream", "_server")
+    __slots__ = ("id", "_array", "shape", "dtype", "offset_start",
+                 "offset_end", "stream", "_server")
 
     def __init__(self, array, server=None, stream: int = 0):
         self.id = next(_IDS)
-        self.array = array
+        self._server = server
+        self._array = array
         self.shape = tuple(array.shape)
         self.dtype = array.dtype
         self.offset_start: Optional[int] = None
         self.offset_end: Optional[int] = None
         self.stream = stream
-        self._server = server
+
+    @property
+    def array(self):
+        """The backing jax array. Reading it first flushes any launches
+        still queued on the owning server's stream scheduler — direct
+        ``handle.array`` consumers (ops code, timing harnesses) must see
+        settled dispatch order, exactly like ``client.read``."""
+        srv = self._server
+        if srv is not None:
+            srv.flush_streams()
+        return self._array
+
+    @array.setter
+    def array(self, value) -> None:
+        srv = self._server
+        if srv is not None:
+            srv.flush_streams()
+        self._array = value
 
     @property
     def size_bytes(self) -> int:
         n = 1
         for s in self.shape:
             n *= s
-        return n * self.array.dtype.itemsize
+        return n * self._array.dtype.itemsize
 
     def binding(self) -> "Handle":
         """reference Handle::binding — consume into a kernel binding; the

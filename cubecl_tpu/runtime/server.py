@@ -64,6 +64,15 @@ class JaxServer(ComputeServer):
         self.name = name
         self.logger = logger
         self.memory = MemoryManagement(config)
+        from .config import runtime_config
+        from .stream import SchedulerMultiStream
+
+        sc = (config or runtime_config()).get("streaming", {})
+        self.scheduler = SchedulerMultiStream(
+            batch_exec=lambda runs: [r(self) for r in runs],
+            num_streams=int(sc.get("max_streams", 4)),
+            max_tasks=int(sc.get("max_tasks", 16)),
+            strategy=sc.get("strategy", "interleave"))
         self.error_queue: List[BaseException] = []
         self._cache: Dict[str, Tuple[CompiledKernel, Callable]] = {}
         self._persistent = None  # set by runtime (persistent kernel store)
@@ -92,6 +101,7 @@ class JaxServer(ComputeServer):
         return h
 
     def read(self, handles: Sequence[Handle]) -> List[np.ndarray]:
+        self.flush_streams()
         self._drain_errors()
         return [np.asarray(h.array) for h in handles]
 
@@ -152,12 +162,34 @@ class JaxServer(ComputeServer):
         return entry
 
     def launch(self, task: KernelTask, buffers: Sequence[Handle],
-               scalars: Sequence[Any] = ()) -> None:
-        compiled, jfn = self.compile_kernel(task)
+               scalars: Sequence[Any] = (), stream: int = 0) -> None:
+        """Queued launch (the wired multi-stream path, reference
+        SchedulerMultiStream, stream/scheduler.rs:10-46): compile +
+        validate eagerly so launch errors surface immediately, then
+        enqueue the dispatch on the logical ``stream``. Dispatches flush
+        in batches at the max_tasks threshold or at any read/sync/array
+        access — jax dataflow plus the scheduler's cross-stream handle
+        tracking keep execution order correct."""
+        compiled, _ = self.compile_kernel(task)  # eager: immediate errors
         from .dry_run import dry_run_enabled
 
         if dry_run_enabled():
             return  # LaunchMode::Skip — compiled/caches warmed, no dispatch
+        mut = set(compiled.mutable_indices)
+        self.scheduler.enqueue(
+            stream, lambda srv: srv._launch_now(task, buffers, scalars),
+            ids=[h.id for h in buffers],
+            writes=[h.id for i, h in enumerate(buffers) if i in mut])
+
+    def flush_streams(self) -> None:
+        """Dispatch everything still queued on the stream scheduler."""
+        sched = getattr(self, "scheduler", None)
+        if sched is not None and sched._pending:
+            sched.flush()
+
+    def _launch_now(self, task: KernelTask, buffers: Sequence[Handle],
+                    scalars: Sequence[Any] = ()) -> None:
+        compiled, jfn = self.compile_kernel(task)
         mut = set(compiled.mutable_indices)
         ro = [h.array for i, h in enumerate(buffers) if i not in mut]
         mu = [h.array for i, h in enumerate(buffers) if i in mut]
@@ -177,6 +209,7 @@ class JaxServer(ComputeServer):
     def sync(self) -> None:
         """Block until dispatched work completes; surfaces queued errors
         (the reference's lazy-error contract, tests/dummy/server.rs:36-41)."""
+        self.flush_streams()
         self._drain_errors()
         import jax
 
@@ -197,7 +230,7 @@ class JaxServer(ComputeServer):
         self._drain_errors()
 
     def flush(self) -> None:
-        pass
+        self.flush_streams()
 
     def _drain_errors(self) -> None:
         if self.error_queue:

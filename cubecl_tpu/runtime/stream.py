@@ -1,4 +1,4 @@
-"""Multi-stream infrastructure.
+"""Multi-stream infrastructure — WIRED into the dispatch path.
 
 Reference: ``MultiStream`` cursor/event sync across streams
 (cubecl-runtime/src/stream/event.rs:23-88), ``SchedulerMultiStream`` task
@@ -8,18 +8,22 @@ flush threshold (stream/scheduler.rs:10-46), ``StreamPool``
 policy.rs:11-29).
 
 TPU mapping: XLA's async dispatch queue is the single hardware stream;
-logical streams order *dispatch*. Data dependencies between launches are
-tracked by jax arrays themselves, so cross-stream correctness is free —
-what the scheduler adds is batching: queued tasks flush together, cutting
-per-launch Python/dispatch overhead (the reference batches for the same
-reason on wgpu).
+logical streams order *dispatch*. ``client.launch`` enqueues here (after
+eager compile+validate, so launch errors stay immediate) and queued
+launches flush as ONE device-actor crossing — the batching that amortizes
+per-launch Python overhead, which is what the reference's scheduler buys
+on wgpu. Cross-stream data dependencies are detected from overlapping
+handle ids: enqueuing a task that touches handles pending on another
+stream flushes that stream first (the event-sync analogue of
+``MultiStream::resolve``); correctness of device-side ordering is then
+guaranteed by jax dataflow.
 """
 
 from __future__ import annotations
 
 import threading
 from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Callable, FrozenSet, List, Optional, Sequence
 
 
 @dataclass
@@ -31,11 +35,21 @@ class StreamEvent:
     cursor: int
 
 
+@dataclass
+class _Queued:
+    run: Callable[[Any], None]  # executed with the server at flush
+    ids: FrozenSet[int] = frozenset()
+    writes: FrozenSet[int] = frozenset()
+
+
 class Stream:
     def __init__(self, index: int):
         self.index = index
-        self.cursor = 0
-        self.queue: List[Callable[[], None]] = []
+        self.cursor = 0       # tasks ever enqueued (event positions)
+        self.flushed = 0      # tasks already dispatched
+        self.queue: List[_Queued] = []
+        self.pending_ids: set = set()
+        self.pending_writes: set = set()
 
     def record(self) -> StreamEvent:
         return StreamEvent(self.index, self.cursor)
@@ -45,56 +59,103 @@ class Stream:
 
 
 class SchedulerMultiStream:
-    """Task queue with flush threshold + strategy (scheduler.rs:10-46)."""
+    """Launch queue with flush threshold + strategy (scheduler.rs:10-46).
 
-    def __init__(self, num_streams: int = 4, max_tasks: int = 16,
+    ``batch_exec`` receives the ordered list of queued ``run`` callables
+    and executes them (the client passes one device-actor crossing for
+    the whole batch). ``dispatch_count``/``task_count`` expose the
+    batching ratio (dispatches < launches) to tests and logs."""
+
+    def __init__(self, batch_exec: Optional[Callable] = None,
+                 num_streams: int = 4, max_tasks: int = 16,
                  strategy: str = "interleave"):
         assert strategy in ("interleave", "sequential")
         self.streams = [Stream(i) for i in range(num_streams)]
         self.max_tasks = max_tasks
         self.strategy = strategy
+        self.batch_exec = batch_exec or (lambda runs: [r(None) for r in runs])
         self._pending = 0
-        self._lock = threading.Lock()
+        self._lock = threading.RLock()
+        self.dispatch_count = 0
+        self.task_count = 0
 
     def stream(self, index: int) -> Stream:
         return self.streams[index % len(self.streams)]
 
-    def enqueue(self, stream_idx: int, task: Callable[[], None]) -> None:
+    def enqueue(self, stream_idx: int, run: Callable[[Any], None],
+                ids: Sequence[int] = (),
+                writes: Sequence[int] = None) -> None:
         with self._lock:
+            ids = frozenset(ids)
+            # unknown write set -> treat every handle as written (safe)
+            writes = frozenset(writes) if writes is not None else ids
             s = self.stream(stream_idx)
-            s.queue.append(task)
+            # cross-stream TRUE dependency (read-after-write or
+            # write-after-read/write on a shared handle): flush the other
+            # stream first (event-sync analogue); read-read sharing is
+            # not a conflict
+            for other in self.streams:
+                if other is not s and other.queue and (
+                        other.pending_writes & ids
+                        or other.pending_ids & writes):
+                    self._flush_stream(other)
+            s.queue.append(_Queued(run, ids, writes))
+            s.pending_ids |= ids
+            s.pending_writes |= writes
             s.cursor += 1
             self._pending += 1
+            self.task_count += 1
             if self._pending >= self.max_tasks:
                 self._flush_locked()
 
     def wait_event(self, stream_idx: int, event: StreamEvent) -> None:
-        """Cross-stream ordering: flush the source stream up to the event
-        cursor before continuing (resolve, stream/event.rs:50)."""
+        """Cross-stream ordering: dispatch the source stream up to the
+        event cursor before continuing (resolve, stream/event.rs:50)."""
         with self._lock:
-            self._flush_locked()
+            src = self.stream(event.stream)
+            if src.flushed < event.cursor:
+                self._flush_stream(src)
 
     def flush(self) -> None:
         with self._lock:
             self._flush_locked()
 
+    def _flush_stream(self, s: Stream) -> None:
+        if not s.queue:
+            return
+        runs = [q.run for q in s.queue]
+        n = len(s.queue)
+        s.flushed += n
+        self._pending -= n
+        s.queue.clear()
+        s.pending_ids.clear()
+        s.pending_writes.clear()
+        self.dispatch_count += 1
+        self.batch_exec(runs)
+
     def _flush_locked(self) -> None:
+        live = [list(s.queue) for s in self.streams]
+        for s in self.streams:
+            s.flushed += len(s.queue)
+            s.queue.clear()
+            s.pending_ids.clear()
+            s.pending_writes.clear()
+        total = sum(len(q) for q in live)
+        if not total:
+            return
+        self._pending -= total
+        runs: List[Callable] = []
         if self.strategy == "interleave":
             # round-robin across streams (interleaved dispatch)
-            live = [list(s.queue) for s in self.streams]
-            for s in self.streams:
-                s.queue.clear()
-            i = 0
             while any(live):
                 for q in live:
                     if q:
-                        q.pop(0)()
+                        runs.append(q.pop(0).run)
         else:
-            for s in self.streams:
-                for t in s.queue:
-                    t()
-                s.queue.clear()
-        self._pending = 0
+            for q in live:
+                runs.extend(item.run for item in q)
+        self.dispatch_count += 1
+        self.batch_exec(runs)
 
 
 class StreamPool:
@@ -131,10 +192,12 @@ class StreamPool:
         self._tls.stream = index
 
     @staticmethod
-    def from_config(cfg: dict) -> "StreamPool":
+    def from_config(cfg: dict, batch_exec: Optional[Callable] = None
+                    ) -> "StreamPool":
         sc = cfg.get("streaming", {})
         return StreamPool(
             SchedulerMultiStream(
+                batch_exec=batch_exec,
                 num_streams=int(sc.get("max_streams", 4)),
                 max_tasks=int(sc.get("max_tasks", 16)),
                 strategy=sc.get("strategy", "interleave")),

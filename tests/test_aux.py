@@ -80,14 +80,86 @@ def test_scheduler_multistream():
     sched = SchedulerMultiStream(num_streams=2, max_tasks=4,
                                  strategy="interleave")
     for i in range(3):
-        sched.enqueue(i % 2, lambda i=i: order.append(i))
+        sched.enqueue(i % 2, lambda srv, i=i: order.append(i))
     assert order == []  # below flush threshold
-    sched.enqueue(1, lambda: order.append(3))
+    sched.enqueue(1, lambda srv: order.append(3))
     assert len(order) == 4  # threshold flush
+    assert sched.dispatch_count == 1 and sched.task_count == 4
     pool = StreamPool(sched)
     assert pool.current() == 0
     pool.set_stream(2)
     assert pool.current() == 2
+    pool.set_stream(None)
+
+
+def test_streams_wired_batching(client):
+    """Mirror of reference runtime_tests/stream.rs:18-28: launches queue
+    on the scheduler (dispatch count < launch count) and flush on read;
+    set_stream observably routes work to different logical streams."""
+    sched = client._dev.call(lambda s: s.scheduler)
+    x = np.arange(8, dtype=np.float32)
+    h = client.create(x)
+    outs = [client.empty((8,), "float32") for _ in range(6)]
+
+    d0, t0 = sched.dispatch_count, sched.task_count
+    client.set_stream(0)
+    for i in range(3):
+        _scale.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                                ArrayArg(h), ArrayArg(outs[i], mutable=True),
+                                float(i + 1))
+    client.set_stream(1)
+    for i in range(3, 6):
+        _scale.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                                ArrayArg(h), ArrayArg(outs[i], mutable=True),
+                                float(i + 1))
+    client.set_stream(None)
+    # all six queued, nothing dispatched yet (below max_tasks=16)
+    assert sched.task_count - t0 == 6
+    assert sched.dispatch_count == d0
+    s0 = client._dev.call(lambda s: s.scheduler.stream(0))
+    s1 = client._dev.call(lambda s: s.scheduler.stream(1))
+    assert len(s0.queue) == 3 and len(s1.queue) == 3
+    # read flushes everything in one batch: 6 launches, 1 dispatch
+    for i in range(6):
+        np.testing.assert_array_equal(client.read_one(outs[i]),
+                                      x * float(i + 1))
+    assert sched.dispatch_count == d0 + 1
+
+
+def test_streams_cross_stream_ordering(client):
+    """A launch on stream 1 that consumes a handle pending on stream 0
+    must flush stream 0 first (MultiStream::resolve event-sync
+    analogue) — the read-back then sees writes in program order."""
+    sched = client._dev.call(lambda s: s.scheduler)
+    x = np.arange(8, dtype=np.float32)
+    h = client.create(x)
+    mid = client.empty((8,), "float32")
+    out = client.empty((8,), "float32")
+
+    client.set_stream(0)
+    _scale.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                            ArrayArg(h), ArrayArg(mid, mutable=True), 2.0)
+    d_before = sched.dispatch_count
+    client.set_stream(1)  # consumes mid -> must flush stream 0 first
+    _scale.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                            ArrayArg(mid), ArrayArg(out, mutable=True), 3.0)
+    client.set_stream(None)
+    assert sched.dispatch_count > d_before, \
+        "conflicting enqueue must have flushed the source stream"
+    np.testing.assert_array_equal(client.read_one(out), x * 6.0)
+
+
+def test_direct_handle_array_access_flushes(client):
+    """ops code reads/writes handle.array directly (e.g. reduce_mean's
+    epilogue) — the property must flush queued launches first."""
+    x = np.arange(8, dtype=np.float32)
+    h = client.create(x)
+    out = client.empty((8,), "float32")
+    _scale.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                            ArrayArg(h), ArrayArg(out, mutable=True), 2.0)
+    # no explicit sync/read: touching .array must see the kernel's result
+    out.array = out.array + 1.0
+    np.testing.assert_array_equal(client.read_one(out), x * 2.0 + 1.0)
 
 
 def test_launch_utilities():
