@@ -431,5 +431,26 @@ def _dump_source(defn, plans, ua) -> str:
             f"// buffer {bp.name}: {bp.ty!r}[{bp.length}] mode={plan.mode} "
             f"block={plan.block_lines} grid={plan.grid_coeffs} "
             f"mut={bp.mutable}{extra}")
-    lines.append(repr(defn.scope))
+    if defn.options.debug_symbols:
+        # @cube(debug_symbols=True): annotate every instruction with its
+        # user source location (reference CompileOptions::debug_symbols;
+        # the C++ printers emit #line directives — here the IR listing
+        # carries the locations and ServerLogger's full compile log
+        # prints it)
+        lines.append(_dump_ir_with_locs(defn.scope))
+    else:
+        lines.append(repr(defn.scope))
     return "\n".join(lines)
+
+
+def _dump_ir_with_locs(scope, indent: str = "") -> str:
+    out = []
+    for inst in scope.instructions:
+        loc = f"  // {inst.source_loc}" if inst.source_loc else ""
+        out.append(f"{indent}{inst!r}{loc}")
+        for key in ("then", "orelse", "body", "cond_scope"):
+            sub = inst.op.attrs.get(key) if hasattr(inst.op, "attrs") else None
+            if sub is not None and hasattr(sub, "instructions"):
+                out.append(f"{indent}{key}:")
+                out.append(_dump_ir_with_locs(sub, indent + "  "))
+    return "\n".join(out)

@@ -283,6 +283,7 @@ class CubeFunction:
                 checked: bool) -> KernelDefinition:
         state = GlobalState()
         state.cube_dim = cd.as_tuple()
+        state.debug_symbols = bool(self.options.get("debug_symbols", False))
         scope = Scope(state)
         builder = CubeBuilder(scope)
         plane_dim = _pick_plane(cd.num_units)

@@ -67,6 +67,20 @@ class GlobalState:
         return vid
 
 
+def _user_source_loc():
+    """First stack frame outside cubecl_tpu = the user's kernel line."""
+    import sys
+
+    f = sys._getframe(2)
+    pkg_root = __file__.rsplit("/", 2)[0]  # .../cubecl_tpu
+    while f is not None:
+        fn = f.f_code.co_filename
+        if not fn.startswith(pkg_root):
+            return f"{fn}:{f.f_lineno}"
+        f = f.f_back
+    return None
+
+
 class Scope:
     """An ordered list of instructions plus typed local allocation."""
 
@@ -116,7 +130,13 @@ class Scope:
 
     def register(self, out: Optional[Value], op: Operation,
                  modes: Optional[dict] = None, loc: Optional[str] = None) -> Optional[Value]:
-        """Append an instruction (reference register, scope.rs:217)."""
+        """Append an instruction (reference register, scope.rs:217).
+
+        With ``debug_symbols`` on, the user-code source location is
+        captured from the trace stack (reference: the C++ printers' #line
+        directives from Instruction.source_loc)."""
+        if loc is None and self.state.debug_symbols:
+            loc = _user_source_loc()
         self.instructions.append(
             Instruction(out, op, modes or dict(self.state.fast_math), loc))
         return out

@@ -140,15 +140,84 @@ class ComputeClient:
 
     def profile(self, fn, *args, **kwargs) -> ProfileDuration:
         """Time a closure of device work (reference client.profile,
-        client.rs:1167). Uses host timestamps around a full sync — the
-        TimestampProfiler fallback (timestamp_profiler.rs:10); device-level
-        timing comes from jax profiler traces when enabled."""
+        client.rs:1167 with TimingMethod::Device, profile.rs:59-93).
+
+        When the closure is a pure launch sequence it is captured as a
+        Graph, executed once for its real effects, and then slope-timed
+        with the tunnel-proof harness — a DEVICE-true duration (method
+        "device"). At profile levels medium/full each distinct kernel in
+        the sequence is additionally slope-timed individually and fed to
+        ``ServerLogger.log_launch`` so ``profile_summary()`` reports
+        per-kernel aggregates. Closures that cannot be captured (they
+        read results mid-flight, or do pure-jax work) fall back to host
+        timestamps around a sync (TimestampProfiler,
+        timestamp_profiler.rs:10)."""
         self.sync()
-        start = time.perf_counter()
-        fn(*args, **kwargs)
+        graph = None
+        try:
+            self.start_capture()
+            try:
+                fn(*args, **kwargs)
+            finally:
+                graph = self.stop_capture()
+        except Exception:  # noqa: BLE001 — not capturable: host timing
+            graph = None
+        if graph is None or graph.num_kernels == 0:
+            self.sync()
+            start = time.perf_counter()
+            fn(*args, **kwargs)
+            self.sync()
+            return ProfileDuration(seconds=time.perf_counter() - start,
+                                   method="system")
+        graph.replay()  # the closure's real effects happen exactly once
         self.sync()
-        end = time.perf_counter()
-        return ProfileDuration(seconds=end - start, method="system")
+        from .profile import time_graph
+
+        per = time_graph(self, graph)
+        logger = self._dev.call(lambda s: s.logger)
+        if logger is not None:
+            if logger.profile_level in ("medium", "full"):
+                self._profile_kernels(graph, logger)
+            else:
+                logger.log_launch(f"graph[{graph.num_kernels}]", per)
+        return ProfileDuration(seconds=per, method="device")
+
+    def _profile_kernels(self, graph, logger) -> None:
+        """Slope-time each distinct kernel in a captured graph and feed
+        the per-kernel durations to the server logger.
+
+        Caveat: individual kernels execute one per dispatch here, so each
+        duration includes the per-execute dispatch overhead (~0.1-0.3ms
+        through the tunnel) — accurate for >=1ms kernels, an upper bound
+        for tiny ones. The whole-graph ProfileDuration amortizes that
+        overhead across the sequence and is the accurate aggregate."""
+        import numpy as np
+
+        from .profile import seq_slope_time
+
+        per_kernel: dict = {}
+        for rec in graph._recorded:
+            key = str(rec.task.kernel_id)
+            if key not in per_kernel:
+                compiled, tfn = self._dev.call(
+                    lambda s, t=rec.task: s.timing_fn(t))
+                bufs = [graph._handles[h].array for h in rec.buffer_ids]
+                sc = tuple(rec.scalars)
+
+                def read_back(outs):
+                    if outs:
+                        np.asarray(outs[0].reshape(-1)[:1])
+
+                per_kernel[key] = (compiled.name, seq_slope_time(
+                    lambda: tfn(bufs, sc), read_back, reps=2))
+            name, dur = per_kernel[key]
+            logger.log_launch(name, dur)
+
+    def profile_summary(self) -> dict:
+        """Per-kernel launch/duration aggregates (reference
+        ServerLogger::summary)."""
+        logger = self._dev.call(lambda s: s.logger)
+        return logger.summary() if logger is not None else {}
 
     def start_trace(self, log_dir: str) -> None:
         """Device-level tracing (reference ProfileLevel::Full device

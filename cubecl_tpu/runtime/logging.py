@@ -25,6 +25,7 @@ class ServerLogger:
         self.profile_level = profile_level
         self.compile_log = compile_log
         self.durations: Dict[str, list] = defaultdict(list)
+        self.launches: Dict[str, int] = defaultdict(int)
         self.compiled: list = []
 
     @staticmethod
@@ -45,20 +46,32 @@ class ServerLogger:
                      compiled.name, task.kernel_id.digest, compiled.source)
 
     def log_launch(self, name: str, duration_s: Optional[float]) -> None:
-        if self.profile_level in ("none", "minimal"):
+        """Record one launch. ``duration_s`` is a DEVICE-slope duration
+        when available (client.profile measures them per kernel at
+        medium/full levels); plain dispatches log with None, which
+        counts the launch without a duration — per-launch host timing
+        through the tunnel would measure the RTT, not the kernel."""
+        if self.profile_level in ("none",):
             return
-        if duration_s is not None:
+        self.launches[name] += 1
+        if duration_s is not None and self.profile_level != "minimal":
             self.durations[name].append(duration_s)
-        if self.profile_level == "full":
+        if self.profile_level == "full" and duration_s is not None:
             log.info("[%s] launch %s %.3fms", self.name, name,
-                     (duration_s or 0.0) * 1e3)
+                     duration_s * 1e3)
 
     def summary(self) -> Dict[str, dict]:
+        """Per-kernel aggregates (reference ServerLogger duration
+        aggregation, logging/profiling.rs:22)."""
         out = {}
-        for name, durs in self.durations.items():
-            out[name] = {
-                "count": len(durs),
-                "total_ms": sum(durs) * 1e3,
-                "mean_ms": sum(durs) / len(durs) * 1e3,
-            }
+        for name in set(self.durations) | set(self.launches):
+            durs = self.durations.get(name, [])
+            entry = {"count": self.launches.get(name, len(durs))}
+            if durs:
+                entry.update({
+                    "timed": len(durs),
+                    "total_ms": sum(durs) * 1e3,
+                    "mean_ms": sum(durs) / len(durs) * 1e3,
+                })
+            out[name] = entry
         return out

@@ -181,6 +181,22 @@ class JaxServer(ComputeServer):
             ids=[h.id for h in buffers],
             writes=[h.id for i, h in enumerate(buffers) if i in mut])
 
+    def timing_fn(self, task: KernelTask):
+        """Undonated jitted callable for timing repeated executions of one
+        kernel (the donated launch jfn would invalidate its inputs)."""
+        compiled, _ = self.compile_kernel(task)
+        cache = getattr(self, "_timing_fns", None)
+        if cache is None:
+            cache = self._timing_fns = {}
+        key = str(task.kernel_id)
+        fn = cache.get(key)
+        if fn is None:
+            import jax
+
+            fn = jax.jit(lambda bufs, sc: compiled.fn(bufs, tuple(sc)))
+            cache[key] = fn
+        return compiled, fn
+
     def flush_streams(self) -> None:
         """Dispatch everything still queued on the stream scheduler."""
         sched = getattr(self, "scheduler", None)
@@ -199,6 +215,8 @@ class JaxServer(ComputeServer):
             raise ServerError(
                 f"kernel {compiled.name} launch failed: {e}") from e
         self.launch_count += 1
+        if self.logger is not None:
+            self.logger.log_launch(compiled.name, None)
         k = 0
         for i, h in enumerate(buffers):
             if i in mut:
