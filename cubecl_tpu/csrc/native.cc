@@ -6,11 +6,6 @@
 //
 //  - xxh64: stable 64-bit hashing for kernel ids and persistent cache keys
 //    (reference cubecl-common/src/hash.rs).
-//  - pool_*: a best-fit free-list sub-allocator managing offsets inside a
-//    large device arena — the bookkeeping core of the reference's
-//    SlicedPool / ExclusiveMemoryPool (cubecl-runtime/src/memory_management/
-//    memory_pool/sliced_pool.rs:13-60). Called on every staging-buffer
-//    allocation, so it must not round-trip through Python object churn.
 //  - divmod_magic: magic-number computation for FastDivmod index math
 //    (reference cubecl-std/src/fast_math.rs:13-43).
 //
@@ -19,8 +14,6 @@
 
 #include <cstdint>
 #include <cstddef>
-#include <map>
-#include <mutex>
 
 extern "C" {
 
@@ -89,94 +82,6 @@ uint64_t xxh64(const char* data, size_t len, uint64_t seed) {
   }
   h ^= h >> 33; h *= P2; h ^= h >> 29; h *= P3; h ^= h >> 32;
   return h;
-}
-
-// --------------------------------------------------------------------------
-// Best-fit free-list pool (offset bookkeeping for arena sub-allocation)
-// --------------------------------------------------------------------------
-
-struct Pool {
-  uint64_t capacity;
-  uint64_t align;
-  uint64_t used;
-  std::map<uint64_t, uint64_t> free_by_offset;   // offset -> size
-  std::map<uint64_t, uint64_t> alloc_by_offset;  // offset -> size
-  std::mutex mu;
-};
-
-void* pool_create(uint64_t capacity, uint64_t align) {
-  Pool* p = new Pool();
-  p->capacity = capacity;
-  p->align = align ? align : 1;
-  p->used = 0;
-  p->free_by_offset[0] = capacity;
-  return p;
-}
-
-void pool_destroy(void* h) { delete static_cast<Pool*>(h); }
-
-static inline uint64_t align_up(uint64_t x, uint64_t a) {
-  return (x + a - 1) / a * a;
-}
-
-// returns offset or -1 when out of space
-int64_t pool_alloc(void* h, uint64_t size) {
-  Pool* p = static_cast<Pool*>(h);
-  std::lock_guard<std::mutex> lock(p->mu);
-  size = align_up(size ? size : 1, p->align);
-  // best fit: smallest free block that fits
-  uint64_t best_off = 0, best_size = UINT64_MAX;
-  bool found = false;
-  for (auto& [off, sz] : p->free_by_offset) {
-    if (sz >= size && sz < best_size) {
-      best_off = off; best_size = sz; found = true;
-      if (sz == size) break;
-    }
-  }
-  if (!found) return -1;
-  p->free_by_offset.erase(best_off);
-  if (best_size > size) {
-    p->free_by_offset[best_off + size] = best_size - size;
-  }
-  p->alloc_by_offset[best_off] = size;
-  p->used += size;
-  return (int64_t)best_off;
-}
-
-int32_t pool_free(void* h, int64_t offset) {
-  Pool* p = static_cast<Pool*>(h);
-  std::lock_guard<std::mutex> lock(p->mu);
-  auto it = p->alloc_by_offset.find((uint64_t)offset);
-  if (it == p->alloc_by_offset.end()) return -1;
-  uint64_t off = it->first, size = it->second;
-  p->alloc_by_offset.erase(it);
-  p->used -= size;
-  // coalesce with neighbours
-  auto next = p->free_by_offset.lower_bound(off);
-  if (next != p->free_by_offset.end() && off + size == next->first) {
-    size += next->second;
-    next = p->free_by_offset.erase(next);
-  }
-  if (next != p->free_by_offset.begin()) {
-    auto prev = std::prev(next);
-    if (prev->first + prev->second == off) {
-      prev->second += size;
-      return 0;
-    }
-  }
-  p->free_by_offset[off] = size;
-  return 0;
-}
-
-uint64_t pool_used(void* h) {
-  Pool* p = static_cast<Pool*>(h);
-  std::lock_guard<std::mutex> lock(p->mu);
-  return p->used;
-}
-
-uint64_t pool_reserved(void* h) {
-  Pool* p = static_cast<Pool*>(h);
-  return p->capacity;
 }
 
 // --------------------------------------------------------------------------

@@ -29,7 +29,7 @@ DEFAULTS: Dict[str, Any] = {
     "compilation": {"cache": True, "log_level": "minimal"},
     "streaming": {"multi_threading": False, "max_streams": 4,
                   "policy": "single"},
-    "memory": {"staging_page_bytes": 64 * 1024 * 1024},
+    "memory": {},
     "environment": {"name": "default", "root": None},
     "throughput": {"cache": True},
 }

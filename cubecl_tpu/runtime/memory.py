@@ -6,11 +6,15 @@ memory_pool/sliced_pool.rs:13-60), exponential bucket sizing
 (memory_manage.rs:166-190), ``MemoryAllocationMode{Auto,Persistent}``
 (memory_manage.rs:112) and ``MemoryUsage`` reporting (client.rs:1072).
 
-TPU adaptation: **device** allocation is owned by XLA's BFC arena (PJRT),
-so device-side "pools" are logical: we track live handles, bytes, and a
-reuse cache of donated buffers. **Host staging** arenas are real: pinned
-numpy arenas sub-allocated by the native C++ best-fit pool (csrc/native.cc
-pool_*), used to stage H2D/D2H copies without per-transfer allocation."""
+TPU adaptation: device allocation is owned by XLA's BFC arena (PJRT) —
+re-pooling HBM underneath it would fight the runtime — so pools here are
+LOGICAL: live-handle byte tracking and usage/peak reporting. The
+reference's pinned-host staging arena (cubecl-cuda io/controller.rs) has
+no TPU counterpart worth keeping: PJRT owns its own transfer staging and
+exposes no copy-into-preallocated-host-buffer API, so a Python-side
+arena only added a copy (round-2 decision: deleted rather than kept as
+decorative parity). D2H batching lives in ``JaxServer.read`` instead
+(one ``jax.device_get`` for all requested handles)."""
 
 from __future__ import annotations
 
@@ -20,12 +24,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..utils.native import load_native
 
-_native = load_native()
-
-
-@dataclass
 class MemoryUsage:
     """reference MemoryUsage (memory_management/base)."""
 
@@ -107,14 +106,11 @@ class HostStagingPool:
 
 
 class MemoryManagement:
-    """Device-side logical memory manager + host staging arenas."""
+    """Device-side logical memory manager (usage tracking + modes)."""
 
     def __init__(self, config: Optional[dict] = None):
-        cfg = config or {}
         self.usage = MemoryUsage()
         self.mode = "auto"  # MemoryAllocationMode
-        self.staging = HostStagingPool(
-            page_bytes=cfg.get("staging_page_bytes", 64 * 1024 * 1024))
         self._live: Dict[int, int] = {}  # handle id -> bytes
         self._lock = threading.Lock()
 

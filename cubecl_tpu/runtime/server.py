@@ -103,7 +103,13 @@ class JaxServer(ComputeServer):
     def read(self, handles: Sequence[Handle]) -> List[np.ndarray]:
         self.flush_streams()
         self._drain_errors()
-        return [np.asarray(h.array) for h in handles]
+        import jax
+
+        # one batched transfer for all requested handles (D2H copies
+        # overlap; the reference streams D2H through its staging arena —
+        # PJRT owns staging here, so batching is the lever that remains)
+        return [np.asarray(a) for a in
+                jax.device_get([h.array for h in handles])]
 
     def write(self, handle: Handle, data) -> None:
         import jax

@@ -60,17 +60,6 @@ def load_native() -> Optional[ctypes.CDLL]:
         # signatures
         lib.xxh64.restype = ctypes.c_uint64
         lib.xxh64.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64]
-        lib.pool_create.restype = ctypes.c_void_p
-        lib.pool_create.argtypes = [ctypes.c_uint64, ctypes.c_uint64]
-        lib.pool_destroy.argtypes = [ctypes.c_void_p]
-        lib.pool_alloc.restype = ctypes.c_int64
-        lib.pool_alloc.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
-        lib.pool_free.restype = ctypes.c_int32
-        lib.pool_free.argtypes = [ctypes.c_void_p, ctypes.c_int64]
-        lib.pool_used.restype = ctypes.c_uint64
-        lib.pool_used.argtypes = [ctypes.c_void_p]
-        lib.pool_reserved.restype = ctypes.c_uint64
-        lib.pool_reserved.argtypes = [ctypes.c_void_p]
         lib.divmod_magic.restype = ctypes.c_uint64
         lib.divmod_magic.argtypes = [ctypes.c_uint32]
         _CACHED = lib

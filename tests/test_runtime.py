@@ -162,18 +162,14 @@ def test_dry_run_compile_only(client):
     assert ck.mutable_indices == [1]
 
 
-def test_native_pool_allocator():
-    from cubecl_tpu.runtime.memory import HostStagingPool
-
-    pool = HostStagingPool(page_bytes=1 << 16)
-    p1, o1, v1 = pool.alloc(1000)
-    p2, o2, v2 = pool.alloc(2000)
-    assert (p1, o1) != (p2, o2)
-    v1[:] = 7
-    assert (v1 == 7).all()
-    pool.free(p1, o1, 1000)
-    p3, o3, _ = pool.alloc(512)
-    assert o3 == o1  # reuses the freed slot (best-fit)
+def test_batched_read(client):
+    """client.read batches all handles into one device_get (the round-2
+    replacement for the deleted decorative host staging pool)."""
+    arrs = [np.random.randn(64).astype(np.float32) for _ in range(5)]
+    handles = [client.create(a) for a in arrs]
+    out = client.read(handles)
+    for a, b in zip(arrs, out):
+        np.testing.assert_array_equal(a, b)
 
 
 def test_lazy_error_queue(client):
