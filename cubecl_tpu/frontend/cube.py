@@ -144,6 +144,12 @@ class CubeFunction:
 
     def _launch(self, client, cube_count, cube_dim, args, kwargs,
                 checked: bool):
+        from ..runtime.base import DynamicCubeCount
+
+        if isinstance(cube_count, DynamicCubeCount):
+            # CubeCount::Dynamic: host read-back of the grid buffer
+            # (reference cubecl-cuda server.rs:1086)
+            cube_count = cube_count.resolve(client)
         cc = _as_count(cube_count)
         cd = _as_dim(cube_dim)
 

@@ -67,13 +67,23 @@ class TpuGeneration:
     vmem_bytes: int
     int8_ops: Optional[float] = None
     fp8_flops: Optional[float] = None
+    # megacore: two TensorCores fused behind one device (v4/v5p). Mosaic
+    # partitions the grid across the pair automatically (parallel
+    # dimension_semantics); there is no cluster-shared memory or
+    # programmable cluster sync, so the CubeCL cluster axis stays
+    # degenerate (size 1) on every generation — on v4/v5p the megacore
+    # is the scheduler's resource, not the kernel author's. See
+    # docs/features.md "Cluster axis".
+    megacore: bool = False
 
 
 TPU_GENERATIONS = {
-    "v4": TpuGeneration("v4", 275e12, 1.2e12, 16 * 2**20),
-    "v5e": TpuGeneration("v5e", 197e12, 0.82e12, 16 * 2**20, int8_ops=394e12),
-    "v5p": TpuGeneration("v5p", 459e12, 2.76e12, 16 * 2**20),
-    "v6e": TpuGeneration("v6e", 918e12, 1.64e12, 16 * 2**20, int8_ops=1836e12),
+    "v4": TpuGeneration("v4", 275e12, 1.2e12, 16 * 2**20, megacore=True),
+    "v5e": TpuGeneration("v5e", 197e12, 0.82e12, 16 * 2**20,
+                         int8_ops=394e12),
+    "v5p": TpuGeneration("v5p", 459e12, 2.76e12, 16 * 2**20, megacore=True),
+    "v6e": TpuGeneration("v6e", 918e12, 1.64e12, 16 * 2**20,
+                         int8_ops=1836e12),
 }
 
 
@@ -144,6 +154,11 @@ def tpu_device_properties(device_kind: str, name: str) -> DeviceProperties:
         "inclusive_sum", "exclusive_sum", "inclusive_prod", "exclusive_prod",
     }
     feats.tma = True       # async VMEM DMA
+    # cluster axis: OFF on every generation by decision, not omission.
+    # v5e/v6e have one TensorCore per chip (nothing to cluster); v4/v5p
+    # megacore pairs are auto-partitioned by Mosaic with no
+    # cluster-shared memory or user sync — exposing CLUSTER_POS would
+    # promise a resource the kernel cannot actually control.
     feats.cluster = False
     feats.atomics = {"add", "sub", "max", "min", "and", "or", "xor",
                      "swap", "cas", "load", "store"}

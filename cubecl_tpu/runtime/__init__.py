@@ -1,7 +1,7 @@
 """cubecl_tpu.runtime — runtime core (reference crate: cubecl-runtime)."""
 
 from .actor import DeviceHandle
-from .base import CubeCount, CubeDim, Runtime
+from .base import CubeCount, CubeDim, DynamicCubeCount, Runtime
 from .client import ComputeClient
 from .config import cache_root, runtime_config
 from .handle import Handle

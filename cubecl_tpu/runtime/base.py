@@ -38,14 +38,21 @@ class CubeDim:
 
 @dataclass(frozen=True)
 class CubeCount:
-    """Static grid size. The reference also has ``CubeCount::Dynamic``
-    (device-buffer-resolved); XLA requires static grids, so dynamic counts
-    are resolved host-side before compilation (the same read-back the CUDA
-    server does at launch, cubecl-cuda/src/compute/server.rs:1086)."""
+    """Static grid size. For ``CubeCount::Dynamic`` (device-buffer-
+    resolved grids, reference server/base.rs:1063) use
+    :meth:`CubeCount.dynamic` — resolved host-side at launch by the same
+    read-back the CUDA server does (cubecl-cuda/src/compute/
+    server.rs:1086)."""
 
     x: int = 1
     y: int = 1
     z: int = 1
+
+    @staticmethod
+    def dynamic(handle) -> "DynamicCubeCount":
+        """Grid sizes read from the first <=3 elements of ``handle`` at
+        launch time."""
+        return DynamicCubeCount(handle)
 
     @staticmethod
     def static(x: int, y: int = 1, z: int = 1) -> "CubeCount":
@@ -72,3 +79,26 @@ class Runtime:
     @classmethod
     def max_cube_count(cls) -> Tuple[int, int, int]:
         return (2**31 - 1, 65535, 65535)
+
+
+class DynamicCubeCount:
+    """``CubeCount::Dynamic`` (reference server/base.rs:1063): the grid
+    lives in a device buffer, resolved by host read-back at each launch.
+    XLA grids are static, so every distinct resolved grid is its own
+    compiled executable (cached by kernel id) — intended for
+    data-dependent launches whose grid changes rarely; the read-back
+    costs one D2H round trip per launch."""
+
+    def __init__(self, handle):
+        self.handle = handle
+
+    def resolve(self, client) -> CubeCount:
+        import numpy as np
+
+        vals = [int(v) for v in
+                np.asarray(client.read_one(self.handle)).ravel()[:3]]
+        while len(vals) < 3:
+            vals.append(1)
+        assert all(v >= 1 for v in vals), \
+            f"dynamic cube count must be >= 1 per axis, read {vals}"
+        return CubeCount(*vals)

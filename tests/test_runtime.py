@@ -226,3 +226,33 @@ def test_device_trace(client, tmp_path):
     client.stop_trace()
     dumped = list(tmp_path.rglob("*"))
     assert dumped, "trace produced no files"
+
+
+def test_dynamic_cube_count(client):
+    """CubeCount::Dynamic (reference server/base.rs:1063): the grid is
+    read back from a device buffer at launch."""
+    from cubecl_tpu import CubeCount, CubeDim, cube
+    from cubecl_tpu.frontend import ArrayArg, MutSlice
+
+    from cubecl_tpu.frontend import CUBE_POS_X, cast
+    from cubecl_tpu.ir.types import f32
+
+    @cube
+    def fill_pos(out: MutSlice):
+        out[CUBE_POS_X * 8 + UNIT_POS] = cast(CUBE_POS_X * 8 + UNIT_POS,
+                                              f32)
+
+    grid = client.create(np.array([4], np.int32))  # 4 cubes, from device
+    out = client.empty((32,), "float32")
+    fill_pos.launch_unchecked(client, CubeCount.dynamic(grid),
+                              CubeDim.new_1d(8), ArrayArg(out, mutable=True))
+    np.testing.assert_array_equal(client.read_one(out),
+                                  np.arange(32, dtype=np.float32))
+    # a different device-resident grid re-resolves (new executable)
+    client.write(grid, np.array([2], np.int32))
+    out2 = client.empty((16,), "float32")
+    fill_pos.launch_unchecked(client, CubeCount.dynamic(grid),
+                              CubeDim.new_1d(8),
+                              ArrayArg(out2, mutable=True))
+    np.testing.assert_array_equal(client.read_one(out2),
+                                  np.arange(16, dtype=np.float32))
