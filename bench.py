@@ -94,6 +94,37 @@ def main() -> int:
                           "value": 0.0, "unit": "%", "vs_baseline": 0.0}))
         return 1
 
+    # fp8 e4m3 matmul (VMEM/HBM at 1 byte/elem, fused MXU widening)
+    fp8_tflops = None
+    if on_tpu:
+        try:
+            a8 = a.astype(jnp.float8_e4m3fn).reshape(-1)
+            b8 = b.astype(jnp.float8_e4m3fn).reshape(-1)
+            tm, tn, tk = best[0]
+            ck8 = _build_matmul(M, N, K, tm, tn, tk, "float8_e4m3fn",
+                                "bfloat16", "float32")
+            o0 = jnp.zeros(M * N, jnp.bfloat16)
+            f8 = jax.jit(lambda x, y, z, _c=ck8: _c.fn([x, y, z], ()))
+            r = f8(a8, b8, o0)
+            np.asarray(r[0].reshape(-1)[:1])  # warm + completion
+
+            def _run8(n):
+                bst = float("inf")
+                for _r in range(3):
+                    t0 = time.time()
+                    out = None
+                    for _i in range(n):
+                        out = f8(a8, b8, o0)
+                    np.asarray(out[0].reshape(-1)[:1])
+                    bst = min(bst, time.time() - t0)
+                return bst
+
+            per8 = (_run8(long_i) - _run8(short_i)) / (long_i - short_i)
+            if per8 > 0:
+                fp8_tflops = round(2 * M * N * K / per8 / 1e12, 1)
+        except Exception as e:  # noqa: BLE001
+            print(f"# fp8 bench failed: {e}", file=sys.stderr)
+
     (tile, tflops, per) = best
     pct = 100.0 * tflops * 1e12 / peak
     result = {
@@ -108,6 +139,7 @@ def main() -> int:
             "device": gen.name,
             "peak_tflops": peak / 1e12,
             "shape": [M, N, K],
+            "fp8_e4m3_tflops": fp8_tflops,
         },
     }
     print(json.dumps(result))

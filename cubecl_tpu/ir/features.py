@@ -96,6 +96,12 @@ class Features:
         self.scaled_mma: Set[MmaConfig] = set()
         self.tma: bool = False
         self.cluster: bool = False
+        # fp8 on TPU through v6e: NATIVE storage/streaming (1 byte/elem
+        # in HBM and VMEM) and native MXU ingestion (Mosaic fuses the
+        # widening into the systolic feed — measured 100% of bf16 peak
+        # at 4096^3 on v5e) — but the COMPUTE RATE is bf16's, not a 2x
+        # fp8 datapath; this flag records that distinction
+        self.fp8_mma_emulated: bool = True
         self.dynamic_line_size: bool = True
         self.atomics: Set[str] = set()
         # type -> set of usages {"buffer", "compute", "mma", "conversion"}
@@ -170,7 +176,10 @@ def tpu_device_properties(device_kind: str, name: str) -> DeviceProperties:
     for ty in (t.f64, t.i64, t.u64):  # emulated by XLA (x32 default mode)
         feats.register_type(ty, "buffer", "compute")
     for ty in (t.fp8_e4m3, t.fp8_e5m2):
+        # mma usage is EMULATED (bf16 upcast at the MXU): see
+        # Features.fp8_mma_emulated and ops/matmul.py
         feats.register_type(ty, "buffer", "conversion", "mma")
+    feats.fp8_mma_emulated = gen.fp8_flops is None
     feats.register_type(t.bf16, "mma")
     feats.register_type(t.f32, "mma")
 

@@ -8,7 +8,8 @@ from .paged_attention import paged_attention, paged_attention_reference
 
 from .fusion import FUSABLE, fused_chain, launch_fused
 from .gelu import gelu_array, gelu_scalar, launch_gelu
-from .matmul import matmul_autotuned, matmul_cmma, matmul_pallas
+from .matmul import (matmul_autotuned, matmul_cmma, matmul_pallas,
+                     matmul_scaled)
 from .normalization import (
     launch_layernorm,
     launch_normalize,

