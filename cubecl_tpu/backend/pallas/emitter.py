@@ -305,8 +305,17 @@ class PallasCompiler(Compiler):
         if len(dims) != len(grid):  # user-specified 3D semantics: squeeze
             dims = tuple(d for (s, n), d in zip(full_axes, dims) if n > 1) \
                 or ("arbitrary",)
+        # Raise the scoped-VMEM ceiling when the block windows need it:
+        # Mosaic's 16MB default rejects fat (>4MB double-buffered) blocks
+        # that the 128MB VMEM on v4+ holds easily, and fat blocks are how
+        # grid-step overhead amortizes (BENCH_NOTES round 2: 16 steps of
+        # 16MB stream within noise of XLA's reduce).
+        vmem_est = _vmem_estimate(state, plans, U)
+        vmem_limit = min(max(16 * 2**20, vmem_est + vmem_est // 4),
+                         100 * 2**20)
         compiler_params = pltpu.CompilerParams(
             dimension_semantics=dims,
+            vmem_limit_bytes=vmem_limit,
         )
         call = pl.pallas_call(
             kernel,
@@ -372,7 +381,7 @@ class PallasCompiler(Compiler):
         return CompiledKernel(
             fn=fn, mutable_indices=mutable_indices, source=src,
             name=defn.options.name, flops=flops, bytes_accessed=mem_bytes,
-            vmem_estimate=_vmem_estimate(state, plans, U),
+            vmem_estimate=vmem_est,
         )
 
 
@@ -409,10 +418,19 @@ def _cost_estimate(scope, cd, cc, plans):
 
 def _vmem_estimate(state, plans, U):
     total = 0
-    for plan in plans.values():
+    by_vid = {bp.value.vid: bp for bp in state.buffers}
+    for vid, plan in plans.items():
         L = plan.param.ty.line
         lines = plan.block_lines if plan.mode == "blocked" else plan.param.length
-        total += lines * L * plan.param.ty.elem.size * 2  # double buffering
+        bp = by_vid.get(vid)
+        # a read-write buffer occupies BOTH an input and an output window
+        # (aliased in HBM, but each gets its own VMEM staging — observed
+        # 17.8MB actual vs an 8MB single-window estimate on v5e)
+        windows = 1
+        if bp is not None and bp.mutable and plan.has_store and (
+                plan.has_load or not plan.store_covers_all):
+            windows = 2
+        total += lines * L * plan.param.ty.elem.size * 2 * windows
     for sd in state.shareds:
         total += sd.shape[0] * sd.ty.line * sd.ty.elem.size
     return total

@@ -530,21 +530,27 @@ class Evaluator:
 
             return win, wb_gather
         rel_i = _as_i32(jnp, rel)
-        # clamp the aligned start so the superspan never runs past the
-        # block (ds would clamp silently AFTER off was computed)
+        # clamp the aligned start into [0, blk-sup] — ds clamps silently
+        # AFTER off is computed, which would shift the value/mask
+        # correspondence (observed: checked stores at negative bases
+        # landed +|base| lines high). off stays SIGNED: a negative base
+        # (checked-mode OOB) yields a negative off whose sel below
+        # excludes the out-of-range lanes; the rotate uses off mod sup.
         rel_al = self._hint(
-            jnp.minimum((rel_i // A) * A, (blk_lines - sup) // A * A), A)
+            jnp.minimum(jnp.maximum(rel_i, 0) // A * A,
+                        (blk_lines - sup) // A * A), A)
         off = rel_i - rel_al
+        off_pos = jnp.mod(off, sup)
         chunk = ref[pl.ds(rel_al, sup)]
         x2d = chunk.reshape(sup // 128, 128)
-        win = self._flat_roll(x2d, off, sup).reshape(sup)[:span]
+        win = self._flat_roll(x2d, off_pos, sup).reshape(sup)[:span]
 
         def writeback(new_window):
             flat = jnp.concatenate(
                 [new_window.astype(chunk.dtype),
                  jnp.zeros((sup - span,), chunk.dtype)])
             back = self._flat_roll(flat.reshape(sup // 128, 128),
-                                   sup - off, sup).reshape(sup)
+                                   sup - off_pos, sup).reshape(sup)
             idx = self.jax.lax.broadcasted_iota(
                 jnp.int32, (sup // 128, 128), 0) * 128 + \
                 self.jax.lax.broadcasted_iota(
@@ -574,27 +580,60 @@ class Evaluator:
         assert blk_rows >= sup, (
             f"dynamic 2D row window needs padding: rows={blk_rows} < {sup}")
         row_i = _as_i32(jnp, row)
-        # clamp the aligned start so the superspan never runs past the
-        # block (ds would clamp silently AFTER off was computed)
+        # clamp the aligned start into [0, blk-sup] (ds clamps silently
+        # AFTER off is computed, shifting the value/mask correspondence);
+        # off stays SIGNED so sel excludes negative-base (checked OOB)
+        # rows, while the rotates use the non-negative off mod sup
         row_al = self._hint(
-            jnp.minimum((row_i // 8) * 8, (blk_rows - sup) // 8 * 8), 8)
+            jnp.minimum(jnp.maximum(row_i, 0) // 8 * 8,
+                        (blk_rows - sup) // 8 * 8), 8)
         off = row_i - row_al
+        off_pos = jnp.mod(off, sup)
         chunk = ref[pl.ds(row_al, sup), :]
         # Mosaic's dynamic rotate miscompiles negative shifts — use the
         # positive complement (roll by sup-off ≡ roll by -off)
-        win = pltpu.roll(chunk, sup - off, 0)[:nrows]
+        win = pltpu.roll(chunk, sup - off_pos, 0)[:nrows]
 
         def writeback(new_window):
             full = jnp.concatenate(
                 [new_window.astype(chunk.dtype),
                  jnp.zeros((sup - nrows,) + chunk.shape[1:], chunk.dtype)])
-            back = pltpu.roll(full, off, 0)
+            back = pltpu.roll(full, off_pos, 0)
             ridx = self.jax.lax.broadcasted_iota(
                 jnp.int32, (sup, 1), 0)
             sel = (ridx >= off) & (ridx < off + nrows)
             ref[pl.ds(row_al, sup), :] = jnp.where(sel, back, chunk)
 
         return win, writeback
+
+    def _onehot_masked_store(self, ref, rel, c, new, mm, L, blk_lines):
+        """Masked unit-strided store as a one-hot scatter RMW: unit u
+        writes line rel + u*c iff mm[u]. O(U·blk) — reserved for windows
+        that may straddle the buffer (checked-mode OOB), where slicing a
+        clipped window would mis-pair values and targets. Out-of-range
+        targets simply match no position."""
+        jnp = self.jnp
+        U = self.U
+        tgt = _as_i32(jnp, rel) + self.jax.lax.broadcasted_iota(
+            jnp.int32, (U, 1), 0) * c                      # (U, 1)
+        pos = self.jax.lax.broadcasted_iota(
+            jnp.int32, (U, blk_lines), 1)                  # (U, blk)
+        oneh = (pos == tgt) & (mm.reshape(U, 1) != 0)
+        data = ref[...]
+        hit = jnp.any(oneh, axis=0)                        # (blk,)
+        # sum over an exclusive one-hot is exact in the value dtype
+        # (bool promotes to i32 so the sum is legal)
+        work = jnp.int32 if data.dtype == jnp.bool_ else data.dtype
+        if L > 1:
+            contrib = jnp.sum(
+                jnp.where(oneh[:, :, None],
+                          new.reshape(U, 1, L).astype(work), 0), axis=0)
+            ref[...] = jnp.where(hit[:, None], contrib.astype(data.dtype),
+                                 data)
+        else:
+            contrib = jnp.sum(
+                jnp.where(oneh, new.reshape(U, 1).astype(work), 0), axis=0)
+            ref[...] = jnp.where(hit, contrib.astype(data.dtype), data)
 
     def _eval_block_reduce(self, inst: Instruction) -> EV:
         """Cube-cooperative whole-window reduction (mem.block_reduce, the
@@ -727,6 +766,12 @@ class Evaluator:
                 v = v.reshape(L) if L > 1 else v.reshape(())
             else:
                 v = self.broadcast_to_canon(val_ev, False, L, dtype)
+                if m is not None and getattr(m, "ndim", 0) > 0:
+                    # uniform value under a per-unit mask (`if UNIT_POS ==
+                    # n: out[i] = const`): the store fires iff ANY unit is
+                    # live — collapse the (U,1) mask so the RMW below stays
+                    # single-line instead of broadcasting to (U, L)
+                    m = jnp.any(m)
             if m is not None:
                 rel = self._clip_rel(rel, 0, blk_lines - 1)
             if L == 1 and not isinstance(rel, int):
@@ -785,35 +830,45 @@ class Evaluator:
                 else new
             wb(merged.reshape(span)[:exact])
             return
-        if m is not None:
-            rel = self._clip_rel(rel, 0, max(0, blk_lines - min(exact,
-                                                                blk_lines)))
+        rel_raw = rel  # UNCLIPPED: the dyn helpers + one-hot need the true
+        # base — clipping before them shifts the value/mask correspondence
+        # (round-2 fix: checked stores at negative bases landed |base| high)
         row = self._hint(_as_i32(jnp, rel), U if c == 1 else 1)
         dyn2d = L > 1 and not isinstance(rel, int) and not self.interpret
         if c == 1 and span <= blk_lines:
             new = v if L > 1 else v.reshape(U)
             if dyn2d:
-                win, wb = self._dyn_rows_2d(ref, rel, U, blk_lines, mult)
+                win, wb = self._dyn_rows_2d(ref, rel_raw, U, blk_lines, mult)
                 if m is not None:
                     mm = m if getattr(m, "ndim", 0) > 0 \
                         else jnp.full((U, 1), m)
                     new = jnp.where(mm, new, win)
                 wb(new.astype(win.dtype))
                 return
-            if m is None:
-                if L > 1:
-                    ref[pl.ds(row, U), :] = new
-                else:
-                    ref[pl.ds(row, U)] = new
-            else:
-                mm = m if getattr(m, "ndim", 0) > 0 else jnp.full((U, 1), m)
-                if L > 1:
+            static_ok = isinstance(rel, int) and \
+                0 <= rel and rel + U <= blk_lines
+            if m is None or static_ok:
+                mm = None if m is None else (
+                    m if getattr(m, "ndim", 0) > 0 else jnp.full((U, 1), m))
+                if mm is None:
+                    if L > 1:
+                        ref[pl.ds(row, U), :] = new
+                    else:
+                        ref[pl.ds(row, U)] = new
+                elif L > 1:
                     old = ref[pl.ds(row, U), :]
                     ref[pl.ds(row, U), :] = jnp.where(mm, new, old)
                 else:
                     old = ref[pl.ds(row, U)]
                     ref[pl.ds(row, U)] = jnp.where(
                         mm.reshape(U), new, old)
+                return
+            # masked store whose window may straddle the buffer (traced
+            # base in interpret mode, or a static out-of-range base):
+            # one-hot scatter RMW keeps each unit's value/target pairing
+            mm = m if getattr(m, "ndim", 0) > 0 else jnp.full((U, 1), m)
+            self._onehot_masked_store(ref, rel_raw, 1, new, mm, L,
+                                      blk_lines)
             return
         if exact > blk_lines:
             if m is None:
@@ -1008,6 +1063,11 @@ class Evaluator:
             new = v.reshape(L) if L > 1 else v.reshape(())
         else:
             new = self.broadcast_to_canon(val_ev, varying_tgt, L, dtype)
+            if not varying_tgt and m is not None and \
+                    getattr(m, "ndim", 0) > 0:
+                # uniform value + uniform target under a per-unit mask:
+                # collapse (see store_buffer's c == 0 path)
+                m = jnp.any(m)
         chunk_shape = ref[idxers].shape if (m is not None or cu > 1) else None
         if m is None and (unit_dim is None or cu == 1):
             ref[idxers] = new.reshape(

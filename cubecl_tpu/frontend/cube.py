@@ -152,6 +152,11 @@ class CubeFunction:
             cube_count = cube_count.resolve(client)
         cc = _as_count(cube_count)
         cd = _as_dim(cube_dim)
+        if 0 in cc.as_tuple():
+            # zero-grid guard (reference client.rs launch_inner): a 0-sized
+            # grid is a no-op, never a 1-cube launch (the emitter squeezes
+            # size-1 dims, which would otherwise resurrect an empty grid)
+            return []
 
         # launch-plan memo: identical (shapes, dtypes, comptimes, config)
         # launches skip classification + kernel-id hashing — the hot-loop

@@ -45,7 +45,12 @@ class HardwareProperties:
     plane_size_min: int = 8
     plane_size_max: int = 8
     max_bindings: int = 64
-    max_shared_memory_size: int = 16 * 1024 * 1024   # VMEM bytes/core
+    max_shared_memory_size: int = 16 * 1024 * 1024   # shared-scratch budget
+    # Scoped-VMEM ceiling the Mosaic compiler accepts via
+    # vmem_limit_bytes (real VMEM is 128MB/core on v4+; ~100MB is the
+    # practical cap once Mosaic's own buffers are accounted — 32MB
+    # double-buffered windows compile and run at this setting on v5e)
+    max_vmem_alloc: int = 100 * 1024 * 1024
     max_cube_count: Tuple[int, int, int] = (2**31 - 1, 65535, 65535)
     max_units_per_cube: int = 1024
     max_cube_dim: Tuple[int, int, int] = (1024, 1024, 64)
@@ -78,11 +83,11 @@ class TpuGeneration:
 
 
 TPU_GENERATIONS = {
-    "v4": TpuGeneration("v4", 275e12, 1.2e12, 16 * 2**20, megacore=True),
-    "v5e": TpuGeneration("v5e", 197e12, 0.82e12, 16 * 2**20,
+    "v4": TpuGeneration("v4", 275e12, 1.2e12, 128 * 2**20, megacore=True),
+    "v5e": TpuGeneration("v5e", 197e12, 0.82e12, 128 * 2**20,
                          int8_ops=394e12),
-    "v5p": TpuGeneration("v5p", 459e12, 2.76e12, 16 * 2**20, megacore=True),
-    "v6e": TpuGeneration("v6e", 918e12, 1.64e12, 16 * 2**20,
+    "v5p": TpuGeneration("v5p", 459e12, 2.76e12, 128 * 2**20, megacore=True),
+    "v6e": TpuGeneration("v6e", 918e12, 1.64e12, 128 * 2**20,
                          int8_ops=1836e12),
 }
 

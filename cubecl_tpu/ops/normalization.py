@@ -96,29 +96,47 @@ def normalize_rows(inp: Slice, out: MutSlice, iters: int, eps: float):
 # -- wide variants: one LINE per row ----------------------------------------
 # The cube-per-row kernels above are the teaching/parity shape; at small
 # rows they leave the chip idle (one ~4KB row per grid step). The wide
-# variants put the WHOLE row on the lane axis (line_size = row length) so
-# each unit owns a row and a cube sweeps 8*iters rows per grid step —
-# fat blocks, pure lane-reductions, no plane ops.
+# variants put the WHOLE row on the lane axis (line_size = row length)
+# and as many rows as VMEM affords on the unit/sublane axis, so each
+# grid step is ONE fat vectorized (U, row) op — pure lane-reductions, no
+# plane ops, no per-row loop overhead (round-2: the 8-unit × 32-iteration
+# sweep ran at 60% of the single fat op's bandwidth).
 
 
 @cube
-def softmax_lines(inp: Slice, out: MutSlice, iters: int):
-    base = CUBE_POS_X * (iters * 8)
+def softmax_lines(inp: Slice, out: MutSlice, iters: int, stride: int):
+    base = CUBE_POS_X * (iters * stride)
     for k in cube_range(0, iters):
-        idx = base + k * 8 + UNIT_POS
+        idx = base + k * stride + UNIT_POS
         x = inp[idx]
         e = exp(x - line_max(x))
         out[idx] = e * (1.0 / line_sum(e))
 
 
 @cube
+def softmax_lines_inplace(buf: MutSlice, iters: int, stride: int):
+    """In-place row softmax. Loads + stores on ONE buffer make the
+    emitter alias it (input_output_aliases), so inside jit loops the
+    array never changes address — measured 639 GB/s vs 324 for the
+    two-buffer variant on v5e (the separate-output version pays a full
+    extra read+write when XLA has to copy the result back into a loop
+    carry; serving decode loops hit exactly that pattern)."""
+    base = CUBE_POS_X * (iters * stride)
+    for k in cube_range(0, iters):
+        idx = base + k * stride + UNIT_POS
+        x = buf[idx]
+        e = exp(x - line_max(x))
+        buf[idx] = e * (1.0 / line_sum(e))
+
+
+@cube
 def layernorm_lines(inp: Slice, gamma: Slice, beta: Slice, out: MutSlice,
-                    iters: int, inv_n: float, eps: float):
+                    iters: int, stride: int, inv_n: float, eps: float):
     g = gamma[0]
     b = beta[0]
-    base = CUBE_POS_X * (iters * 8)
+    base = CUBE_POS_X * (iters * stride)
     for k in cube_range(0, iters):
-        idx = base + k * 8 + UNIT_POS
+        idx = base + k * stride + UNIT_POS
         x = inp[idx]
         mu = line_sum(x) * inv_n
         xc = x - mu
@@ -127,20 +145,28 @@ def layernorm_lines(inp: Slice, gamma: Slice, beta: Slice, out: MutSlice,
 
 
 @cube
-def normalize_lines(inp: Slice, out: MutSlice, iters: int, eps: float):
-    base = CUBE_POS_X * (iters * 8)
+def normalize_lines(inp: Slice, out: MutSlice, iters: int, stride: int,
+                    eps: float):
+    base = CUBE_POS_X * (iters * stride)
     for k in cube_range(0, iters):
-        idx = base + k * 8 + UNIT_POS
+        idx = base + k * stride + UNIT_POS
         x = inp[idx]
         out[idx] = x * rsqrt(line_sum(x * x) + eps)
 
 
-def _wide_plan(rows: int, row: int, target_block_rows: int = 256):
-    """(iters, cubes): 8*iters rows per cube, ~1MB blocks."""
-    iters = max(1, min(target_block_rows // CD, rows // CD))
-    while rows % (iters * CD):
-        iters -= 1
-    return iters, rows // (iters * CD)
+def _wide_plan(rows: int, row: int, elem_size: int = 4,
+               buffers: int = 2):
+    """(units, iters, cubes): one fat (units, row) op per grid step.
+
+    units = rows per grid step, sized so the double-buffered windows of
+    all row-shaped buffers stay within ~half the raise-able scoped-VMEM
+    ceiling (emitter sets vmem_limit_bytes from its estimate)."""
+    budget = 48 * 2**20
+    units = min(1024, rows, budget // (row * elem_size * buffers * 2))
+    units = max(CD, (units // CD) * CD)
+    while rows % units:
+        units -= CD
+    return units, 1, rows // units
 
 
 def _row_plan(row: int, line_size: int):
@@ -156,13 +182,14 @@ def launch_layernorm(client, inp: Handle, gamma: Handle, beta: Handle,
                      out: Handle, rows: int, row: int,
                      line_size: int = 128, eps: float = 1e-5) -> None:
     if row % 128 == 0 and rows % CD == 0:
-        iters, cubes = _wide_plan(rows, row)
+        units, iters, cubes = _wide_plan(rows, row,
+                                         np.dtype(str(inp.dtype)).itemsize)
         layernorm_lines.launch_unchecked(
-            client, CubeCount(cubes), CubeDim.new_1d(CD),
+            client, CubeCount(cubes), CubeDim.new_1d(units),
             ArrayArg(inp, line_size=row), ArrayArg(gamma, line_size=row),
             ArrayArg(beta, line_size=row),
             ArrayArg(out, line_size=row, mutable=True),
-            iters, 1.0 / row, eps)
+            iters, units, 1.0 / row, eps)
         return
     line, iters = _row_plan(row, line_size)
     layernorm_rows.launch_unchecked(
@@ -176,12 +203,21 @@ def launch_layernorm(client, inp: Handle, gamma: Handle, beta: Handle,
 def launch_softmax(client, inp: Handle, out: Handle, rows: int, row: int,
                    line_size: int = 128) -> None:
     if row % 128 == 0 and rows % CD == 0:
-        # wide path: one line per row, 8*iters rows per cube
-        iters, cubes = _wide_plan(rows, row)
+        # wide path: one line per row, one fat (units, row) op per step
+        if out is inp or out.id == inp.id:
+            units, iters, cubes = _wide_plan(rows, row,
+                                             np.dtype(str(inp.dtype))
+                                             .itemsize, buffers=1)
+            softmax_lines_inplace.launch_unchecked(
+                client, CubeCount(cubes), CubeDim.new_1d(units),
+                ArrayArg(inp, line_size=row, mutable=True), iters, units)
+            return
+        units, iters, cubes = _wide_plan(rows, row,
+                                         np.dtype(str(inp.dtype)).itemsize)
         softmax_lines.launch_unchecked(
-            client, CubeCount(cubes), CubeDim.new_1d(CD),
+            client, CubeCount(cubes), CubeDim.new_1d(units),
             ArrayArg(inp, line_size=row),
-            ArrayArg(out, line_size=row, mutable=True), iters)
+            ArrayArg(out, line_size=row, mutable=True), iters, units)
         return
     line, iters = _row_plan(row, line_size)
     softmax_rows.launch_unchecked(
@@ -193,11 +229,12 @@ def launch_softmax(client, inp: Handle, out: Handle, rows: int, row: int,
 def launch_normalize(client, inp: Handle, out: Handle, rows: int, row: int,
                      line_size: int = 128, eps: float = 0.0) -> None:
     if row % 128 == 0 and rows % CD == 0:
-        iters, cubes = _wide_plan(rows, row)
+        units, iters, cubes = _wide_plan(rows, row,
+                                         np.dtype(str(inp.dtype)).itemsize)
         normalize_lines.launch_unchecked(
-            client, CubeCount(cubes), CubeDim.new_1d(CD),
+            client, CubeCount(cubes), CubeDim.new_1d(units),
             ArrayArg(inp, line_size=row),
-            ArrayArg(out, line_size=row, mutable=True), iters, eps)
+            ArrayArg(out, line_size=row, mutable=True), iters, units, eps)
         return
     line, iters = _row_plan(row, line_size)
     normalize_rows.launch_unchecked(

@@ -266,7 +266,7 @@ def _build_reduce_native(n: int, block_rows: int, dtype: str,
                           f"{block_rows}", name="reduce_native")
 
 
-def reduce_sum_native(client, inp: Handle, block_rows: int = 512) -> Handle:
+def reduce_sum_native(client, inp: Handle, block_rows: int = 4096) -> Handle:
     """Speed-of-light path: whole reduction in one kernel (intrinsic-style,
     like the native matmul)."""
     from ..runtime.kernel import KernelId, NativeKernelTask

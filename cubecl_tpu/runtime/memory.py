@@ -40,71 +40,6 @@ class MemoryUsage:
                 f"allocs={self.number_allocs}, peak={self.peak_bytes / mb:.1f}MB)")
 
 
-class HostStagingPool:
-    """Numpy arena sub-allocated via the native pool (fallback: python
-    free-list). Mirrors the reference's pinned-host staging allocator
-    (cubecl-cuda/src/compute/io/controller.rs)."""
-
-    def __init__(self, page_bytes: int = 64 * 1024 * 1024, align: int = 512):
-        self.page_bytes = page_bytes
-        self.align = align
-        self._pages: List[np.ndarray] = []
-        self._pools: List[object] = []
-        self._py_free: List[Dict[int, int]] = []
-        self._lock = threading.Lock()
-
-    def _new_page(self):
-        page = np.empty(self.page_bytes, dtype=np.uint8)
-        self._pages.append(page)
-        if _native is not None:
-            self._pools.append(_native.pool_create(self.page_bytes, self.align))
-        else:
-            self._py_free.append({0: self.page_bytes})
-        return len(self._pages) - 1
-
-    def alloc(self, size: int) -> Tuple[int, int, np.ndarray]:
-        """→ (page_idx, offset, view)."""
-        with self._lock:
-            for i in range(len(self._pages)):
-                off = self._alloc_in(i, size)
-                if off >= 0:
-                    return i, off, self._pages[i][off:off + size]
-            i = self._new_page()
-            off = self._alloc_in(i, size)
-            if off < 0:
-                # oversized request: dedicated page
-                page = np.empty(size, dtype=np.uint8)
-                self._pages.append(page)
-                if _native is not None:
-                    self._pools.append(_native.pool_create(size, self.align))
-                    _native.pool_alloc(self._pools[-1], size)
-                else:
-                    self._py_free.append({})
-                return len(self._pages) - 1, 0, page
-            return i, off, self._pages[i][off:off + size]
-
-    def _alloc_in(self, i: int, size: int) -> int:
-        if _native is not None:
-            return _native.pool_alloc(self._pools[i], size)
-        free = self._py_free[i]
-        size = -(-size // self.align) * self.align
-        for off, sz in sorted(free.items()):
-            if sz >= size:
-                del free[off]
-                if sz > size:
-                    free[off + size] = sz - size
-                return off
-        return -1
-
-    def free(self, page_idx: int, offset: int, size: int = 0) -> None:
-        with self._lock:
-            if _native is not None:
-                _native.pool_free(self._pools[page_idx], offset)
-            else:
-                self._py_free[page_idx][offset] = \
-                    -(-max(size, 1) // self.align) * self.align
-
-
 class MemoryManagement:
     """Device-side logical memory manager (usage tracking + modes)."""
 

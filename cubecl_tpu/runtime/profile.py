@@ -168,7 +168,21 @@ def time_launch(client, kernel, cube_count, cube_dim, *args,
     flo, fhi = make(lo), make(hi)
     flo(*bufs), fhi(*bufs)  # compile
     client.sync()
-    return max((timed(fhi) - timed(flo)) / (hi - lo), 1e-9)
+    per = max((timed(fhi) - timed(flo)) / (hi - lo), 1e-9)
+    # The tunnel adds +-2-4ms jitter per measurement; a slope whose
+    # timed spread (hi-lo)*per is comparable to that is noise (round-1
+    # reduce numbers moved 15% between sessions for exactly this
+    # reason). Adaptively lengthen the chains until the spread is
+    # ~40ms, then re-measure once at the reliable length.
+    spread = (hi - lo) * per
+    if spread < 0.040:
+        scale = min(max(int(0.040 / max(spread, 1e-6)), 2), 64)
+        lo2, hi2 = lo * scale, hi * scale
+        flo2, fhi2 = make(lo2), make(hi2)
+        flo2(*bufs), fhi2(*bufs)
+        client.sync()
+        per = max((timed(fhi2) - timed(flo2)) / (hi2 - lo2), 1e-9)
+    return per
 
 
 def seq_slope_time(run_once, read_back, reps: int = 3,

@@ -60,7 +60,8 @@ def validate_compiled(compiled, props: DeviceProperties,
     if mode == "off":
         return
     est = getattr(compiled, "vmem_estimate", 0)
-    limit = props.hardware.max_shared_memory_size
+    limit = getattr(props.hardware, "max_vmem_alloc",
+                    props.hardware.max_shared_memory_size)
     if est and est > limit:
         msg = (f"kernel {compiled.name}: VMEM estimate "
                f"{est / 2**20:.2f}MB exceeds the scoped VMEM limit "

@@ -1,0 +1,612 @@
+"""Failure-contract + edge-dtype test matrix (round-2 VERDICT missing #8).
+
+Mirrors the reference modules the round-1 suite skipped
+(cubecl-core/src/runtime_tests/mod.rs:43-90): launch errors (launch.rs),
+metadata across ranks (metadata.rs, different_rank.rs), checked-mode
+out-of-bounds semantics (index.rs + post_processing/checked_io.rs),
+stream contracts (stream.rs), properties (properties.rs), vector widths
+(vector.rs), unroll equivalence (unroll.rs), and the odd integer dtypes
+(i8/i16/u16 — the CUDA matrix at cubecl-cuda/src/lib.rs:76).
+"""
+
+import numpy as np
+import pytest
+
+from cubecl_tpu import CubeCount, CubeDim, cube
+from cubecl_tpu.frontend import (
+    ABSOLUTE_POS,
+    CUBE_DIM,
+    CUBE_POS_X,
+    UNIT_POS,
+    ArrayArg,
+    MutSlice,
+    MutTensor,
+    ScalarArg,
+    SharedMemory,
+    Slice,
+    Tensor,
+    TensorArg,
+    Vector,
+    cast,
+    cube_range,
+    line_sum,
+    max_,
+    min_,
+    saturating_add,
+    select,
+    sync_cube,
+)
+from cubecl_tpu.ir.types import f32, i32
+from cubecl_tpu.runtime.validation import LaunchValidationError
+
+
+@cube
+def k_copy(inp: Slice, out: MutSlice):
+    out[UNIT_POS] = inp[UNIT_POS]
+
+
+@cube
+def k_scale2(inp: Slice, out: MutSlice):
+    out[UNIT_POS] = inp[UNIT_POS] * 2.0
+
+
+# ======================================================= launch errors
+# Reference runtime_tests/launch.rs + validation.rs contracts: bad
+# launches fail BEFORE dispatch with a typed error, and the server stays
+# healthy afterwards.
+
+
+def _healthy(client):
+    x = np.arange(8, dtype=np.float32)
+    h = client.create(x)
+    o = client.empty((8,), "float32")
+    k_copy.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                            ArrayArg(h), ArrayArg(o, mutable=True))
+    np.testing.assert_array_equal(client.read_one(o), x)
+
+
+def test_launch_error_units_exceeded(client):
+    h = client.create(np.zeros(4096, np.float32))
+    o = client.empty((4096,), "float32")
+    with pytest.raises(LaunchValidationError, match="exceeds the device"):
+        k_copy.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(2048),
+                                ArrayArg(h), ArrayArg(o, mutable=True))
+    _healthy(client)
+
+
+def test_launch_error_cube_dim_axis(client):
+    h = client.create(np.zeros(512, np.float32))
+    o = client.empty((512,), "float32")
+    with pytest.raises(LaunchValidationError, match=r"cube_dim\[2\]"):
+        k_copy.launch_unchecked(client, CubeCount(1), CubeDim(1, 1, 128),
+                                ArrayArg(h), ArrayArg(o, mutable=True))
+    _healthy(client)
+
+
+def test_launch_error_cube_count_axis(client):
+    h = client.create(np.zeros(8, np.float32))
+    o = client.empty((8,), "float32")
+    with pytest.raises(LaunchValidationError, match=r"cube_count\[1\]"):
+        k_copy.launch_unchecked(client, CubeCount(1, 100000, 1),
+                                CubeDim.new_1d(8),
+                                ArrayArg(h), ArrayArg(o, mutable=True))
+    _healthy(client)
+
+
+@cube
+def k_big_shared(out: MutSlice, n: int):
+    sh = SharedMemory(f32, n)
+    sh[UNIT_POS] = 1.0
+    sync_cube()
+    out[UNIT_POS] = sh[UNIT_POS]
+
+
+def test_launch_error_shared_overflow(client):
+    """Reference kernel_resource_errors (launch.rs): an over-budget
+    shared allocation is a clean resource error, not a crash."""
+    o = client.empty((8,), "float32")
+    with pytest.raises(LaunchValidationError, match="shared memory"):
+        k_big_shared.launch_unchecked(
+            client, CubeCount(1), CubeDim.new_1d(8),
+            ArrayArg(o, mutable=True), 8 * 1024 * 1024)
+    _healthy(client)
+
+
+def test_launch_error_before_dispatch(client):
+    """Validation failures must not consume a compile (fail fast,
+    pre-dispatch — reference validation.rs runs before submit)."""
+    h = client.create(np.zeros(8, np.float32))
+    o = client.empty((8,), "float32")
+    before = client._dev.call(lambda s: s.compile_count)
+    with pytest.raises(LaunchValidationError):
+        k_copy.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(2048),
+                                ArrayArg(h), ArrayArg(o, mutable=True))
+    assert client._dev.call(lambda s: s.compile_count) == before
+
+
+def test_zero_grid_is_noop(client):
+    """Reference launch_inner zero-grid guard: CubeCount with a 0 axis
+    dispatches nothing (and notably does NOT run one cube)."""
+    x = np.arange(8, dtype=np.float32)
+    h = client.create(x)
+    o = client.empty((8,), "float32")
+    client.write(o, np.full(8, -1.0, np.float32))
+    for cc in (CubeCount(0), CubeCount(0, 1, 1), CubeCount(4, 0, 2)):
+        res = k_copy.launch_unchecked(client, cc, CubeDim.new_1d(8),
+                                      ArrayArg(h),
+                                      ArrayArg(o, mutable=True))
+        assert res == []
+    np.testing.assert_array_equal(client.read_one(o), np.full(8, -1.0))
+
+
+def test_launch_error_line_divisibility(client):
+    h = client.create(np.zeros(10, np.float32))
+    o = client.empty((10,), "float32")
+    with pytest.raises(AssertionError, match="not divisible"):
+        k_copy.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                                ArrayArg(h, line_size=4),
+                                ArrayArg(o, line_size=4, mutable=True))
+
+
+def test_launch_inplace_same_handle(client):
+    """Reference kernel_inplace contract: in == out aliasing reads the
+    pre-launch values."""
+    x = np.arange(8, dtype=np.float32)
+    h = client.create(x)
+    k_scale2.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                              ArrayArg(h), ArrayArg(h, mutable=True))
+    np.testing.assert_array_equal(client.read_one(h), x * 2)
+
+
+# ====================================================== metadata / ranks
+# Reference metadata.rs + different_rank.rs: shape/stride/len builtins
+# across ranks. Here metadata is comptime (static-shape ABI by design —
+# SURVEY §2.2 metadata ABI note), so each rank instantiates a kernel.
+
+
+@cube
+def k_meta_rank(t: Tensor, out: MutSlice, rank: int):
+    acc = 0
+    for d in range(rank):  # comptime loop over dims
+        acc = acc + t.shape(d) * 100 + t.stride(d)
+    if UNIT_POS == 0:
+        out[0] = cast(acc + t.len(), f32)
+
+
+@pytest.mark.parametrize("shape", [(24,), (6, 4), (2, 3, 4), (2, 3, 2, 2)])
+def test_metadata_ranks(client, shape):
+    n = int(np.prod(shape))
+    h = client.create(np.zeros(n, np.float32))
+    o = client.empty((8,), "float32")
+    k_meta_rank.launch_unchecked(
+        client, CubeCount(1), CubeDim.new_1d(8),
+        TensorArg(h, shape=shape), ArrayArg(o, mutable=True), len(shape))
+    strides = [int(np.prod(shape[d + 1:])) for d in range(len(shape))]
+    expect = sum(s * 100 + st for s, st in zip(shape, strides)) + n
+    assert client.read_one(o)[0] == expect
+
+
+def test_metadata_vectorized_len(client):
+    """buffer_len is in LINES when line_size > 1 (reference
+    test_buffer_len_vectorized, metadata.rs:224-245)."""
+
+    @cube
+    def k_len(inp: Slice, out: MutSlice):
+        if UNIT_POS == 0:
+            out[0] = cast(inp.len(), f32)
+
+    h = client.create(np.zeros(64, np.float32))
+    o = client.empty((8,), "float32")
+    k_len.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                           ArrayArg(h, line_size=8),
+                           ArrayArg(o, mutable=True))
+    assert client.read_one(o)[0] == 8  # 64 elements / 8-wide lines
+
+
+def test_metadata_strided_view(client):
+    """A permuted TensorArg exposes the transposed strides."""
+
+    @cube
+    def k_t(t: Tensor, out: MutTensor):
+        i = UNIT_POS // 2
+        j = UNIT_POS % 2
+        out[j, i] = t[i, j] * 10.0
+
+    x = np.arange(8, dtype=np.float32).reshape(4, 2)
+    h = client.create(x.reshape(-1))
+    o = client.empty((8,), "float32")
+    k_t.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                         TensorArg(h, shape=(4, 2)),
+                         TensorArg(o, shape=(2, 4), mutable=True))
+    np.testing.assert_array_equal(client.read_one(o).reshape(2, 4), x.T * 10)
+
+
+# ================================================== checked-mode OOB
+# Reference checked_io.rs + io.rs: checked reads past the end produce 0,
+# checked writes past the end are dropped; negative indices fail the
+# bound check both ways (signed-index extension, ADVICE round-1 fix).
+
+
+@cube
+def k_read_shifted(inp: Slice, out: MutSlice, shift: int):
+    out[UNIT_POS] = inp[cast(UNIT_POS, i32) + shift]
+
+
+def test_checked_read_oob_returns_zero(client):
+    x = np.arange(8, dtype=np.float32) + 1.0
+    h = client.create(x)
+    o = client.empty((8,), "float32")
+    k_read_shifted.launch(client, CubeCount(1), CubeDim.new_1d(8),
+                          ArrayArg(h), ArrayArg(o, mutable=True),
+                          ScalarArg(4, i32))
+    got = client.read_one(o)
+    np.testing.assert_array_equal(got[:4], x[4:])
+    np.testing.assert_array_equal(got[4:], np.zeros(4))
+
+
+def test_checked_read_far_oob(client):
+    h = client.create(np.ones(8, np.float32))
+    o = client.empty((8,), "float32")
+    k_read_shifted.launch(client, CubeCount(1), CubeDim.new_1d(8),
+                          ArrayArg(h), ArrayArg(o, mutable=True),
+                          ScalarArg(1 << 20, i32))
+    np.testing.assert_array_equal(client.read_one(o), np.zeros(8))
+
+
+@cube
+def k_write_shifted(inp: Slice, out: MutSlice, shift: int):
+    out[cast(UNIT_POS, i32) + shift] = inp[UNIT_POS]
+
+
+@pytest.mark.parametrize("shift", [4, 1 << 20, -3, -(1 << 20)])
+def test_checked_write_oob_dropped(client, shift):
+    x = np.arange(8, dtype=np.float32) + 1.0
+    h = client.create(x)
+    o = client.empty((8,), "float32")
+    client.write(o, np.zeros(8, np.float32))
+    k_write_shifted.launch(client, CubeCount(1), CubeDim.new_1d(8),
+                           ArrayArg(h), ArrayArg(o, mutable=True),
+                           ScalarArg(shift, i32))
+    got = client.read_one(o)
+    expect = np.zeros(8, np.float32)
+    for u in range(8):
+        t = u + shift
+        if 0 <= t < 8:
+            expect[t] = x[u]
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_unchecked_inbounds_matches_checked(client):
+    """launch vs launch_unchecked agree whenever accesses are in
+    bounds (the checked pass must be semantics-preserving)."""
+    x = np.random.randn(64).astype(np.float32)
+    h = client.create(x)
+    o1 = client.empty((64,), "float32")
+    o2 = client.empty((64,), "float32")
+    k_scale2.launch(client, CubeCount(8), CubeDim.new_1d(8),
+                    ArrayArg(h), ArrayArg(o1, mutable=True))
+    k_scale2.launch_unchecked(client, CubeCount(8), CubeDim.new_1d(8),
+                              ArrayArg(h), ArrayArg(o2, mutable=True))
+    np.testing.assert_array_equal(client.read_one(o1), client.read_one(o2))
+
+
+# ======================================================= integer dtypes
+# Broaden the dtype matrix toward the reference's per-backend sweep
+# (cubecl-cuda/src/lib.rs:76: f16..f64 x i8..i64 x u8..u64). i64/u64 are
+# EMULATED on TPU (32-bit lanes; ir/types.py) so the native matrix here
+# is i8/i16/i32 x u8/u16/u32.
+
+INT_DTYPES = ["int8", "int16", "int32", "uint8", "uint16", "uint32"]
+
+
+@cube
+def k_int_arith(a: Slice, b: Slice, out: MutSlice):
+    i = ABSOLUTE_POS
+    out[i] = a[i] * b[i] + a[i] - b[i]
+
+
+@pytest.mark.parametrize("dtype", INT_DTYPES)
+def test_int_arith(client, dtype):
+    info = np.iinfo(dtype)
+    a = np.random.randint(1, min(11, info.max), 32).astype(dtype)
+    b = np.random.randint(1, min(5, info.max), 32).astype(dtype)
+    ha, hb = client.create(a), client.create(b)
+    o = client.empty((32,), dtype)
+    k_int_arith.launch_unchecked(client, CubeCount(4), CubeDim.new_1d(8),
+                                 ArrayArg(ha), ArrayArg(hb),
+                                 ArrayArg(o, mutable=True))
+    np.testing.assert_array_equal(client.read_one(o), a * b + a - b)
+
+
+@cube
+def k_int_minmax(a: Slice, b: Slice, out: MutSlice):
+    i = ABSOLUTE_POS
+    out[i] = max_(a[i], b[i]) - min_(a[i], b[i])
+
+
+@pytest.mark.parametrize("dtype", INT_DTYPES)
+def test_int_minmax(client, dtype):
+    a = np.random.randint(0, 100, 16).astype(dtype)
+    b = np.random.randint(0, 100, 16).astype(dtype)
+    ha, hb = client.create(a), client.create(b)
+    o = client.empty((16,), dtype)
+    k_int_minmax.launch_unchecked(client, CubeCount(2), CubeDim.new_1d(8),
+                                  ArrayArg(ha), ArrayArg(hb),
+                                  ArrayArg(o, mutable=True))
+    np.testing.assert_array_equal(
+        client.read_one(o),
+        np.maximum(a, b) - np.minimum(a, b))
+
+
+@cube
+def k_int_div_rem(a: Slice, b: Slice, q: MutSlice, r: MutSlice):
+    i = ABSOLUTE_POS
+    q[i] = a[i] // b[i]
+    r[i] = a[i] % b[i]
+
+
+@pytest.mark.parametrize("dtype", ["int32", "uint32", "int16", "uint8"])
+def test_int_div_rem(client, dtype):
+    a = np.random.randint(0, 100, 16).astype(dtype)
+    b = np.random.randint(1, 9, 16).astype(dtype)
+    ha, hb = client.create(a), client.create(b)
+    q = client.empty((16,), dtype)
+    r = client.empty((16,), dtype)
+    k_int_div_rem.launch_unchecked(client, CubeCount(2), CubeDim.new_1d(8),
+                                   ArrayArg(ha), ArrayArg(hb),
+                                   ArrayArg(q, mutable=True),
+                                   ArrayArg(r, mutable=True))
+    np.testing.assert_array_equal(client.read_one(q), a // b)
+    np.testing.assert_array_equal(client.read_one(r), a % b)
+
+
+@cube
+def k_cast_chain(inp: Slice, out: MutSlice):
+    v = inp[UNIT_POS]
+    w = cast(v, i32)
+    out[UNIT_POS] = cast(w, f32) + 0.5
+
+
+@pytest.mark.parametrize("src", ["int8", "int16", "uint16", "uint8"])
+def test_int_to_float_cast(client, src):
+    x = np.arange(8).astype(src)
+    h = client.create(x)
+    o = client.empty((8,), "float32")
+    k_cast_chain.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                                  ArrayArg(h), ArrayArg(o, mutable=True))
+    np.testing.assert_array_equal(client.read_one(o),
+                                  x.astype(np.float32) + 0.5)
+
+
+@pytest.mark.parametrize("dtype", ["int16", "int8"])
+def test_saturating_add_signed(client, dtype):
+    """Signed saturation clamps at both rails (reference saturating.rs,
+    complementing the round-1 u8/i8-sub coverage)."""
+
+    @cube
+    def k_sat(a: Slice, b: Slice, out: MutSlice):
+        out[UNIT_POS] = saturating_add(a[UNIT_POS], b[UNIT_POS])
+
+    info = np.iinfo(dtype)
+    a = np.array([info.max, info.max, info.min, 10, -10, 0, 1, -1], dtype)
+    b = np.array([1, info.max, info.min, 5, -5, 0, -1, 1], dtype)
+    ha, hb = client.create(a), client.create(b)
+    o = client.empty((8,), dtype)
+    k_sat.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                           ArrayArg(ha), ArrayArg(hb),
+                           ArrayArg(o, mutable=True))
+    expect = np.clip(a.astype(np.int64) + b.astype(np.int64),
+                     info.min, info.max).astype(dtype)
+    np.testing.assert_array_equal(client.read_one(o), expect)
+
+
+# ========================================================== streams
+# Reference stream.rs contracts beyond the round-1 batching tests.
+
+
+def test_stream_flush_threshold(client):
+    """The scheduler force-flushes when a stream's queue reaches
+    max_tasks (SchedulerMultiStream max_tasks, stream/scheduler.rs:10)."""
+    sched = client._dev.call(lambda s: s.scheduler)
+    x = np.arange(8, dtype=np.float32)
+    h = client.create(x)
+    outs = [client.empty((8,), "float32") for _ in range(sched.max_tasks + 2)]
+    d0 = sched.dispatch_count
+    client.set_stream(3)
+    for o in outs:
+        k_copy.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                                ArrayArg(h), ArrayArg(o, mutable=True))
+    client.set_stream(None)
+    assert sched.dispatch_count > d0, \
+        "queue depth past max_tasks must force a dispatch"
+    np.testing.assert_array_equal(client.read_one(outs[-1]), x)
+
+
+def test_stream_sync_flushes_all(client):
+    sched = client._dev.call(lambda s: s.scheduler)
+    x = np.arange(8, dtype=np.float32)
+    h = client.create(x)
+    o1 = client.empty((8,), "float32")
+    o2 = client.empty((8,), "float32")
+    client.set_stream(0)
+    k_copy.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                            ArrayArg(h), ArrayArg(o1, mutable=True))
+    client.set_stream(1)
+    k_scale2.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                              ArrayArg(h), ArrayArg(o2, mutable=True))
+    client.set_stream(None)
+    client.sync()
+    assert all(len(client._dev.call(lambda s, i=i: s.scheduler.stream(i))
+                   .queue) == 0 for i in (0, 1))
+    np.testing.assert_array_equal(client.read_one(o1), x)
+    np.testing.assert_array_equal(client.read_one(o2), x * 2)
+
+
+def test_stream_write_flushes_pending(client):
+    """client.write to a handle with queued writes must not be reordered
+    before them (write resolves the stream like a launch would)."""
+    x = np.arange(8, dtype=np.float32)
+    h = client.create(x)
+    o = client.empty((8,), "float32")
+    client.set_stream(2)
+    k_scale2.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                              ArrayArg(h), ArrayArg(o, mutable=True))
+    client.set_stream(None)
+    client.write(o, np.full(8, 7.0, np.float32))
+    np.testing.assert_array_equal(client.read_one(o), np.full(8, 7.0))
+
+
+# ======================================================== properties
+
+
+def test_properties_feature_flags(client):
+    from cubecl_tpu.ir.types import fp8_e4m3, fp4_e2m1
+
+    feats = client.properties().features
+    assert feats.plane  # sublane ops registered
+    assert feats.cmma   # MXU shapes registered
+    assert feats.supports_type(fp8_e4m3, "buffer") \
+        or feats.supports_type(fp8_e4m3, "mma")
+    assert not feats.supports_type(fp4_e2m1)
+
+
+def test_properties_hardware_sanity(client):
+    hw = client.properties().hardware
+    assert hw.plane_size_min == hw.plane_size_max == 8
+    assert hw.max_shared_memory_size >= 16 * 2**20
+    gen = client.properties().generation
+    assert gen.bf16_flops > 0 and gen.hbm_bw > 0
+
+
+def test_memory_usage_after_free(client):
+    before = client.memory_usage().bytes_in_use
+    h = client.create(np.zeros(1 << 16, np.float32))
+    mid = client.memory_usage().bytes_in_use
+    assert mid >= before + (1 << 18)
+    client.free(h)
+    after = client.memory_usage().bytes_in_use
+    assert after <= mid - (1 << 18)
+
+
+# ===================================================== vector widths
+
+
+@cube
+def k_vec_ops(inp: Slice, out: MutSlice, w: int):
+    v = inp[UNIT_POS]
+    lanes = [v[w - 1 - i] for i in range(w)]  # comptime lane loop
+    t = Vector.from_scalars(*lanes)
+    out[UNIT_POS] = t + v
+
+
+@pytest.mark.parametrize("w", [2, 4, 8, 16])
+def test_vector_lane_roundtrip(client, w):
+    n = 8 * w
+    x = np.arange(n, dtype=np.float32)
+    h = client.create(x)
+    o = client.empty((n,), "float32")
+    k_vec_ops.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                               ArrayArg(h, line_size=w),
+                               ArrayArg(o, line_size=w, mutable=True), w)
+    xs = x.reshape(8, w)
+    np.testing.assert_array_equal(client.read_one(o).reshape(8, w),
+                                  xs + xs[:, ::-1])
+
+
+@cube
+def k_vec_select(a: Slice, b: Slice, out: MutSlice):
+    va = a[UNIT_POS]
+    vb = b[UNIT_POS]
+    out[UNIT_POS] = select(va > vb, va, vb)
+
+
+@pytest.mark.parametrize("w", [4, 128])
+def test_vector_select_width(client, w):
+    n = 8 * w
+    a = np.random.randn(n).astype(np.float32)
+    b = np.random.randn(n).astype(np.float32)
+    ha, hb = client.create(a), client.create(b)
+    o = client.empty((n,), "float32")
+    k_vec_select.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                                  ArrayArg(ha, line_size=w),
+                                  ArrayArg(hb, line_size=w),
+                                  ArrayArg(o, line_size=w, mutable=True))
+    np.testing.assert_array_equal(client.read_one(o), np.maximum(a, b))
+
+
+# ========================================================== unroll
+
+
+@cube
+def k_sum_unrolled(inp: Slice, out: MutSlice, n: int):
+    acc = Vector.zeros(f32, inp.line_size)
+    for k in range(n):  # comptime -> fully unrolled
+        acc = acc + inp[k * CUBE_DIM + UNIT_POS]
+    if UNIT_POS == 0:
+        out[0] = line_sum(acc)
+
+
+@cube
+def k_sum_rolled(inp: Slice, out: MutSlice, n: int):
+    acc = Vector.zeros(f32, inp.line_size)
+    for k in cube_range(0, n):  # traced runtime loop
+        acc = acc + inp[k * CUBE_DIM + UNIT_POS]
+    if UNIT_POS == 0:
+        out[0] = line_sum(acc)
+
+
+@pytest.mark.parametrize("n", [1, 3, 7])
+def test_unroll_equivalence(client, n):
+    x = np.random.randn(8 * n * 4).astype(np.float32)
+    h = client.create(x)
+    o1 = client.empty((1,), "float32")
+    o2 = client.empty((1,), "float32")
+    for kern, o in ((k_sum_unrolled, o1), (k_sum_rolled, o2)):
+        kern.launch_unchecked(client, CubeCount(1), CubeDim.new_1d(8),
+                              ArrayArg(h, line_size=4),
+                              ArrayArg(o, mutable=True), n)
+    got1, got2 = client.read_one(o1), client.read_one(o2)
+    np.testing.assert_allclose(got1, got2, rtol=1e-6)
+    # unit 0 sums lines 0, 8, 16, ... (no plane fold in this kernel)
+    np.testing.assert_allclose(got1[0], x.reshape(-1, 4)[::8].sum(),
+                               rtol=1e-4)
+
+
+# ================================================= scalar ABI edge cases
+
+
+@cube
+def k_many_scalars(out: MutSlice, a: float, b: int, c: float, d: int):
+    out[UNIT_POS] = a * cast(b, f32) + c * cast(d, f32)
+
+
+def test_mixed_scalar_abi_order(client):
+    """Scalars of mixed types keep declaration order (the reference
+    integrator sorts by storage type — ours preserves order; either way
+    the VALUES must land on the right parameters)."""
+    o = client.empty((8,), "float32")
+    k_many_scalars.launch_unchecked(
+        client, CubeCount(1), CubeDim.new_1d(8), ArrayArg(o, mutable=True),
+        ScalarArg(2.5, f32), ScalarArg(4, i32), ScalarArg(-1.5, f32),
+        ScalarArg(3, i32))
+    np.testing.assert_allclose(client.read_one(o),
+                               np.full(8, 2.5 * 4 - 1.5 * 3), rtol=1e-6)
+
+
+def test_scalar_value_change_no_recompile(client):
+    """Runtime scalars must not be baked into the kernel id."""
+    o = client.empty((8,), "float32")
+    k_many_scalars.launch_unchecked(
+        client, CubeCount(1), CubeDim.new_1d(8), ArrayArg(o, mutable=True),
+        ScalarArg(1.0, f32), ScalarArg(1, i32), ScalarArg(0.0, f32),
+        ScalarArg(0, i32))
+    before = client._dev.call(lambda s: s.compile_count)
+    for v in (2.0, 3.0, 4.0):
+        k_many_scalars.launch_unchecked(
+            client, CubeCount(1), CubeDim.new_1d(8),
+            ArrayArg(o, mutable=True),
+            ScalarArg(v, f32), ScalarArg(2, i32), ScalarArg(v, f32),
+            ScalarArg(1, i32))
+        np.testing.assert_allclose(client.read_one(o),
+                                   np.full(8, v * 2 + v), rtol=1e-6)
+    assert client._dev.call(lambda s: s.compile_count) == before

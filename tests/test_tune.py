@@ -128,7 +128,9 @@ def test_tuner_prunes_vmem_doomed_candidates(client):
     def windowed(src: Slice, idx: Slice, out: MutSlice):
         out[ABSOLUTE_POS] = src[ABSOLUTE_POS] * 1.0
 
-    n = 4 * 1024 * 1024  # 16MB f32: whole-resident (x2 buffers) busts VMEM
+    # 64MB f32: whole-resident (x2 double-buffered) busts even the raised
+    # 100MB scoped-VMEM ceiling (round 2: emitter lifts the 16MB default)
+    n = 16 * 1024 * 1024
     src = client.create(np.random.randn(n).astype(np.float32))
     small = client.create(np.random.randn(1024).astype(np.float32))
     idx = client.create(np.arange(1024, dtype=np.int32))
