@@ -125,6 +125,14 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"# fp8 bench failed: {e}", file=sys.stderr)
 
+    # ---- round-2 kernel lines: reduce / softmax / flash attention -----
+    extra = {}
+    if on_tpu:
+        try:
+            extra = _extra_kernel_lines(client)
+        except Exception as e:  # noqa: BLE001
+            print(f"# extra kernel bench failed: {e}", file=sys.stderr)
+
     (tile, tflops, per) = best
     pct = 100.0 * tflops * 1e12 / peak
     result = {
@@ -140,10 +148,65 @@ def main() -> int:
             "peak_tflops": peak / 1e12,
             "shape": [M, N, K],
             "fp8_e4m3_tflops": fp8_tflops,
+            **extra,
         },
     }
     print(json.dumps(result))
     return 0
+
+
+def _extra_kernel_lines(client):
+    """Reduce/softmax/attention numbers with the validated harnesses
+    (BENCH_NOTES measurement rules; ~2-3 min of compiles + timing)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cubecl_tpu.frontend import ArrayArg
+    from cubecl_tpu.ops.attention import flash_attention
+    from cubecl_tpu.ops.normalization import _wide_plan, softmax_lines_inplace
+    from cubecl_tpu.ops.reduce import _build_reduce_native
+    from cubecl_tpu.runtime.base import CubeCount, CubeDim
+    from cubecl_tpu.tune.timing import (chain_args_time, chain_pingpong_time,
+                                        chain_scalar_time)
+
+    out = {}
+    # reduce: 64M f32 read stream, native kernel vs XLA
+    n = 64 * 2**20
+    x1 = jnp.asarray(np.random.randn(n).astype(np.float32))
+    ck = _build_reduce_native(n, 4096, "float32", False)
+    f = jax.jit(lambda v: ck.fn([v, jnp.zeros(1, jnp.float32)], ())[0])
+    per = chain_scalar_time(f, x1)
+    per_xla = chain_scalar_time(lambda v: jnp.sum(v).reshape(1), x1)
+    out["reduce_native_gbps"] = round(n * 4 / per / 1e9, 0)
+    out["reduce_xla_gbps"] = round(n * 4 / per_xla / 1e9, 0)
+    del x1
+
+    # softmax: 64k x 1024 f32 (256MB), in-place DSL vs XLA, ping-pong
+    R, C = 65536, 1024
+    xs = jnp.asarray((np.random.randn(R, C) * 0.1).astype(np.float32))
+    ih = client.create(xs.reshape(-1))
+    units, iters, cubes = _wide_plan(R, C, 4, buffers=1)
+    cks = softmax_lines_inplace.compile_only(
+        client, CubeCount(cubes), CubeDim.new_1d(units),
+        ArrayArg(ih, line_size=C, mutable=True), iters, units, checked=False)
+    fs = jax.jit(lambda v: cks.fn([v.reshape(-1)], ())[0].reshape(R, C))
+    per = chain_pingpong_time(fs, xs)
+    per_xla = chain_pingpong_time(jax.nn.softmax, xs)
+    out["softmax_inplace_gbps"] = round(2 * R * C * 4 / per / 1e9, 0)
+    out["softmax_xla_gbps"] = round(2 * R * C * 4 / per_xla / 1e9, 0)
+    client.free(ih)
+    del xs
+
+    # flash attention fwd, S=2048 D=128 B=4 H=8 bf16 causal
+    B, H, S, D = 4, 8, 2048, 128
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)) * .1, jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)) * .1, jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)) * .1, jnp.bfloat16)
+    fl = 4 * B * H * S * S * D // 2
+    per = chain_args_time(lambda a, b, c: flash_attention(a, b, c), (q, k, v))
+    out["flash_fwd_tflops"] = round(fl / per / 1e12, 1)
+    return out
 
 
 if __name__ == "__main__":

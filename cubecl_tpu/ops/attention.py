@@ -156,7 +156,10 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
+                                 "arbitrary"),
+            # segment variants + fat KV blocks overflow the 16MB default
+            # scoped-VMEM limit (observed 17.5MB at (1024,2048) blocks)
+            vmem_limit_bytes=100 * 2**20),
         cost_estimate=pl.CostEstimate(
             flops=int(flops),
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize
@@ -185,13 +188,19 @@ def _reference_attention(q, k, v, causal, sm_scale):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def flash_attention(q, k, v, causal: bool = True,
                     sm_scale: Optional[float] = None,
-                    block_q: int = 1024, block_k: int = 2048,
+                    block_q: int = 2048, block_k: int = 2048,
                     interpret: bool = False,
                     kv_len: Optional[int] = None):
     """softmax(q k^T / sqrt(d)) v with flash tiling.
 
     q/k/v: [batch, heads, seq, head_dim]; head_dim should be a multiple
     of 128 for full MXU utilization (pads otherwise via XLA).
+
+    Block defaults (round-2 sweep, S=2048 bf16 causal on v5e, valid
+    long-chain timing): (2048,2048) 0.403ms/85 TF > (1024,1024)
+    0.482/71 > (512,2048) 0.520/66 > (1024,2048) 0.544/63 — fat q
+    blocks win now that the emitter-raised scoped-VMEM ceiling admits
+    them; blocks clamp to the actual sequence length in _fwd_call.
     """
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(
         q.shape[-1])
@@ -331,7 +340,10 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
+                                 "arbitrary"),
+            # segment variants + fat KV blocks overflow the 16MB default
+            # scoped-VMEM limit (observed 17.5MB at (1024,2048) blocks)
+            vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
         name=f"flash_bwd_dkv_{bq}x{bk}",
     )(*inputs)
@@ -440,7 +452,10 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
         scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
+                                 "arbitrary"),
+            # segment variants + fat KV blocks overflow the 16MB default
+            # scoped-VMEM limit (observed 17.5MB at (1024,2048) blocks)
+            vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
         name=f"flash_bwd_dq_{bq}x{bk}",
     )(*inputs)

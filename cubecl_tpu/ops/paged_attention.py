@@ -198,7 +198,8 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), qg.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
         name=f"paged_attn_g{G}_p{page}",
     )(pi_h, lengths, qg, kf, vf)

@@ -98,10 +98,17 @@ def reduce_block_partial(inp: Slice, partials: MutSlice, lines: int):
     partials[CUBE_POS_X] = inp.block_sum(CUBE_POS_X * lines, lines)
 
 
-def reduce_sum_blockwise(client, inp: Handle, cubes: int = 64,
-                         line_size: int = 512) -> Handle:
+def reduce_sum_blockwise(client, inp: Handle, cubes: int = 32,
+                         line_size: int = 128) -> Handle:
     """sum(inp) via cube-cooperative block reductions. Big blocks amortize
-    the per-grid-step cost (~2us on v5e) — prefer ~2-4MB per cube."""
+    the per-grid-step cost (~2us on v5e) — prefer ~2-4MB per cube — and
+    the line MUST stay 128: HBM→VMEM streaming of blocks whose lane dim
+    exceeds one 128-lane tile runs at 228 GB/s vs 750 at width 128 on
+    v5e (round-2 width sweep; the DMA engine strides per lane-tile row).
+    Measured (64M f32, v5e, long-chain slope): cubes=32 (8MB blocks)
+    748 GB/s = 98% of XLA jnp.sum on the same harness; 64 -> 631;
+    128 -> 363. 8MB double-buffered windows need the emitter's raised
+    vmem_limit_bytes."""
     n = int(np.prod(inp.shape))
     line = line_size if n % line_size == 0 else 1
     n_lines = n // line
@@ -147,7 +154,7 @@ def _plan(n_lines: int, line: int, target_cubes: int = 512):
     return cubes, iters
 
 
-def reduce_sum(client, inp: Handle, line_size: int = 512,
+def reduce_sum(client, inp: Handle, line_size: int = 128,
                target_cubes: int = 512) -> Handle:
     """sum(inp) -> scalar handle, two-phase tree."""
     n = int(np.prod(inp.shape))
@@ -172,7 +179,7 @@ def reduce_sum(client, inp: Handle, line_size: int = 512,
     return out
 
 
-def reduce_max(client, inp: Handle, line_size: int = 512,
+def reduce_max(client, inp: Handle, line_size: int = 128,
                target_cubes: int = 512) -> Handle:
     n = int(np.prod(inp.shape))
     line = line_size if n % line_size == 0 else 1
@@ -314,13 +321,13 @@ def reduce_sum_autotuned(client, inp: Handle) -> Handle:
                 lambda c, h, _b=br: reduce_sum_native(c, h, block_rows=_b),
                 name=f"native_br{br}",
                 work=lambda key, _n=n: (_n, _n * 4))
-    for bc in (32, 64, 128):
-        if n % 512 == 0 and (n // 512) % bc == 0:
+    for bc in (16, 32, 64):
+        if n % 128 == 0 and (n // 128) % bc == 0:
             ts.with_tunable(
                 lambda c, h, _b=bc: reduce_sum_blockwise(c, h, cubes=_b),
                 name=f"blockwise_c{bc}",
                 work=lambda key, _n=n: (_n, _n * 4))
-    for line in (128, 256, 512, 1024):
+    for line in (128,):  # lane dim > one 128-lane tile streams 3.3x slower
         for tc in (256, 512, 1024):
             if n % line == 0 and (n // line) % CD == 0:
                 ts.with_tunable(

@@ -1,0 +1,128 @@
+"""Tunnel-proof device timing harnesses (see BENCH_NOTES.md).
+
+Three hazards govern every perf number taken through the axon tunnel
+(reference: the tune benchmark driver times with device events,
+cubecl-runtime/src/tune/tune_benchmark.rs:26 — these harnesses are the
+TPU/tunnel equivalent):
+
+1. completion must be forced with a >=1-element D2H readback
+   (``block_until_ready`` may return early through the tunnel);
+2. the timed spread ``(hi - lo) * per_iter`` must dwarf the +-2-4ms
+   per-measurement jitter (>= ~40ms) or the slope is noise;
+3. chained loops over arrays that fit in VMEM (< ~100MB) may never
+   touch HBM — benchmark r+w kernels on >=256MB working sets.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Sequence
+
+
+def _best(fn, reps):
+    import numpy as np
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = fn()
+        np.asarray(r.reshape(-1)[:1])  # D2H completion barrier
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def chain_scalar_time(f: Callable[[Any], Any], x, lo: int = 50,
+                      hi: int = 200, reps: int = 4) -> float:
+    """Per-iteration device time of ``f(x) -> small array`` for
+    READ-dominated kernels: the input is tied to the running scalar
+    carry with ``optimization_barrier`` so iterations cannot be CSE'd
+    or hoisted, and the input is never rewritten (1n traffic)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    out0 = f(x)
+    init = jnp.zeros_like(out0)
+
+    def make(n):
+        @jax.jit
+        def run(x, s0):
+            def body(_i, s):
+                xx, ss = jax.lax.optimization_barrier((x, s))
+                return f(xx) + ss * 1e-30
+            return jax.lax.fori_loop(0, n, body, s0)
+        return run
+
+    flo, fhi = make(lo), make(hi)
+    np.asarray(flo(x, init).reshape(-1)[:1])
+    np.asarray(fhi(x, init).reshape(-1)[:1])
+    tlo = _best(lambda: flo(x, init), reps)
+    thi = _best(lambda: fhi(x, init), reps)
+    return max((thi - tlo) / (hi - lo), 1e-9)
+
+
+def chain_pingpong_time(f: Callable[[Any], Any], x, lo: int = 20,
+                        hi: int = 80, reps: int = 4) -> float:
+    """Per-iteration device time of a same-shape map ``f(x) -> y``: the
+    output feeds the next iteration's input (true serialization). NOTE
+    hazard 4 (BENCH_NOTES): unless f aliases its buffer in-place, XLA
+    copies the result back into the loop carry each iteration — a full
+    extra read+write billed to f. Compare like with like."""
+    import jax
+    import numpy as np
+
+    def make(n):
+        @jax.jit
+        def run(x0):
+            def body(_i, xv):
+                return f(jax.lax.optimization_barrier(xv))
+            return jax.lax.fori_loop(0, n, body, x0)
+        return run
+
+    flo, fhi = make(lo), make(hi)
+    np.asarray(flo(x).reshape(-1)[:1])
+    np.asarray(fhi(x).reshape(-1)[:1])
+    tlo = _best(lambda: flo(x), reps)
+    thi = _best(lambda: fhi(x), reps)
+    return max((thi - tlo) / (hi - lo), 1e-9)
+
+
+def chain_args_time(f: Callable[..., Any], args: Sequence[Any],
+                    lo: int = 20, hi: int = 80, reps: int = 4) -> float:
+    """Per-iteration time of ``f(*args) -> pytree`` (multi-input kernels,
+    e.g. attention): args are barrier-tied to a scalar carry; the first
+    output leaf's first element feeds the carry so no iteration can be
+    elided. Pass ALL large arrays through ``args`` — closing over a
+    concrete array ships it as a literal in the remote compile request
+    (HTTP 413)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    args = tuple(args)
+
+    def make(n):
+        @jax.jit
+        def run(args, s0):
+            def body(_i, s):
+                a2, ss = jax.lax.optimization_barrier((args, s))
+                o = f(*a2)
+                leaf = jax.tree_util.tree_leaves(o)[0]
+                return ss * 1e-30 + leaf.reshape(-1)[0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, n, body, s0)
+        return run
+
+    flo, fhi = make(lo), make(hi)
+    np.asarray(flo(args, 0.0))
+    np.asarray(fhi(args, 0.0))
+
+    def best(fn):
+        b = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fn(args, 0.0))
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    tlo, thi = best(flo), best(fhi)
+    return max((thi - tlo) / (hi - lo), 1e-9)
