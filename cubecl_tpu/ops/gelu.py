@@ -9,10 +9,13 @@ import numpy as np
 
 from ..frontend import (
     ABSOLUTE_POS,
+    CUBE_POS_X,
+    UNIT_POS,
     ArrayArg,
     MutSlice,
     Slice,
     cube,
+    cube_range,
     erf,
 )
 from ..frontend.comptime import comptime
@@ -39,9 +42,37 @@ def gelu_array_exact(inp: Slice, out: MutSlice):
     out[ABSOLUTE_POS] = gelu_scalar(inp[ABSOLUTE_POS])
 
 
+@cube
+def gelu_inplace(buf: MutSlice, iters: int, stride: int):
+    """In-place fat-block gelu: one mutable buffer (emitter aliases it —
+    no loop-carry copy inside jit loops, see docs/performance.md rule 3)
+    swept as iters (stride, 128) slabs per grid step (fat windows, rule
+    2; line stays 128, rule 1)."""
+    base = CUBE_POS_X * (iters * stride)
+    for k in cube_range(0, iters):
+        idx = base + k * stride + UNIT_POS
+        buf[idx] = gelu_scalar(buf[idx])
+
+
 def launch_gelu(client, inp: Handle, out: Handle, line_size: int = 128,
                 cube_dim: int = 64, checked: bool = False) -> None:
     n = int(np.prod(inp.shape))
+    if (out is inp or out.id == inp.id) and n % 128 == 0 and not checked:
+        # in-place fast path: fat (1024, 128) slabs, ~4MB windows
+        lines = n // 128
+        units = min(1024, lines)
+        while lines % units:
+            units -= 8
+        iters = 1
+        for it in (8, 4, 2):
+            if lines % (units * it) == 0:
+                iters = it
+                break
+        gelu_inplace.launch_unchecked(
+            client, CubeCount(lines // (units * iters)),
+            CubeDim.new_1d(units),
+            ArrayArg(inp, line_size=128, mutable=True), iters, units)
+        return
     epc = line_size * cube_dim
     if n % epc == 0 and not checked:
         cubes = n // epc

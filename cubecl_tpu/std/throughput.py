@@ -6,7 +6,11 @@ with ``ThroughputMode{ComputeDirect,ComputeCmma,Memory,Launch}``
 (cubecl-runtime/src/throughput/base.rs:9) and the measured-peak cache
 feeding autotune roofline bounds (tune/bounds_generator.rs).
 
-Measured peaks are cached persistently per device fingerprint.
+Measured peaks are cached persistently per device fingerprint. All
+runners follow the BENCH_NOTES measurement rules: D2H readback as the
+completion barrier, slopes between short and long runs sized so the
+timed spread dwarfs the tunnel's +-2-4ms jitter, and working sets big
+enough that XLA cannot keep them VMEM-resident.
 """
 
 from __future__ import annotations
@@ -15,46 +19,63 @@ import json
 import time
 from typing import Dict, Optional
 
-from ..runtime.profile import benchmark
 from ..tune.cache import PersistentStore
+from ..tune.timing import chain_scalar_time
 
 
 def _device_of(client):
     return client._dev.call(lambda s: s.device)
 
 
-def measure_memory_bw(client, nbytes: int = 1 << 26, iters: int = 10) -> float:
-    """Copy bandwidth in bytes/s (read+write counted)."""
+def _slope_calls(run1, read_back, lo: int, hi: int, reps: int = 3) -> float:
+    """Seconds per call: slope between lo and hi sequential dispatches
+    (dispatch is async; the tunnel RTT is paid once per measurement and
+    cancels in the slope)."""
+    import numpy as np
+
+    def run_n(n):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = None
+            for _ in range(n):
+                r = run1(r)
+            read_back(r)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    tlo, thi = run_n(lo), run_n(hi)
+    return max((thi - tlo) / (hi - lo), 1e-9)
+
+
+def measure_memory_bw(client, nbytes: int = 1 << 28) -> float:
+    """Peak HBM READ bandwidth in bytes/s, via a streaming reduce (the
+    read-dominated bound autotune's roofline wants; r+w patterns add
+    their own write traffic on top)."""
     import jax
     import jax.numpy as jnp
 
     dev = _device_of(client)
     with jax.default_device(dev):
-        x = jnp.zeros((nbytes // 4,), jnp.float32)
-        f = jax.jit(lambda v: v + 1.0)
-        r = f(x)
-        jax.block_until_ready(r)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = f(r)
-        jax.block_until_ready(r)
-        dt = (time.perf_counter() - t0) / iters
-    return 2 * nbytes / dt
+        x = jnp.ones((nbytes // 4,), jnp.float32)
+        per = chain_scalar_time(lambda v: jnp.sum(v).reshape(1), x,
+                                lo=20, hi=80)
+    return nbytes / per
 
 
-def measure_compute_mxu(client, n: int = 4096, iters: int = 10,
+def measure_compute_mxu(client, n: int = 4096,
                         dtype: str = "bfloat16") -> float:
     """MXU peak FLOP/s via chained matmuls (the CMMA-peak runner)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     dev = _device_of(client)
     with jax.default_device(dev):
         a = jnp.ones((n, n), dtype)
         b = jnp.ones((n, n), dtype)
 
-        def chain(a, b):
-            c = a
+        def chain(c, b):
             for _ in range(4):
                 c = jax.lax.dot_general(
                     c, b, (((1,), (0,)), ((), ())),
@@ -62,23 +83,20 @@ def measure_compute_mxu(client, n: int = 4096, iters: int = 10,
             return c
 
         f = jax.jit(chain)
-        r = f(a, b)
-        jax.block_until_ready(r)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = f(r, b)
-        jax.block_until_ready(r)
-        dt = (time.perf_counter() - t0) / iters
-    return 4 * 2 * n ** 3 / dt
+        np.asarray(f(a, b)[:1, :1])
+        per = _slope_calls(lambda r: f(a if r is None else r, b),
+                           lambda r: np.asarray(r[:1, :1]), 2, 10)
+    return 4 * 2 * n ** 3 / per
 
 
-def measure_compute_vpu(client, n: int = 1 << 24, iters: int = 10) -> float:
+def measure_compute_vpu(client, n: int = 1 << 25) -> float:
     """VPU peak FLOP/s via fused multiply-adds (compute-direct runner)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     dev = _device_of(client)
-    K = 64
+    K = 256
     with jax.default_device(dev):
         x = jnp.ones((n,), jnp.float32)
 
@@ -88,32 +106,27 @@ def measure_compute_vpu(client, n: int = 1 << 24, iters: int = 10) -> float:
             return v
 
         f = jax.jit(chain)
-        r = f(x)
-        jax.block_until_ready(r)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = f(r)
-        jax.block_until_ready(r)
-        dt = (time.perf_counter() - t0) / iters
-    return 2 * K * n / dt
+        np.asarray(f(x)[:1])
+        per = _slope_calls(lambda r: f(x if r is None else r),
+                           lambda r: np.asarray(r[:1]), 2, 10)
+    return 2 * K * n / per
 
 
-def measure_launch_overhead(client, iters: int = 100) -> float:
-    """Seconds per (tiny) kernel launch, including dispatch."""
+def measure_launch_overhead(client, lo: int = 50, hi: int = 400) -> float:
+    """Seconds per (tiny) kernel launch, including host dispatch — the
+    per-call Python + PJRT cost a launch-bound loop pays (graph capture
+    amortizes it; see BENCH_NOTES known overheads)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     dev = _device_of(client)
     with jax.default_device(dev):
         x = jnp.zeros((8, 128), jnp.float32)
         f = jax.jit(lambda v: v + 1.0)
-        r = f(x)
-        jax.block_until_ready(r)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = f(r)
-        jax.block_until_ready(r)
-        return (time.perf_counter() - t0) / iters
+        np.asarray(f(x)[:1, :1])
+        return _slope_calls(lambda r: f(x if r is None else r),
+                            lambda r: np.asarray(r[:1, :1]), lo, hi)
 
 
 class ThroughputCache:

@@ -28,6 +28,15 @@ def test_gelu(client):
     np.testing.assert_allclose(client.read_one(o), exp, atol=1e-5)
 
 
+def test_gelu_inplace(client):
+    n = 4096
+    x = np.random.randn(n).astype(np.float32)
+    h = client.create(x)
+    launch_gelu(client, h, h)  # out is inp -> aliased fat-block path
+    exp = x * (1 + np.array([math.erf(v / math.sqrt(2)) for v in x])) / 2
+    np.testing.assert_allclose(client.read_one(h), exp, atol=1e-5)
+
+
 def test_gelu_tail(client):
     n = 1000  # forces guarded path
     x = np.random.randn(n).astype(np.float32)
