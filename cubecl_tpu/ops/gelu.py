@@ -64,7 +64,9 @@ def launch_gelu(client, inp: Handle, out: Handle, line_size: int = 128,
         while lines % units:
             units -= 8
         iters = 1
-        for it in (8, 4, 2):
+        # 8MB slabs win (u=1024 x it=16: 663 GB/s vs 558 at it=8, 511 at
+        # it=32 — measured v5e 256MB sweep); 16MB over-commits VMEM
+        for it in (16, 8, 4, 2):
             if lines % (units * it) == 0:
                 iters = it
                 break
