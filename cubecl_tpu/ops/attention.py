@@ -29,6 +29,21 @@ DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 MIN_BLOCK = 128  # NUM_LANES — TPU tile constraint
 
 
+def _seg_overlap(sq_ref, sk_ref):
+    """True iff this (q_tile, kv_tile) pair can share a segment id.
+
+    Packed sequences have contiguous segments, so the tile's id set is
+    exactly [min, max]; two tiles interact iff those ranges intersect.
+    Cost: two (block, 128) VPU reductions — noise next to the two MXU
+    matmuls they skip."""
+    import jax.numpy as jnp
+
+    sqt = sq_ref[0]
+    skt = sk_ref[0]
+    return jnp.logical_and(jnp.min(sqt) <= jnp.max(skt),
+                           jnp.max(sqt) >= jnp.min(skt))
+
+
 def _fwd_call(q, k, v, causal: bool, sm_scale: float,
               block_q: int, block_k: int, interpret: bool,
               kv_len=None, seg=None):
@@ -100,9 +115,16 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
             acc_sc[...] = acc_sc[...] * alpha[:, :1] + jax.lax.dot(
                 p, vt, preferred_element_type=jnp.float32)
 
-        if causal:
-            # skip KV tiles entirely above the diagonal
-            pl.when(((qi + 1) * bq - 1) >= (ki * bk))(_run)
+        cond = ((qi + 1) * bq - 1) >= (ki * bk) if causal else None
+        if seg is not None:
+            # packed segments are contiguous, so a whole tile pair is
+            # dead unless the [min, max] segment-id ranges intersect —
+            # skipping both MXU matmuls (a fully-masked tile would only
+            # contribute p≈0)
+            ov = _seg_overlap(sq_ref, sk_ref)
+            cond = ov if cond is None else jnp.logical_and(cond, ov)
+        if cond is not None:
+            pl.when(cond)(_run)
         else:
             _run()
 
@@ -287,8 +309,12 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
                 ds, qt, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-        if causal:
-            pl.when(((qi + 1) * bq - 1) >= (ki * bk))(_run)
+        cond = ((qi + 1) * bq - 1) >= (ki * bk) if causal else None
+        if seg is not None:
+            ov = _seg_overlap(sq_ref, sk_ref)
+            cond = ov if cond is None else jnp.logical_and(cond, ov)
+        if cond is not None:
+            pl.when(cond)(_run)
         else:
             _run()
 
@@ -409,8 +435,12 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
             dq_sc[...] += jax.lax.dot(ds, kt,
                                       preferred_element_type=jnp.float32)
 
-        if causal:
-            pl.when(((qi + 1) * bq - 1) >= (ki * bk))(_run)
+        cond = ((qi + 1) * bq - 1) >= (ki * bk) if causal else None
+        if seg is not None:
+            ov = _seg_overlap(sq_ref, sk_ref)
+            cond = ov if cond is None else jnp.logical_and(cond, ov)
+        if cond is not None:
+            pl.when(cond)(_run)
         else:
             _run()
 
@@ -577,12 +607,20 @@ _flash_seg.defvjp(_flash_seg_fwd, _flash_seg_bwd)
 def flash_attention_segmented(q, k, v, segment_ids_q, segment_ids_kv=None,
                               causal: bool = True,
                               sm_scale: Optional[float] = None,
-                              block_q: int = 1024, block_k: int = 2048,
+                              block_q: int = 1024, block_k: int = 1024,
                               interpret: bool = False):
     """Packed-sequence flash attention: positions attend only within the
     same segment id (plus the causal mask). segment_ids: (B, S) int32;
     use a reserved id (e.g. -1) for padding slots so they attend nothing
-    real. Fully differentiable."""
+    real. Fully differentiable.
+
+    Cross-segment tiles are skipped whole (``_seg_overlap`` min/max
+    range test — segments are contiguous in packed layouts), so cost
+    approaches the block-diagonal ideal as segments shrink. Block
+    defaults (round-2 v5e sweep, S=2048 bf16 causal, 2 segments):
+    (1024,1024) 0.437ms > (512,1024) 0.538 > (512,512) 0.597 ≈
+    (1024,2048) 0.599 — smaller tiles skip more but pay per-tile
+    efficiency; 1024² is the crossover."""
     if segment_ids_kv is None:
         segment_ids_kv = segment_ids_q
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(

@@ -293,13 +293,18 @@ def test_flash_attention_segmented(client):
         flash_attention_segmented,
     )
 
-    B, H, S, D = 2, 2, 256, 128
+    # S=512 with 128-blocks gives 4x4 tiles: segment 0 ends inside tile
+    # 0 and segment 2 starts inside tile 2, so (q0, kv2/kv3) and
+    # (q3, kv0) tile pairs are range-DISJOINT — exercising the
+    # _seg_overlap whole-tile skip, while (q0, kv1) etc. share ids
+    # across tile boundaries (partial masks).
+    B, H, S, D = 2, 2, 512, 128
     q = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32) * 0.4)
     k = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32) * 0.4)
     v = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32))
     seg = np.zeros((B, S), np.int32)
-    seg[:, 100:180] = 1
-    seg[:, 180:] = 2
+    seg[:, 100:300] = 1
+    seg[:, 300:] = 2
     seg = jnp.asarray(seg)
 
     def ref(q, k, v, causal):
