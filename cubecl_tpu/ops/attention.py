@@ -79,8 +79,11 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
             acc_sc[...] = jnp.zeros_like(acc_sc)
 
         def _run():
-            qt = q_ref[0, 0].astype(jnp.float32)          # [bq, D]
-            kt = k_ref[0, 0].astype(jnp.float32)          # [bk, D]
+            # feed the MXU at the INPUT dtype (bf16 runs single-pass;
+            # upcasting first would force f32-rate passes) — f32
+            # accumulation comes from preferred_element_type
+            qt = q_ref[0, 0]                               # [bq, D]
+            kt = k_ref[0, 0]                               # [bk, D]
             s = jax.lax.dot_general(
                 qt, kt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)       # [bq, bk]
@@ -111,9 +114,12 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
             m_sc[...] = m_next
             l_sc[...] = l_next
 
-            vt = v_ref[0, 0].astype(jnp.float32)           # [bk, D]
+            vt = v_ref[0, 0]                               # [bk, D]
+            # P·V at the storage dtype (standard flash practice: the
+            # f32 statistics m/l already carry the softmax precision)
             acc_sc[...] = acc_sc[...] * alpha[:, :1] + jax.lax.dot(
-                p, vt, preferred_element_type=jnp.float32)
+                p.astype(vt.dtype), vt,
+                preferred_element_type=jnp.float32)
 
         cond = ((qi + 1) * bq - 1) >= (ki * bk) if causal else None
         if seg is not None:
@@ -219,10 +225,13 @@ def flash_attention(q, k, v, causal: bool = True,
     of 128 for full MXU utilization (pads otherwise via XLA).
 
     Block defaults (round-2 sweep, S=2048 bf16 causal on v5e, valid
-    long-chain timing): (2048,2048) 0.403ms/85 TF > (1024,1024)
-    0.482/71 > (512,2048) 0.520/66 > (1024,2048) 0.544/63 — fat q
-    blocks win now that the emitter-raised scoped-VMEM ceiling admits
-    them; blocks clamp to the actual sequence length in _fwd_call.
+    long-chain timing, bf16 MXU feed): (2048,2048) 0.346ms/99 TF >
+    (1024,1024) 0.466/74 > (1024,2048) 0.573/60 — fat q blocks win now
+    that the emitter-raised scoped-VMEM ceiling admits them; blocks
+    clamp to the actual sequence length in _fwd_call. MXU operands stay
+    at the input dtype (upcasting to f32 first costs f32-rate passes:
+    85 TF vs 99); f32 lives in preferred_element_type accumulation and
+    the softmax statistics.
     """
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(
         q.shape[-1])
@@ -273,10 +282,10 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
             dv_sc[...] = jnp.zeros_like(dv_sc)
 
         def _run():
-            qt = q_ref[0, 0].astype(jnp.float32)
-            kt = k_ref[0, 0].astype(jnp.float32)
-            vt = v_ref[0, 0].astype(jnp.float32)
-            dot = do_ref[0, 0].astype(jnp.float32)
+            qt = q_ref[0, 0]
+            kt = k_ref[0, 0]
+            vt = v_ref[0, 0]
+            dot = do_ref[0, 0]
             lse = lse_ref[0, 0][:, :1]
             dit = di_ref[0, 0][:, :1]
             s = jax.lax.dot_general(
@@ -296,9 +305,10 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
                     ok = ok & (sq[:, None] == sk[None, :])
                 s = jnp.where(ok, s, DEFAULT_MASK_VALUE)
             p = jnp.exp(s - lse)                          # [bq, bk]
-            # dV += P^T dO
+            # dV += P^T dO — P/dS feed the MXU at the storage dtype
+            # (f32 accumulate), matching the forward's convention
             dv_sc[...] += jax.lax.dot_general(
-                p, dot, (((0,), (0,)), ((), ())),
+                p.astype(dot.dtype), dot, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dp = jax.lax.dot_general(
                 dot, vt, (((1,), (1,)), ((), ())),
@@ -306,7 +316,7 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
             ds = p * (dp - dit) * scale
             # dK += dS^T Q
             dk_sc[...] += jax.lax.dot_general(
-                ds, qt, (((0,), (0,)), ((), ())),
+                ds.astype(qt.dtype), qt, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
         cond = ((qi + 1) * bq - 1) >= (ki * bk) if causal else None
@@ -405,10 +415,10 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
             dq_sc[...] = jnp.zeros_like(dq_sc)
 
         def _run():
-            qt = q_ref[0, 0].astype(jnp.float32)
-            kt = k_ref[0, 0].astype(jnp.float32)
-            vt = v_ref[0, 0].astype(jnp.float32)
-            dot = do_ref[0, 0].astype(jnp.float32)
+            qt = q_ref[0, 0]
+            kt = k_ref[0, 0]
+            vt = v_ref[0, 0]
+            dot = do_ref[0, 0]
             lse = lse_ref[0, 0][:, :1]
             dit = di_ref[0, 0][:, :1]
             s = jax.lax.dot_general(
@@ -432,7 +442,7 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
                 dot, vt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             ds = p * (dp - dit) * scale
-            dq_sc[...] += jax.lax.dot(ds, kt,
+            dq_sc[...] += jax.lax.dot(ds.astype(kt.dtype), kt,
                                       preferred_element_type=jnp.float32)
 
         cond = ((qi + 1) * bq - 1) >= (ki * bk) if causal else None
@@ -495,7 +505,8 @@ def _bwd(causal, sm_scale, block_q, block_k, interpret, kv_len, res, do):
     """Flash backward: dKV + dQ Pallas kernels over saved (o, lse)
     residuals (guide §7 structure). KV blocks cap at 1024 — the backward
     carries more live scratch, and (1024, 1024) measures fastest on v5e
-    (119 TF-equiv at S=2048; the forward prefers (1024, 2048))."""
+    (fwd+bwd 1.018ms = 118 TF-equiv at S=2048 with the bf16 MXU feed;
+    the forward alone prefers (2048, 2048))."""
     import jax.numpy as jnp
 
     q, k, v, o, lse = res
