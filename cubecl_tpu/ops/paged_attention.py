@@ -155,11 +155,11 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
 
         @pl.when(i * span < seq_len)
         def _run():
-            qt = q_ref[0, 0].astype(jnp.float32)          # (G, D)
+            qt = q_ref[0, 0]                              # (G, D)
             # one fused (span, D) KV tile per step: U pages DMA'd
             # concurrently (each ref has its own window), one matmul
-            kt = jnp.concatenate([r[0].astype(jnp.float32)
-                                  for r in k_refs], axis=0)
+            # at the storage dtype (f32 accumulation via preferred)
+            kt = jnp.concatenate([r[0] for r in k_refs], axis=0)
             s = jax.lax.dot_general(
                 qt, kt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)       # (G, span)
@@ -177,10 +177,10 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
             l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
             m_sc[...] = m_next
             l_sc[...] = l_next
-            vt = jnp.concatenate([r[0].astype(jnp.float32)
-                                  for r in v_refs], axis=0)
+            vt = jnp.concatenate([r[0] for r in v_refs], axis=0)
             acc_sc[...] = acc_sc[...] * alpha[:, :1] + jax.lax.dot(
-                p, vt, preferred_element_type=jnp.float32)
+                p.astype(vt.dtype), vt,
+                preferred_element_type=jnp.float32)
 
         @pl.when(i == max_pages // U - 1)
         def _done():
