@@ -56,13 +56,12 @@ class PallasCompiler(Compiler):
 
         scope = defn.scope
         cd, cc = defn.cube_dim, defn.cube_count
-        if self.processors or defn.options.fast_math:
-            from ...opt.processors import FastMathProcessor, run_processors
+        # FastMathProcessor always runs: flags live per-INSTRUCTION (a
+        # helper may set them while the kernel doesn't), and the pass is
+        # a no-op scan when none are present
+        from ...opt.processors import FastMathProcessor, run_processors
 
-            procs = list(self.processors)
-            if defn.options.fast_math:
-                procs.append(FastMathProcessor())
-            run_processors(scope, procs)
+        run_processors(scope, list(self.processors) + [FastMathProcessor()])
         optimize_scope(scope, cd, cc, defn.plane_dim)
         if defn.options.checked:
             insert_checked_io(scope, cd, cc)

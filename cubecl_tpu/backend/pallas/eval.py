@@ -2286,8 +2286,9 @@ def _mk_pure_table():
     t[O.RSQRT] = _rsqrt
 
     def _recip(ev, inst, xs):
-        approx = inst.modes.get("fast_math", {}).get("allow_reciprocal") \
-            if isinstance(inst.modes.get("fast_math"), dict) else False
+        # no approximate-reciprocal Mosaic primitive in this jax; the
+        # fast-math win comes from the DIV -> MUL*RECIP rewrite letting
+        # XLA hoist the loop-invariant recip (FastMathProcessor)
         return 1.0 / xs[0]
 
     t[O.RECIP] = _recip

@@ -121,6 +121,14 @@ class CubeFunction:
         from .element import active_builder
 
         b = active_builder()
+        # a helper's own fast_math flags apply to the instructions it
+        # registers (reference: per-function #[cube(fast_math = ...)],
+        # macros parse/kernel.rs) — layered over the caller's flags
+        fm = self.options.get("fast_math")
+        saved = None
+        if fm:
+            saved = dict(b.scope.state.fast_math)
+            b.scope.state.fast_math = {**saved, **fm}
         b.push_function(entry=False)
         try:
             result = self.impl(b, *args, **kwargs)
@@ -131,6 +139,9 @@ class CubeFunction:
         else:
             frame = b.pop_function()
             return b.combine_returns(frame, result)
+        finally:
+            if saved is not None:
+                b.scope.state.fast_math = saved
 
     # ------------------------------------------------------------- launch
 
@@ -295,6 +306,10 @@ class CubeFunction:
         state = GlobalState()
         state.cube_dim = cd.as_tuple()
         state.debug_symbols = bool(self.options.get("debug_symbols", False))
+        # kernel-level fast-math flags ride every registered instruction's
+        # modes (reference InstructionModes fp_math_mode, scope.rs:100);
+        # helper-level flags override inside __call__
+        state.fast_math = dict(self.options.get("fast_math") or {})
         scope = Scope(state)
         builder = CubeBuilder(scope)
         plane_dim = _pick_plane(cd.num_units)

@@ -77,11 +77,10 @@ class FastMathProcessor(Processor):
     AllowReciprocal turns x / y into x * recip(y) for uniform divisors."""
 
     def process(self, scope: Scope, inst: Instruction):
-        modes = inst.modes.get("fast_math") if isinstance(
-            inst.modes, dict) else None
+        # instruction modes carry the flat flag dict the tracing scope
+        # stamped from the kernel/helper fast_math options
         flags = inst.modes if isinstance(inst.modes, dict) else {}
-        allow = flags.get("allow_reciprocal") or (
-            isinstance(modes, dict) and modes.get("allow_reciprocal"))
+        allow = flags.get("allow_reciprocal")
         if allow and inst.op.opcode == O.DIV and inst.out is not None \
                 and inst.out.ty.elem.is_float:
             a, b = inst.op.args

@@ -9,6 +9,7 @@ from cubecl_tpu import CubeCount, CubeDim, cube
 from cubecl_tpu.frontend import (
     ArrayArg,
     MutSlice,
+    ScalarArg,
     Slice,
     UNIT_POS,
     cast,
@@ -381,3 +382,67 @@ def test_value_return_from_runtime_branch(client):
               comptimes=(1,))
     np.testing.assert_allclose(res[1],
                                np.where(x > 0, np.minimum(x, 2.0), 0.0))
+
+
+# ------------------------------------------------------------ fast math
+
+
+def test_fast_math_reciprocal_rewrite(client):
+    """Kernel-level fast_math flags flow into instruction modes and the
+    FastMathProcessor rewrites DIV -> MUL * RECIP (reference
+    InstructionModes fp_math_mode + AllowReciprocal, marker.rs:54-74)."""
+
+    @cube(fast_math={"allow_reciprocal": True})
+    def k_fm(inp: Slice, d: float, out: MutSlice):
+        out[UNIT_POS] = inp[UNIT_POS] / d
+
+    x = np.random.rand(8).astype(np.float32) + 1.0
+    h = client.create(x)
+    o = client.empty((8,), "float32")
+    ck = k_fm.compile_only(client, CubeCount(1), CubeDim.new_1d(8),
+                           ArrayArg(h), ScalarArg(3.0),
+                           ArrayArg(o, mutable=True))
+    assert "recip" in ck.source
+    k_fm.launch(client, CubeCount(1), CubeDim.new_1d(8),
+                ArrayArg(h), ScalarArg(3.0), ArrayArg(o, mutable=True))
+    np.testing.assert_allclose(client.read_one(o), x / 3.0, rtol=1e-6)
+
+
+def test_fast_math_default_no_rewrite(client):
+    @cube
+    def k_nofm(inp: Slice, d: float, out: MutSlice):
+        out[UNIT_POS] = inp[UNIT_POS] / d
+
+    x = np.ones(8, np.float32)
+    h = client.create(x)
+    o = client.empty((8,), "float32")
+    ck = k_nofm.compile_only(client, CubeCount(1), CubeDim.new_1d(8),
+                             ArrayArg(h), ScalarArg(3.0),
+                             ArrayArg(o, mutable=True))
+    assert "recip" not in ck.source
+
+
+def test_fast_math_helper_scoped(client):
+    """A helper's fast_math flags apply only to the instructions it
+    registers (per-function #[cube(fast_math)], reference macros)."""
+
+    @cube(fast_math={"allow_reciprocal": True})
+    def fdiv(a, b):
+        return a / b
+
+    @cube
+    def k_mixed(inp: Slice, d: float, out: MutSlice):
+        a = fdiv(inp[UNIT_POS], d)     # rewritten
+        b = inp[UNIT_POS] / d          # NOT rewritten
+        out[UNIT_POS] = a + b
+
+    x = np.random.rand(8).astype(np.float32)
+    h = client.create(x)
+    o = client.empty((8,), "float32")
+    ck = k_mixed.compile_only(client, CubeCount(1), CubeDim.new_1d(8),
+                              ArrayArg(h), ScalarArg(3.0),
+                              ArrayArg(o, mutable=True))
+    assert ck.source.count("recip") == 1
+    k_mixed.launch(client, CubeCount(1), CubeDim.new_1d(8),
+                   ArrayArg(h), ScalarArg(3.0), ArrayArg(o, mutable=True))
+    np.testing.assert_allclose(client.read_one(o), 2 * x / 3.0, rtol=1e-6)
