@@ -420,7 +420,13 @@ def _vmem_estimate(state, plans, U):
     by_vid = {bp.value.vid: bp for bp in state.buffers}
     for vid, plan in plans.items():
         L = plan.param.ty.line
-        lines = plan.block_lines if plan.mode == "blocked" else plan.param.length
+        if plan.mode == "blocked":
+            lines = plan.block_lines
+        elif plan.mode == "nd" and plan.nd_block is not None:
+            # ND window: (sublane rows, line columns) per grid step
+            lines = plan.nd_block[0] * plan.nd_block[1]
+        else:
+            lines = plan.param.length
         bp = by_vid.get(vid)
         # a read-write buffer occupies BOTH an input and an output window
         # (aliased in HBM, but each gets its own VMEM staging — observed

@@ -397,6 +397,22 @@ class Evaluator:
             return start
         return self.pl.multiple_of(start, mult)
 
+    def _aff_multiple(self, aff, blocked: bool = True) -> int:
+        """Largest m such that the affine's runtime value is provably a
+        multiple of m: gcd of the constant and every coefficient that
+        survives into static_rel (grid syms cancel when blocked; unit
+        syms are excluded from the uniform part)."""
+        import math
+
+        g = abs(int(aff.const))
+        for sym, k in aff.coeffs.items():
+            if sym in ("ux", "uy", "uz"):
+                continue
+            if blocked and sym in ("cx", "cy", "cz"):
+                continue
+            g = math.gcd(g, abs(int(k)))
+        return g or 1
+
     def _clip_rel(self, rel, lo: int, hi: int):
         """Clamp a line offset; stays a python int when static so Mosaic
         sees constant indices."""
@@ -1899,18 +1915,23 @@ class Evaluator:
         plan = self.plans[buf.vid]
         ref = self.refs[buf.vid]
         L = plan.param.ty.line
-        rels = []
+        rels, mults = [], []
         for aff in op.attrs["nd_affine"]:
             r = self.static_rel(aff, blocked=True)
             if r is None or r[1]:
                 _kernel_fail("nd mma offset must be cube-uniform affine")
             rels.append(r[0])
+            mults.append(self._aff_multiple(aff))
         # storage region extent (layout = storage order of the fragment)
         reg_r, reg_c = (rows, cols) if layout == "row_major" else \
             (cols, rows)
         cl = -(-reg_c // max(L, 1))
-        r0 = self._hint(_as_i32(jnp, rels[0]), 1)
-        c0 = self._hint(_as_i32(jnp, rels[1]), 1)
+        # alignment provable from the affine form (gcd of const + live
+        # coeffs): Mosaic requires dynamic sublane-dim offsets to be
+        # proven %8 — a K-loop advancing 8 lines per step (tk = 8L)
+        # carries coeff 8 and the multiple_of hint discharges the proof
+        r0 = self._hint(_as_i32(jnp, rels[0]), mults[0])
+        c0 = self._hint(_as_i32(jnp, rels[1]), mults[1])
         if L > 1:
             idx = (pl.ds(r0, reg_r), pl.ds(c0, cl), slice(None))
         else:

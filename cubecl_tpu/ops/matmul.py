@@ -266,14 +266,18 @@ def matmul_cmma(client, a: Handle, b: Handle, out: Handle,
     # 128-lines → 2D refs: slab row windows need only sublane alignment
     line = 128 if (k % 128 == 0 and n % 128 == 0) else 1
     if line == 128:
-        # tn spans >=8 lines when possible so B/OUT window per cx
+        # tn spans >=8 lines when possible so B/OUT window per cx; tk
+        # spans 8 lines (1024) when K allows so the K-loop's dynamic
+        # line offset is provably %8 (Mosaic sublane rule — the
+        # _aff_multiple hint then discharges the alignment proof)
         tn = 1024 if n % 1024 == 0 else tile
+        tk = 1024 if k % 1024 == 0 else tile
         matmul_cmma_nd_kernel.launch_unchecked(
             client, CubeCount(n // tn, m // tile), CubeDim.new_1d(8),
             TensorArg(a, shape=(m, k), line_size=line),
             TensorArg(b, shape=(k, n), line_size=line),
             TensorArg(out, shape=(m, n), line_size=line, mutable=True),
-            tile, tn, tile, k, elem)
+            tile, tn, tk, k, elem)
         return
     matmul_cmma_kernel.launch_unchecked(
         client, CubeCount(n // tile, m // tile), CubeDim.new_1d(8),

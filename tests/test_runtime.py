@@ -256,3 +256,31 @@ def test_dynamic_cube_count(client):
                               ArrayArg(out2, mutable=True))
     np.testing.assert_array_equal(client.read_one(out2),
                                   np.arange(16, dtype=np.float32))
+
+
+def test_vmem_estimate_uses_nd_windows(client):
+    """The VMEM estimator must size ND-planned buffers by their WINDOW,
+    not the whole array — a 2048^3 CMMA matmul stages ~19MB of windows
+    while the buffers total 48MB (round-2 bug: estimate said 96MB and
+    validation rejected launchable kernels)."""
+    import numpy as np
+
+    from cubecl_tpu.frontend import TensorArg
+    from cubecl_tpu.frontend.cube import CubeCount, CubeDim
+    from cubecl_tpu.ir.types import elem_from_dtype
+    from cubecl_tpu.ops.matmul import matmul_cmma_nd_kernel
+
+    M = N = K = 2048
+    ha = client.create(np.zeros(M * K, np.float32))
+    hb = client.create(np.zeros(K * N, np.float32))
+    ho = client.empty((M * N,), "float32")
+    tm, tn, tk = 128, 1024, 128
+    ck = matmul_cmma_nd_kernel.compile_only(
+        client, CubeCount(N // tn, M // tm), CubeDim.new_1d(8),
+        TensorArg(ha, shape=(M, K), line_size=128),
+        TensorArg(hb, shape=(K, N), line_size=128),
+        TensorArg(ho, shape=(M, N), line_size=128, mutable=True),
+        tm, tn, tk, K, elem_from_dtype(ha.dtype))
+    assert ck.vmem_estimate < 30 * 2**20, ck.vmem_estimate / 2**20
+    for h in (ha, hb, ho):
+        client.free(h)
