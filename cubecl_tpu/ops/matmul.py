@@ -258,7 +258,13 @@ def matmul_cmma(client, a: Handle, b: Handle, out: Handle,
                 m: int, n: int, k: int, tile: int = 128) -> None:
     """DSL CMMA matmul. With 128-line tensors the ND window planner
     turns operands into VMEM stripes (large shapes); the 1-line fallback
-    keeps buffers whole-resident (small/parity shapes only)."""
+    keeps buffers whole-resident (small/parity shapes only).
+
+    Tile heuristic (round-2 v5e sweep, 4096^3 bf16, valid chains):
+    whole-K fragments (tm,tn,tk)=(512,1024,K) hit **186 TF = 94% of MXU
+    peak** — one dot per output tile, stripes pipelined by Mosaic;
+    K-looped (512,2048,1024) reaches 148, (512,1024,1024) 139. tk=K is
+    taken whenever the stripes fit the VMEM budget."""
     from ..frontend import TensorArg
     from ..ir.types import elem_from_dtype
 
@@ -266,18 +272,27 @@ def matmul_cmma(client, a: Handle, b: Handle, out: Handle,
     # 128-lines → 2D refs: slab row windows need only sublane alignment
     line = 128 if (k % 128 == 0 and n % 128 == 0) else 1
     if line == 128:
-        # tn spans >=8 lines when possible so B/OUT window per cx; tk
-        # spans 8 lines (1024) when K allows so the K-loop's dynamic
-        # line offset is provably %8 (Mosaic sublane rule — the
-        # _aff_multiple hint then discharges the alignment proof)
+        tm = 512 if m % 512 == 0 else tile
+        # tn spans >=8 lines when possible so B/OUT window per cx
         tn = 1024 if n % 1024 == 0 else tile
-        tk = 1024 if k % 1024 == 0 else tile
+        # whole-K fragments when the double-buffered stripes fit VMEM;
+        # else tk spans 8 lines (1024) so the K-loop's dynamic line
+        # offset is provably %8 (Mosaic sublane rule — _aff_multiple
+        # emits the multiple_of hint that discharges the proof)
+        esz = elem.size
+        stripes = (tm * k + k * tn + tm * tn) * esz * 2
+        if stripes <= 64 * 2**20:
+            tk = k
+        elif k % 1024 == 0:
+            tk = 1024
+        else:
+            tk = tile
         matmul_cmma_nd_kernel.launch_unchecked(
-            client, CubeCount(n // tn, m // tile), CubeDim.new_1d(8),
+            client, CubeCount(n // tn, m // tm), CubeDim.new_1d(8),
             TensorArg(a, shape=(m, k), line_size=line),
             TensorArg(b, shape=(k, n), line_size=line),
             TensorArg(out, shape=(m, n), line_size=line, mutable=True),
-            tile, tn, tk, k, elem)
+            tm, tn, tk, k, elem)
         return
     matmul_cmma_kernel.launch_unchecked(
         client, CubeCount(n // tile, m // tile), CubeDim.new_1d(8),
