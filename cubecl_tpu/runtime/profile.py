@@ -101,10 +101,11 @@ def time_launch(client, kernel, cube_count, cube_dim, *args,
 
     import jax
 
-    from ..frontend.cube import ArrayArg, ScalarArg
+    from ..frontend.cube import ArrayArg, ScalarArg, TensorArg
 
     ck = kernel.compile_only(client, cube_count, cube_dim, *args)
-    bufs = tuple(a.handle.array for a in args if isinstance(a, ArrayArg))
+    bufs = tuple(a.handle.array for a in args
+                 if isinstance(a, (ArrayArg, TensorArg)))
     scalars = tuple(a.value for a in args if isinstance(a, ScalarArg))
 
     mut = list(ck.mutable_indices)
