@@ -206,6 +206,30 @@ def _extra_kernel_lines(client):
     fl = 4 * B * H * S * S * D // 2
     per = chain_args_time(lambda a, b, c: flash_attention(a, b, c), (q, k, v))
     out["flash_fwd_tflops"] = round(fl / per / 1e12, 1)
+
+    # DSL CMMA matmul (the language path) — whole-K fragment tiles
+    from cubecl_tpu.frontend import TensorArg
+    from cubecl_tpu.ir.types import elem_from_dtype
+    from cubecl_tpu.ops.matmul import matmul_cmma_nd_kernel
+
+    M = 4096
+    am = jnp.asarray(rng.standard_normal((M * M,)) * .1, jnp.bfloat16)
+    bm = jnp.asarray(rng.standard_normal((M * M,)) * .1, jnp.bfloat16)
+    om = jnp.zeros(M * M, jnp.bfloat16)
+    ha, hb, ho = client.create(am), client.create(bm), client.create(om)
+    tm, tn = 512, 1024
+    ckm = matmul_cmma_nd_kernel.compile_only(
+        client, CubeCount(M // tn, M // tm), CubeDim.new_1d(8),
+        TensorArg(ha, shape=(M, M), line_size=128),
+        TensorArg(hb, shape=(M, M), line_size=128),
+        TensorArg(ho, shape=(M, M), line_size=128, mutable=True),
+        tm, tn, M, M, elem_from_dtype(ha.dtype))
+    fm = jax.jit(lambda a, b, o, _c=ckm: _c.fn([a, b, o], ())[0])
+    per = chain_args_time(lambda a, b, o: fm(a, b, o), (am, bm, om),
+                          lo=10, hi=80)
+    out["dsl_cmma_matmul_tflops"] = round(2 * M ** 3 / per / 1e12, 1)
+    for h in (ha, hb, ho):
+        client.free(h)
     return out
 
 

@@ -224,14 +224,15 @@ def flash_attention(q, k, v, causal: bool = True,
     q/k/v: [batch, heads, seq, head_dim]; head_dim should be a multiple
     of 128 for full MXU utilization (pads otherwise via XLA).
 
-    Block defaults (round-2 sweep, S=2048 bf16 causal on v5e, valid
-    long-chain timing, bf16 MXU feed): (2048,2048) 0.346ms/99 TF >
-    (1024,1024) 0.466/74 > (1024,2048) 0.573/60 — fat q blocks win now
-    that the emitter-raised scoped-VMEM ceiling admits them; blocks
-    clamp to the actual sequence length in _fwd_call. MXU operands stay
-    at the input dtype (upcasting to f32 first costs f32-rate passes:
-    85 TF vs 99); f32 lives in preferred_element_type accumulation and
-    the softmax statistics.
+    Block defaults (round-2 sweep, S=2048 bf16 causal on v5e, 220-call
+    chains): (2048,2048) 0.406ms/84.6 TF (43% peak, 5.8x the XLA
+    reference) > (1024,1024) 0.466/74 > (1024,2048) 0.573/60 — fat q
+    blocks win now that the emitter-raised scoped-VMEM ceiling admits
+    them; blocks clamp to the actual sequence length in _fwd_call. MXU
+    operands stay at the storage dtype (measured perf-neutral vs
+    explicit f32 upcasts — Mosaic fuses the converts — but it is the
+    principled convention); f32 lives in preferred_element_type
+    accumulation and the softmax statistics.
     """
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(
         q.shape[-1])
@@ -505,8 +506,8 @@ def _bwd(causal, sm_scale, block_q, block_k, interpret, kv_len, res, do):
     """Flash backward: dKV + dQ Pallas kernels over saved (o, lse)
     residuals (guide §7 structure). KV blocks cap at 1024 — the backward
     carries more live scratch, and (1024, 1024) measures fastest on v5e
-    (fwd+bwd 1.018ms = 118 TF-equiv at S=2048 with the bf16 MXU feed;
-    the forward alone prefers (2048, 2048))."""
+    (fwd+bwd 1.082ms = 111 TF-equiv at S=2048, 70-call chains; the
+    forward alone prefers (2048, 2048))."""
     import jax.numpy as jnp
 
     q, k, v, o, lse = res
@@ -628,10 +629,11 @@ def flash_attention_segmented(q, k, v, segment_ids_q, segment_ids_kv=None,
     Cross-segment tiles are skipped whole (``_seg_overlap`` min/max
     range test — segments are contiguous in packed layouts), so cost
     approaches the block-diagonal ideal as segments shrink. Block
-    defaults (round-2 v5e sweep, S=2048 bf16 causal, 2 segments):
-    (1024,1024) 0.437ms > (512,1024) 0.538 > (512,512) 0.597 ≈
-    (1024,2048) 0.599 — smaller tiles skip more but pay per-tile
-    efficiency; 1024² is the crossover."""
+    defaults (round-2 v5e sweep, S=2048 bf16 causal, 2 segments,
+    170-call chains): (1024,1024) 0.423ms vs (1024,2048 — nothing
+    skippable at this S) 0.592 — smaller tiles skip more but pay
+    per-tile efficiency; 1024² is the crossover, 1.4× from the skip
+    alone and growing with segment count."""
     if segment_ids_kv is None:
         segment_ids_kv = segment_ids_q
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(

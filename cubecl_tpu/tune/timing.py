@@ -8,7 +8,10 @@ TPU/tunnel equivalent):
 1. completion must be forced with a >=1-element D2H readback
    (``block_until_ready`` may return early through the tunnel);
 2. the timed spread ``(hi - lo) * per_iter`` must dwarf the +-2-4ms
-   per-measurement jitter (>= ~40ms) or the slope is noise;
+   per-measurement jitter (>= ~40ms) or the slope is noise — all
+   helpers AUTO-EXTEND their chains (recompiling longer ones) until
+   the spread clears ``_MIN_SPREAD``, because hand-picked chain
+   lengths repeatedly produced 15-25% phantom swings;
 3. chained loops over arrays that fit in VMEM (< ~100MB) may never
    touch HBM — benchmark r+w kernels on >=256MB working sets.
 """
@@ -18,17 +21,40 @@ from __future__ import annotations
 import time
 from typing import Any, Callable, Sequence
 
+_MIN_SPREAD = 0.04   # seconds; ~10x the tunnel's per-measurement jitter
+_MAX_CHAIN = 100_000  # fori_loop is rolled — chain length costs no compile
+
 
 def _best(fn, reps):
-    import numpy as np
-
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        r = fn()
-        np.asarray(r.reshape(-1)[:1])  # D2H completion barrier
+        fn()
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def _auto_slope(make_run, lo: int, hi: int, reps: int) -> float:
+    """Slope between lo- and hi-length chains, auto-extending until the
+    timed spread dwarfs tunnel jitter (hazard 2). ``make_run(n)`` must
+    return a zero-arg callable that runs the n-chain and BLOCKS on a
+    D2H readback (hazard 1). Extending costs a recompile of the longer
+    chains — that is the price of a valid number."""
+    spread = 0.0
+    for _ in range(6):
+        rlo, rhi = make_run(lo), make_run(hi)
+        rlo()          # warm + compile
+        rhi()
+        tlo, thi = _best(rlo, reps), _best(rhi, reps)
+        spread = thi - tlo
+        if spread >= _MIN_SPREAD or hi >= _MAX_CHAIN:
+            break
+        if spread <= 1e-3:
+            scale = 16
+        else:
+            scale = min(16, max(2, int(-(-0.06 // spread))))
+        lo, hi = lo * scale, hi * scale
+    return max(spread / (hi - lo), 1e-9)
 
 
 def chain_scalar_time(f: Callable[[Any], Any], x, lo: int = 50,
@@ -44,21 +70,16 @@ def chain_scalar_time(f: Callable[[Any], Any], x, lo: int = 50,
     out0 = f(x)
     init = jnp.zeros_like(out0)
 
-    def make(n):
+    def make_run(n):
         @jax.jit
         def run(x, s0):
             def body(_i, s):
                 xx, ss = jax.lax.optimization_barrier((x, s))
                 return f(xx) + ss * 1e-30
             return jax.lax.fori_loop(0, n, body, s0)
-        return run
+        return lambda: np.asarray(run(x, init).reshape(-1)[:1])
 
-    flo, fhi = make(lo), make(hi)
-    np.asarray(flo(x, init).reshape(-1)[:1])
-    np.asarray(fhi(x, init).reshape(-1)[:1])
-    tlo = _best(lambda: flo(x, init), reps)
-    thi = _best(lambda: fhi(x, init), reps)
-    return max((thi - tlo) / (hi - lo), 1e-9)
+    return _auto_slope(make_run, lo, hi, reps)
 
 
 def chain_pingpong_time(f: Callable[[Any], Any], x, lo: int = 20,
@@ -71,20 +92,15 @@ def chain_pingpong_time(f: Callable[[Any], Any], x, lo: int = 20,
     import jax
     import numpy as np
 
-    def make(n):
+    def make_run(n):
         @jax.jit
         def run(x0):
             def body(_i, xv):
                 return f(jax.lax.optimization_barrier(xv))
             return jax.lax.fori_loop(0, n, body, x0)
-        return run
+        return lambda: np.asarray(run(x).reshape(-1)[:1])
 
-    flo, fhi = make(lo), make(hi)
-    np.asarray(flo(x).reshape(-1)[:1])
-    np.asarray(fhi(x).reshape(-1)[:1])
-    tlo = _best(lambda: flo(x), reps)
-    thi = _best(lambda: fhi(x), reps)
-    return max((thi - tlo) / (hi - lo), 1e-9)
+    return _auto_slope(make_run, lo, hi, reps)
 
 
 def chain_args_time(f: Callable[..., Any], args: Sequence[Any],
@@ -101,7 +117,7 @@ def chain_args_time(f: Callable[..., Any], args: Sequence[Any],
 
     args = tuple(args)
 
-    def make(n):
+    def make_run(n):
         @jax.jit
         def run(args, s0):
             def body(_i, s):
@@ -110,19 +126,6 @@ def chain_args_time(f: Callable[..., Any], args: Sequence[Any],
                 leaf = jax.tree_util.tree_leaves(o)[0]
                 return ss * 1e-30 + leaf.reshape(-1)[0].astype(jnp.float32)
             return jax.lax.fori_loop(0, n, body, s0)
-        return run
+        return lambda: np.asarray(run(args, 0.0))
 
-    flo, fhi = make(lo), make(hi)
-    np.asarray(flo(args, 0.0))
-    np.asarray(fhi(args, 0.0))
-
-    def best(fn):
-        b = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(fn(args, 0.0))
-            b = min(b, time.perf_counter() - t0)
-        return b
-
-    tlo, thi = best(flo), best(fhi)
-    return max((thi - tlo) / (hi - lo), 1e-9)
+    return _auto_slope(make_run, lo, hi, reps)
