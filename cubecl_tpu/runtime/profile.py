@@ -177,8 +177,10 @@ def time_launch(client, kernel, cube_count, cube_dim, *args,
     # ~40ms, then re-measure once at the reliable length.
     spread = (hi - lo) * per
     if spread < 0.040:
-        scale = min(max(int(0.040 / max(spread, 1e-6)), 2), 64)
-        lo2, hi2 = lo * scale, hi * scale
+        # overshoot to ~60ms (ceil) — a floor to exactly 40 lands short
+        # whenever the first estimate was itself optimistic
+        scale = min(max(-(-0.060 // max(spread, 1e-6)), 2), 64)
+        lo2, hi2 = int(lo * scale), int(hi * scale)
         flo2, fhi2 = make(lo2), make(hi2)
         flo2(*bufs), fhi2(*bufs)
         client.sync()
