@@ -60,7 +60,7 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
                     sm_scale: Optional[float] = None,
                     interpret: bool = False,
                     bucket_pages: bool = True,
-                    unroll: int = 8):
+                    unroll: int = 16):
     """Decode attention over a paged KV cache.
 
     q:            (B, H, D)            one query vector per head
@@ -74,10 +74,13 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
                   so Mosaic issues ``unroll`` HBM window fetches at once;
                   a single small page per step is DMA-latency-bound).
                   Measured v5e, B=16 x 2048-token contexts, f32: u=1
-                  269 GB/s KV stream, u=2 382, u=4 524, u=8 620 —
-                  page DMAs are 64KB, so latency dominates until ~8 are
-                  in flight. Halved automatically until it divides the
-                  (bucketed) table width.
+                  269 GB/s KV stream, u=2 382, u=4 524, u=8 620, u=16
+                  **772 = 94% of the width-128 streaming ceiling** —
+                  page DMAs are 64KB, so latency dominates until ~16
+                  are in flight (348us/step beats jax's own paged
+                  kernel, 352 at its best pages_per_compute_block).
+                  Halved automatically until it divides the (bucketed)
+                  table width.
     -> (B, H, D)
     """
     import jax.numpy as jnp
