@@ -16,23 +16,17 @@ run (subtracting fixed dispatch/transfer overhead). See BENCH_NOTES.md.
 
 import json
 import sys
-import time
 
 import numpy as np
 
 
-def _bench_chain(f, a, b, iters, repeats=3):
-    c = f(a, b)
-    _ = np.asarray(c[:1, :1])  # warm + force completion
-    best = float("inf")
-    for _r in range(repeats):
-        t0 = time.time()
-        c = a
-        for _i in range(iters):
-            c = f(c, b)
-        _ = np.asarray(c[:1, :1])
-        best = min(best, time.time() - t0)
-    return best
+def _per_iter(f, args, lo=6, hi=42):
+    """Auto-extending slope timing (tune.timing enforces the >=40ms
+    spread rule — the fixed 4-vs-36 chains of earlier rounds produced a
+    110%-of-peak reading once tunnel jitter lined up wrong)."""
+    from cubecl_tpu.tune.timing import chain_args_time
+
+    return chain_args_time(f, args, lo=lo, hi=hi)
 
 
 def main() -> int:
@@ -72,17 +66,12 @@ def main() -> int:
         tiles = [(1024, 1024, 512)]
 
     best = None
-    short_i, long_i = 4, 36
     for tm, tn, tk in tiles:
         try:
             ck = _build_matmul(M, N, K, tm, tn, tk, "bfloat16", "bfloat16",
                                "float32")
             f = jax.jit(lambda x, y, _c=ck: _c.fn([x, y, y], ())[0])
-            d_short = _bench_chain(f, a, b, short_i)
-            d_long = _bench_chain(f, a, b, long_i)
-            # slope removes the fixed dispatch + readback overhead
-            per = (d_long - d_short) / (long_i - short_i) \
-                if d_long > d_short else d_long / long_i
+            per = _per_iter(lambda x, y: f(x, y), (a, b))
             tflops = 2 * M * N * K / per / 1e12
             if best is None or tflops > best[1]:
                 best = ((tm, tn, tk), tflops, per)
@@ -104,24 +93,9 @@ def main() -> int:
             ck8 = _build_matmul(M, N, K, tm, tn, tk, "float8_e4m3fn",
                                 "bfloat16", "float32")
             o0 = jnp.zeros(M * N, jnp.bfloat16)
-            f8 = jax.jit(lambda x, y, z, _c=ck8: _c.fn([x, y, z], ()))
-            r = f8(a8, b8, o0)
-            np.asarray(r[0].reshape(-1)[:1])  # warm + completion
-
-            def _run8(n):
-                bst = float("inf")
-                for _r in range(3):
-                    t0 = time.time()
-                    out = None
-                    for _i in range(n):
-                        out = f8(a8, b8, o0)
-                    np.asarray(out[0].reshape(-1)[:1])
-                    bst = min(bst, time.time() - t0)
-                return bst
-
-            per8 = (_run8(long_i) - _run8(short_i)) / (long_i - short_i)
-            if per8 > 0:
-                fp8_tflops = round(2 * M * N * K / per8 / 1e12, 1)
+            f8 = jax.jit(lambda x, y, z, _c=ck8: _c.fn([x, y, z], ())[0])
+            per8 = _per_iter(lambda x, y, z: f8(x, y, z), (a8, b8, o0))
+            fp8_tflops = round(2 * M * N * K / per8 / 1e12, 1)
         except Exception as e:  # noqa: BLE001
             print(f"# fp8 bench failed: {e}", file=sys.stderr)
 

@@ -86,7 +86,16 @@ def _build_matmul(m: int, n: int, k: int, tm: int, tn: int, tk: int,
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.dtype(out_dtype)),
         scratch_shapes=[pltpu.VMEM((tm, tn), acc_dt)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # admit whole-K fat tiles (the DSL CMMA path measured these
+            # fastest: one dot per output tile) past the 16MB default
+            vmem_limit_bytes=min(
+                100 * 2**20,
+                max(32 * 2**20,
+                    2 * _matmul_vmem(tm, tn, tk,
+                                     np.dtype(in_dtype).itemsize,
+                                     np.dtype(out_dtype).itemsize,
+                                     acc_dt.itemsize)))),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k,
             bytes_accessed=(m * k + k * n) * np.dtype(in_dtype).itemsize
@@ -148,24 +157,32 @@ def _tile_candidates(m: int, n: int, k: int, in_bytes: int,
     compute-intensity heuristic and capped — compiles are expensive, so
     the tuner gets a short, good list (the reference's TuneGroup
     priority idea)."""
-    VMEM = 14 * 1024 * 1024
+    VMEM = 64 * 1024 * 1024  # the emitter raises vmem_limit_bytes
     out = []
     for tm in (128, 256, 512, 1024):
         for tn in (128, 256, 512, 1024):
-            for tk in (128, 256, 512, 1024, 2048):
+            for tk in (128, 256, 512, 1024, 2048, k):
                 if m % tm or n % tn or tk > k or k % tk:
                     continue
                 vmem = _matmul_vmem(tm, tn, tk, in_bytes, out_bytes)
                 if vmem > VMEM:
                     continue
-                # prefer big square-ish MN tiles (arithmetic intensity) and
-                # mid K tiles (pipeline depth)
+                # prefer big square-ish MN tiles (arithmetic intensity);
+                # whole-K tiles (one dot per output tile, no K loop)
+                # measured fastest on v5e — rank them first
                 score = (min(tm, tn) * 2 + tm + tn
                          - abs(tm - tn)
-                         - abs(tk - 512) // 4)
+                         - abs(tk - 512) // 4
+                         + (1024 if tk == k else 0))
                 out.append((score, (tm, tn, tk)))
     out.sort(reverse=True)
-    return [t for _s, t in out[:limit]]
+    seen = set()
+    uniq = []
+    for _s, t in out:
+        if t not in seen:
+            seen.add(t)
+            uniq.append(t)
+    return uniq[:limit]
 
 
 _matmul_tuner = LocalTuner("matmul")
