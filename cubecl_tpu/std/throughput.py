@@ -20,7 +20,8 @@ import time
 from typing import Dict, Optional
 
 from ..tune.cache import PersistentStore
-from ..tune.timing import chain_scalar_time
+from ..tune.timing import (chain_args_time, chain_pingpong_time,
+                            chain_scalar_time)
 
 
 def _device_of(client):
@@ -84,9 +85,10 @@ def measure_compute_mxu(client, n: int = 4096,
 
         f = jax.jit(chain)
         np.asarray(f(a, b)[:1, :1])
-        per = _slope_calls(lambda r: f(a if r is None else r, b),
-                           lambda r: np.asarray(r[:1, :1]), 2, 10)
-    return 4 * 2 * n ** 3 / per
+        # auto-extending device chain (the host _slope_calls loop at
+        # 2-vs-10 dispatches once read 242 TF — 123% of nominal)
+        per = chain_args_time(lambda c, bb: f(c, bb), (a, b), lo=4, hi=16)
+    return 4 * 2 * n ** 3 / per  # chain() does 4 matmuls per call
 
 
 def measure_compute_vpu(client, n: int = 1 << 25) -> float:
@@ -107,8 +109,7 @@ def measure_compute_vpu(client, n: int = 1 << 25) -> float:
 
         f = jax.jit(chain)
         np.asarray(f(x)[:1])
-        per = _slope_calls(lambda r: f(x if r is None else r),
-                           lambda r: np.asarray(r[:1]), 2, 10)
+        per = chain_pingpong_time(f, x, lo=4, hi=16)
     return 2 * K * n / per
 
 
