@@ -313,3 +313,21 @@ def test_debug_symbols_in_source_dump(client):
     src = next(ck.source for ck, _ in srv._cache.values()
                if "dbgk" in ck.name)
     assert "test_aux.py" in src, f"no source locations:\n{src}"
+
+
+def test_throughput_runners_and_cache(client):
+    """Peak runners produce positive, cached values (reference
+    throughput/{base,cache}.rs). Small sizes — CI exercises the code
+    path, not the device."""
+    from cubecl_tpu.std import throughput as tp
+
+    bw = tp.measure_memory_bw(client, nbytes=1 << 20)
+    mxu = tp.measure_compute_mxu(client, n=256)
+    vpu = tp.measure_compute_vpu(client, n=1 << 14)
+    lo = tp.measure_launch_overhead(client, lo=5, hi=25)
+    assert bw > 0 and mxu > 0 and vpu > 0 and lo > 0
+
+    cache = tp.ThroughputCache(client)
+    cache.store.put("memory", "123.0")
+    assert cache.get("memory") == 123.0
+    cache.store.delete("memory")
