@@ -581,3 +581,16 @@ def test_fp8_features_registered(client):
     assert feats.supports_type(t.fp8_e5m2, "buffer")
     gen = client.properties().generation
     assert feats.fp8_mma_emulated == (gen.fp8_flops is None)
+
+
+def test_matmul_tile_candidates_include_whole_k():
+    """The autotune search space must offer whole-K tiles (one dot per
+    output tile — measured fastest on v5e) alongside K-looped shapes,
+    within the raised VMEM ceiling."""
+    from cubecl_tpu.ops.matmul import _tile_candidates, _matmul_vmem
+
+    cands = _tile_candidates(4096, 4096, 4096, in_bytes=2)
+    assert any(tk == 4096 for _tm, _tn, tk in cands), cands
+    assert any(tk < 4096 for _tm, _tn, tk in cands), cands
+    for tm, tn, tk in cands:
+        assert _matmul_vmem(tm, tn, tk, 2, 2) <= 64 * 2**20
