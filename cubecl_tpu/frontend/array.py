@@ -69,13 +69,17 @@ class Slice:
         if isinstance(idx, slice):
             return self._index(idx)
         idx = self._index(idx)
-        return emit(O.INDEX, self.value, idx, out_ty=self.ty)
+        # wrap python-int indices explicitly: emit's out_ty (the BUFFER
+        # type) must not leak into the index constant (an f32-typed index
+        # breaks affine analysis and Mosaic's integer alignment hints)
+        return emit(O.INDEX, self.value, as_value(idx), out_ty=self.ty)
 
     def read_masked(self, idx, mask, fallback=None):
         """Masked read (reference io.rs read_masked): out-of-bounds lanes
         yield ``fallback`` (zero by default)."""
         idx = self._index(idx)
-        v = emit(O.INDEX_MASKED, self.value, idx, mask, out_ty=self.ty)
+        v = emit(O.INDEX_MASKED, self.value, as_value(idx), mask,
+                 out_ty=self.ty)
         if fallback is not None:
             return emit(O.SELECT, mask, v, fallback, out_ty=self.ty)
         return v
@@ -106,7 +110,7 @@ class Slice:
             raise TypeError("block reduce line count must be a positive "
                             "comptime int (static shapes)")
         idx = self._index(start)
-        return emit(O.BLOCK_REDUCE, self.value, idx,
+        return emit(O.BLOCK_REDUCE, self.value, as_value(idx),
                     out_ty=Type(self.value.ty.elem, 1),
                     attrs={"kind": kind, "lines": lines})
 

@@ -100,7 +100,8 @@ class Tensor(Slice):
         if nd is None or isinstance(lin, slice):
             return super().__getitem__(lin)
         lin = self._index(lin)
-        return emit(O.INDEX, self.value, lin, out_ty=self.ty, attrs=nd)
+        return emit(O.INDEX, self.value, as_value(lin), out_ty=self.ty,
+                    attrs=nd)
 
     def coords_to_linear(self, *idx):
         return self._linear(tuple(idx))

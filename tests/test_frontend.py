@@ -446,3 +446,28 @@ def test_fast_math_helper_scoped(client):
     k_mixed.launch(client, CubeCount(1), CubeDim.new_1d(8),
                    ArrayArg(h), ScalarArg(3.0), ArrayArg(o, mutable=True))
     np.testing.assert_allclose(client.read_one(o), 2 * x / 3.0, rtol=1e-6)
+
+
+def test_comptime_index_constants_are_i32(client):
+    """A python-int index must register as an i32 constant with an exact
+    affine form — emit's out_ty (the BUFFER dtype) must not leak into the
+    index (an f32-typed index broke affine analysis and crashed Mosaic's
+    integer alignment hints on TPU: round-2 sum_things regression)."""
+
+    @cube
+    def k_unrolled(inp: Slice, out: MutSlice):
+        acc = 0.0
+        for i in range(8):          # comptime -> constant indices
+            acc = acc + inp[i]
+        out[UNIT_POS] = acc
+
+    x = np.arange(8, dtype=np.float32)
+    h = client.create(x)
+    o = client.empty((8,), "float32")
+    ck = k_unrolled.compile_only(client, CubeCount(1), CubeDim.new_1d(8),
+                                 ArrayArg(h), ArrayArg(o, mutable=True))
+    assert "f32)" not in ck.source.split("mem.index", 1)[1].split(")")[0]
+    assert "index_masked" not in ck.source  # affine proof elides checks
+    k_unrolled.launch(client, CubeCount(1), CubeDim.new_1d(8),
+                      ArrayArg(h), ArrayArg(o, mutable=True))
+    np.testing.assert_allclose(client.read_one(o), np.full(8, x.sum()))
