@@ -92,7 +92,19 @@ class PallasCompiler(Compiler):
             # carries over: a fully-covered blocked sweep fully covers the
             # resident whole buffer too (keeping the out a pure output
             # avoids donating an aliased input when in == out).
-            if not legal or (not plan.grid_coeffs and L == 1):
+            # dynamic 1D windows load an ALIGNED SUPERSPAN (quantum A) and
+            # rotate — the block must be able to hold it. A block smaller
+            # than max_span + 2A cannot (eval._dyn_window_1d's padding
+            # contract), so demote to whole mode, where tail padding is
+            # available (strided per-unit scalar loads over a blocked
+            # sweep hit this, e.g. the book's reduce_parallel stage).
+            span_fits = True
+            if L == 1 and plan.max_span and not self.interpret:
+                sub = {4: 8, 2: 16, 1: 32}.get(plan.param.ty.elem.size, 8)
+                A = sub * 128
+                span_fits = plan.block_lines >= plan.max_span + 2 * A
+            if not legal or not span_fits or (
+                    not plan.grid_coeffs and L == 1):
                 plan.mode = "whole"
                 plan.block_lines = 0
                 plan.grid_coeffs = {}

@@ -476,6 +476,14 @@ class Evaluator:
             val = self._load_span(ref, lo, -c, L, blk_lines,
                                   mask_ev is not None, mult)
             return EV(arr=self.jnp.flip(val, axis=0), varying=True, line=L)
+        if L == 1 and c > 1 and not self.interpret:
+            # strided per-unit SCALAR loads (e.g. row-major scalar sweeps,
+            # unit stride c): the (U, c) group reshape of a 1D span is not
+            # a legal Mosaic relayout (tpu.reshape rejects 1D->2D with
+            # minor != the vreg lane count). Use the exact one-hot gather
+            # — O(block), matching the "scalar loads stay slow" teaching
+            # semantics; hot kernels use line>=128 buffers instead.
+            return self._gather_load(buf, idx, mask_ev, out_line)
         val = self._load_span(ref, rel, c, L, blk_lines, mask_ev is not None,
                               mult)
         return EV(arr=val, varying=True, line=L)
@@ -705,11 +713,19 @@ class Evaluator:
             # (e.g. tree-reduction tails): load what exists, pad the rest —
             # padded lanes are mask-selected away
             span_eff = min(exact, blk_lines)
-            rel = self._clip_rel(rel, 0, blk_lines - span_eff)
         elif exact > blk_lines:
             _kernel_fail(
                 f"unmasked load of {exact} lines from a {blk_lines}-line "
                 f"buffer; guard the access or use launch() (checked)")
+        if blk_lines >= span:
+            # prefer the FULL group span when the (padded) buffer holds
+            # it: the partial-load path pads with a 1D concatenate, which
+            # Mosaic only allows at lane-tile boundaries (exact is odd —
+            # (U-1)c+1). Excess lines land in group columns >= 1 of the
+            # last unit and are sliced/masked away by the caller.
+            span_eff = span
+        if masked:
+            rel = self._clip_rel(rel, 0, blk_lines - span_eff)
         if L == 1 and not isinstance(rel, int) and not self.interpret:
             # dynamic 1D offset: aligned superspan + rotate
             win, _wb = self._dyn_window_1d(ref, rel, span_eff, blk_lines,
