@@ -102,7 +102,12 @@ class PallasCompiler(Compiler):
             if L == 1 and plan.max_span and not self.interpret:
                 sub = {4: 8, 2: 16, 1: 32}.get(plan.param.ty.elem.size, 8)
                 A = sub * 128
-                span_fits = plan.block_lines >= plan.max_span + 2 * A
+                # the block must also be a multiple of the quantum A:
+                # _dyn_window_1d floor-clamps the superspan start to an
+                # A-aligned offset, so a blk_lines % A tail would be
+                # unreachable (rotated wrong window + silent store drop)
+                span_fits = (plan.block_lines % A == 0
+                             and plan.block_lines >= plan.max_span + 2 * A)
             if not legal or not span_fits or (
                     not plan.grid_coeffs and L == 1):
                 plan.mode = "whole"

@@ -717,12 +717,18 @@ class Evaluator:
             _kernel_fail(
                 f"unmasked load of {exact} lines from a {blk_lines}-line "
                 f"buffer; guard the access or use launch() (checked)")
-        if blk_lines >= span:
+        if blk_lines >= span and not (masked and self.interpret):
             # prefer the FULL group span when the (padded) buffer holds
             # it: the partial-load path pads with a 1D concatenate, which
             # Mosaic only allows at lane-tile boundaries (exact is odd —
             # (U-1)c+1). Excess lines land in group columns >= 1 of the
             # last unit and are sliced/masked away by the caller.
+            # Compiled buffers are tail-padded (emitter max_span
+            # contract) so rel + span always fits; interpret-mode
+            # buffers are NOT padded, and promoting a masked load would
+            # tighten the clip below to blk_lines - span, shifting a
+            # fully in-bounds strided base down by up to c-1 lines
+            # (value/mask mis-pairing) — keep `exact` + concat pad there.
             span_eff = span
         if masked:
             rel = self._clip_rel(rel, 0, blk_lines - span_eff)

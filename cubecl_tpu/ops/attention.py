@@ -29,6 +29,26 @@ DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 MIN_BLOCK = 128  # NUM_LANES — TPU tile constraint
 
 
+def _fit_block(block: int, s: int) -> int:
+    """Largest divisor of ``s`` not exceeding ``block`` (preferring
+    lane-tile multiples) — so raising a default block size can never
+    break sequence lengths that tiled under the old default (e.g.
+    Sq=3072 with block_q=2048 picks 1536, not an assert)."""
+    b = min(block, s)
+    if s % b == 0:
+        return b
+    best = 1
+    best_tile = 0
+    for d in range(1, int(math.isqrt(s)) + 1):
+        if s % d == 0:
+            for cand in (d, s // d):
+                if cand <= b:
+                    if cand % MIN_BLOCK == 0:
+                        best_tile = max(best_tile, cand)
+                    best = max(best, cand)
+    return best_tile or best
+
+
 def _seg_overlap(sq_ref, sk_ref):
     """True iff this (q_tile, kv_tile) pair can share a segment id.
 
@@ -54,8 +74,8 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
 
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
-    bq = min(block_q, Sq)
-    bk = min(block_k, Skv)
+    bq = _fit_block(block_q, Sq)
+    bk = _fit_block(block_k, Skv)
     assert Sq % bq == 0 and Skv % bk == 0, \
         f"seq lens ({Sq},{Skv}) must tile by ({bq},{bk})"
     grid = (B, H, Sq // bq, Skv // bk)
@@ -513,8 +533,8 @@ def _bwd(causal, sm_scale, block_q, block_k, interpret, kv_len, res, do):
     q, k, v, o, lse = res
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(
         q.shape[-1])
-    bq = min(block_q, q.shape[2])
-    bk = min(block_k, 1024, k.shape[2])
+    bq = _fit_block(block_q, q.shape[2])
+    bk = _fit_block(min(block_k, 1024), k.shape[2])
     # D_i = rowsum(dO * O), broadcast to the (bq, 128) stats layout
     di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                  axis=-1, keepdims=True)
@@ -598,8 +618,8 @@ def _flash_seg_bwd(causal, scale, block_q, block_k, interpret, res, do):
     import jax.numpy as jnp
 
     q, k, v, seg_q_b, seg_kv_b, o, lse = res
-    bq = min(block_q, q.shape[2])
-    bk = min(block_k, 1024, k.shape[2])
+    bq = _fit_block(block_q, q.shape[2])
+    bk = _fit_block(min(block_k, 1024), k.shape[2])
     di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                  axis=-1, keepdims=True)
     di = jnp.broadcast_to(di, di.shape[:-1] + (128,))

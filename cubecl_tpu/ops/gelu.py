@@ -61,20 +61,25 @@ def launch_gelu(client, inp: Handle, out: Handle, line_size: int = 128,
         # in-place fast path: fat (1024, 128) slabs, ~4MB windows
         lines = n // 128
         units = min(1024, lines)
-        while lines % units:
+        # decrementing by 8 keeps the cube dim sublane-friendly; lines
+        # with no multiple-of-8 divisor <= 1024 (e.g. 128*1025) fall
+        # through to the generic path instead of dividing by zero
+        while lines % units and units > 8:
             units -= 8
-        iters = 1
-        # 8MB slabs win (u=1024 x it=16: 663 GB/s vs 558 at it=8, 511 at
-        # it=32 — measured v5e 256MB sweep); 16MB over-commits VMEM
-        for it in (16, 8, 4, 2):
-            if lines % (units * it) == 0:
-                iters = it
-                break
-        gelu_inplace.launch_unchecked(
-            client, CubeCount(lines // (units * iters)),
-            CubeDim.new_1d(units),
-            ArrayArg(inp, line_size=128, mutable=True), iters, units)
-        return
+        if lines % units == 0:
+            iters = 1
+            # 8MB slabs win (u=1024 x it=16: 663 GB/s vs 558 at it=8,
+            # 511 at it=32 — measured v5e 256MB sweep); 16MB
+            # over-commits VMEM
+            for it in (16, 8, 4, 2):
+                if lines % (units * it) == 0:
+                    iters = it
+                    break
+            gelu_inplace.launch_unchecked(
+                client, CubeCount(lines // (units * iters)),
+                CubeDim.new_1d(units),
+                ArrayArg(inp, line_size=128, mutable=True), iters, units)
+            return
     epc = line_size * cube_dim
     if n % epc == 0 and not checked:
         cubes = n // epc

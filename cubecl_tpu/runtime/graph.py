@@ -62,11 +62,19 @@ class Graph:
                     written.add(hid)
         self._input_ids = read_ids
         self._output_ids = sorted(written)
+        # inputs that the sequence also rewrites are DONATED on replay:
+        # without donation XLA keeps the original buffers alive and a
+        # captured in-place serving loop re-pays the copy the aliased
+        # single-kernel path avoids (measured 2x — BENCH_NOTES hazard 4;
+        # mirrors server.launch's donate_argnums on mutable buffers)
+        self._donate_ids = [h for h in read_ids if h in written]
+        self._ro_ids = [h for h in read_ids if h not in written]
 
         recorded = list(self._recorded)
 
-        def whole(inputs: Sequence[Any]):
-            env: Dict[int, Any] = dict(zip(self._input_ids, inputs))
+        def whole(donated: Sequence[Any], readonly: Sequence[Any]):
+            env: Dict[int, Any] = dict(zip(self._donate_ids, donated))
+            env.update(zip(self._ro_ids, readonly))
             for rec, ck in zip(recorded, compiled):
                 bufs = [env[hid] for hid in rec.buffer_ids]
                 outs = ck.fn(bufs, rec.scalars)
@@ -75,13 +83,18 @@ class Graph:
             return [env[hid] for hid in self._output_ids]
 
         self._fn = whole  # unjitted body (re-traceable, e.g. for timing)
+        # timing re-runs the same inputs, so it uses the non-donating jit
         self._jfn = jax.jit(whole)
+        self._jfn_donate = jax.jit(whole, donate_argnums=(0,))
 
     def replay(self) -> None:
         """Re-dispatch the whole recorded sequence as one launch
-        (reference Graph::replay, client.rs:120)."""
-        inputs = [self._handles[hid].array for hid in self._input_ids]
-        outs = self._jfn(inputs)
+        (reference Graph::replay, client.rs:120). Rewritten inputs are
+        donated; their handles are rebound to the fresh outputs below,
+        exactly like the single-kernel launch path."""
+        don = [self._handles[hid].array for hid in self._donate_ids]
+        ro = [self._handles[hid].array for hid in self._ro_ids]
+        outs = self._jfn_donate(don, ro)
         for hid, arr in zip(self._output_ids, outs):
             self._handles[hid].array = arr
 

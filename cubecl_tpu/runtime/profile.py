@@ -239,11 +239,12 @@ def time_graph(client, graph, reps: int = 3) -> float:
     device timestamps)."""
     import numpy as np
 
-    inputs = [graph._handles[hid].array for hid in graph._input_ids]
-    jfn = graph._jfn
+    don = [graph._handles[hid].array for hid in graph._donate_ids]
+    ro = [graph._handles[hid].array for hid in graph._ro_ids]
+    jfn = graph._jfn  # non-donating jit: timing reuses the same inputs
 
     def run_once():
-        return jfn(inputs)
+        return jfn(don, ro)
 
     def read_back(outs):
         np.asarray(outs[0].reshape(-1)[:1])

@@ -10,54 +10,63 @@ from __future__ import annotations
 import json
 import os
 import sqlite3
-import threading
 from typing import Any, Dict, Optional, Tuple
 
 from ..runtime.config import cache_root
+from ..utils.pool import LeasePool
 
 
 class PersistentStore:
     """Namespaced sqlite key-value store (reference persistence/store.rs).
-    Shared by autotune + compilation caches + bundles."""
+    Shared by autotune + compilation caches + bundles.
+
+    Connections are leased from a bounded ``LeasePool`` (the reference
+    leases expensive reusable resources the same way,
+    cubecl-common/src/pool.rs): each lease is thread-exclusive, so no
+    global lock is needed, and connections are reused instead of being
+    opened (and leaked until GC) once per operation."""
 
     def __init__(self, namespace: str, path: Optional[str] = None):
         self.namespace = namespace
         self.path = path or os.path.join(cache_root(), "store.sqlite")
-        self._lock = threading.Lock()
+        self._pool: LeasePool = LeasePool(self._connect, max_size=4)
         self._init()
 
     def _connect(self):
-        conn = sqlite3.connect(self.path, timeout=5.0)
+        # leases may migrate between threads; exclusivity comes from the
+        # pool (one holder per connection at a time)
+        conn = sqlite3.connect(self.path, timeout=5.0,
+                               check_same_thread=False)
         conn.execute("PRAGMA journal_mode=WAL")
         return conn
 
     def _init(self) -> None:
-        with self._lock, self._connect() as conn:
+        with self._pool.acquire() as conn, conn:
             conn.execute(
                 "CREATE TABLE IF NOT EXISTS kv ("
                 " ns TEXT NOT NULL, k TEXT NOT NULL, v TEXT NOT NULL,"
                 " PRIMARY KEY (ns, k))")
 
     def get(self, key: str) -> Optional[str]:
-        with self._lock, self._connect() as conn:
+        with self._pool.acquire() as conn, conn:
             row = conn.execute(
                 "SELECT v FROM kv WHERE ns=? AND k=?",
                 (self.namespace, key)).fetchone()
         return row[0] if row else None
 
     def put(self, key: str, value: str) -> None:
-        with self._lock, self._connect() as conn:
+        with self._pool.acquire() as conn, conn:
             conn.execute(
                 "INSERT OR REPLACE INTO kv (ns, k, v) VALUES (?,?,?)",
                 (self.namespace, key, value))
 
     def delete(self, key: str) -> None:
-        with self._lock, self._connect() as conn:
+        with self._pool.acquire() as conn, conn:
             conn.execute("DELETE FROM kv WHERE ns=? AND k=?",
                          (self.namespace, key))
 
     def items(self):
-        with self._lock, self._connect() as conn:
+        with self._pool.acquire() as conn, conn:
             return conn.execute(
                 "SELECT k, v FROM kv WHERE ns=?", (self.namespace,)).fetchall()
 

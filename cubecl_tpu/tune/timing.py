@@ -41,12 +41,18 @@ def _auto_slope(make_run, lo: int, hi: int, reps: int) -> float:
     D2H readback (hazard 1). Extending costs a recompile of the longer
     chains — that is the price of a valid number."""
     spread = 0.0
+    meas_lo, meas_hi = lo, hi
     for _ in range(6):
         rlo, rhi = make_run(lo), make_run(hi)
         rlo()          # warm + compile
         rhi()
         tlo, thi = _best(rlo, reps), _best(rhi, reps)
         spread = thi - tlo
+        # remember the chain lengths this spread was MEASURED at — the
+        # rescale below must not leak into the returned slope (dividing
+        # the last spread by an already-scaled chain understates per-iter
+        # time by up to 16x when all rounds exhaust)
+        meas_lo, meas_hi = lo, hi
         if spread >= _MIN_SPREAD or hi >= _MAX_CHAIN:
             break
         if spread <= 1e-3:
@@ -54,7 +60,7 @@ def _auto_slope(make_run, lo: int, hi: int, reps: int) -> float:
         else:
             scale = min(16, max(2, int(-(-0.06 // spread))))
         lo, hi = lo * scale, hi * scale
-    return max(spread / (hi - lo), 1e-9)
+    return max(spread / (meas_hi - meas_lo), 1e-9)
 
 
 def chain_scalar_time(f: Callable[[Any], Any], x, lo: int = 50,

@@ -50,6 +50,9 @@ class Tuner:
         self.client = client
         self.level = level or cfg.get("level", "balanced")
         self.checks = checks or bool(cfg.get("checks", False))
+        # (name, exception) of candidates that crashed during
+        # autotune-checks — recorded loudly, never swallowed
+        self.check_failures: List[Tuple[str, Exception]] = []
         persistent = bool(cfg.get("cache", True))
         props = client.properties()
         self.cache = TuneCache(tunables.name, props.identity.fingerprint,
@@ -181,6 +184,7 @@ class Tuner:
         from ..runtime.dry_run import real_run
 
         ref = None
+        compared = 0
         for t in self.tunables.tunables:
             try:
                 self.client.start_capture()
@@ -200,8 +204,17 @@ class Tuner:
                     if out is None:
                         continue
                     arrs = [np.asarray(out)]
-            except Exception:
+            except Exception as exc:  # noqa: BLE001
+                # a candidate that CRASHES during checks must not vanish
+                # silently (reference treats check failures loudly,
+                # tune/local.rs:100-117) — record + warn; comparison
+                # continues with the candidates that did run
+                self.check_failures.append((t.name, exc))
+                log.warning(
+                    "autotune-checks: candidate %s crashed during "
+                    "cross-validation and was skipped: %r", t.name, exc)
                 continue
+            compared += 1
             if ref is None:
                 ref = (t.name, arrs)
                 continue
@@ -213,6 +226,10 @@ class Tuner:
                     raise AssertionError(
                         f"autotune-checks: {t.name} disagrees with "
                         f"{ref[0]} (rtol={rtol}, atol={atol})")
+        if compared == 0 and self.check_failures:
+            raise AssertionError(
+                "autotune-checks: every candidate crashed during "
+                f"cross-validation: {[n for n, _ in self.check_failures]}")
 
 
 class LocalTuner:

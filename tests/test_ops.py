@@ -594,3 +594,44 @@ def test_matmul_tile_candidates_include_whole_k():
     assert any(tk < 4096 for _tm, _tn, tk in cands), cands
     for tm, tn, tk in cands:
         assert _matmul_vmem(tm, tn, tk, 2, 2) <= 64 * 2**20
+
+
+def test_gelu_inplace_awkward_lines(client):
+    """lines with no multiple-of-8 divisor <= 1024 (ADVICE r2: the
+    in-place fast path used to decrement units to 0 -> ZeroDivision).
+    Falls through to the generic path and stays correct."""
+    n = 128 * 25  # 25 lines: no multiple-of-8 divisor; units bottoms out
+    x = np.random.randn(n).astype(np.float32)
+    h = client.create(x)
+    launch_gelu(client, h, h)
+    exp = x * (1 + np.array([math.erf(v / math.sqrt(2)) for v in x])) / 2
+    np.testing.assert_allclose(client.read_one(h), exp, atol=1e-5)
+
+
+def test_flash_attention_nondivisor_default_blocks(client):
+    """Sq a multiple of 128 but not of the default block (ADVICE r2:
+    min+assert raised; _fit_block must pick the largest divisor)."""
+    import jax.numpy as jnp
+
+    from cubecl_tpu.ops.attention import (
+        _fit_block,
+        _reference_attention,
+        flash_attention,
+    )
+
+    assert _fit_block(2048, 3072) == 1536
+    assert _fit_block(2048, 5120) == 1280
+    assert _fit_block(256, 384) == 128
+    assert _fit_block(128, 96) == 96
+
+    B, H, S, D = 1, 1, 384, 128
+    q = np.random.randn(B, H, S, D).astype(np.float32) * 0.5
+    k = np.random.randn(B, H, S, D).astype(np.float32) * 0.5
+    v = np.random.randn(B, H, S, D).astype(np.float32)
+    # default-style blocks larger than S and non-divisor: 256 -> 128
+    o = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        True, None, 256, 256, True)
+    ref = _reference_attention(jnp.asarray(q), jnp.asarray(k),
+                               jnp.asarray(v), True, 1.0 / np.sqrt(D))
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
