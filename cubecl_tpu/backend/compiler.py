@@ -34,9 +34,13 @@ class KernelDefinition:
 
     scope: Scope
     cube_dim: Tuple[int, int, int]
-    cube_count: Tuple[int, int, int]
+    cube_count: Tuple[int, int, int]  # capacity when dynamic_grid_vid set
     options: KernelOptions
     plane_dim: int = 8
+    # vid of the i32 scalar carrying the RUNTIME grid-x width (the
+    # shape-polymorphic launch ABI; cube_count[0] is then the capacity
+    # bound analyses compile against)
+    dynamic_grid_vid: Optional[int] = None
 
     @property
     def state(self):

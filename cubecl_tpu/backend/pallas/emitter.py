@@ -61,14 +61,27 @@ class PallasCompiler(Compiler):
         # a no-op scan when none are present
         from ...opt.processors import FastMathProcessor, run_processors
 
+        dyn_grid = defn.dynamic_grid_vid is not None
         run_processors(scope, list(self.processors) + [FastMathProcessor()])
-        optimize_scope(scope, cd, cc, defn.plane_dim)
+        optimize_scope(scope, cd, cc, defn.plane_dim, dynamic_grid=dyn_grid)
         if defn.options.checked:
             insert_checked_io(scope, cd, cc)
-            optimize_scope(scope, cd, cc, defn.plane_dim)
+            optimize_scope(scope, cd, cc, defn.plane_dim,
+                           dynamic_grid=dyn_grid)
 
         ua = UniformityAnalysis(scope)
         plans = plan_buffers(scope, ua, cd, cc)
+        if dyn_grid:
+            # a runtime grid may stop short of the capacity sweep, so a
+            # buffer "fully covered" by its cx-swept stores is NOT fully
+            # covered at runtime: keep it an aliased input so unvisited
+            # blocks retain their old contents instead of garbage
+            for plan in plans.values():
+                used = set(plan.grid_coeffs)
+                for g in plan.nd_grid_coeffs:
+                    used |= set(g)
+                if "cx" in used:
+                    plan.store_covers_all = False
         shared_dyn = shared_dynamic_vids(scope, ua, cd, cc)
         state = scope.state
         U = cd[0] * cd[1] * cd[2]
@@ -142,7 +155,8 @@ class PallasCompiler(Compiler):
         # SQUEEZED out: a 3D Mosaic grid with leading 1s costs ~2x the
         # per-step overhead of the equivalent 1D grid
         full_axes = [("cz", cc[2]), ("cy", cc[1]), ("cx", cc[0])]
-        kept_axes = [(s, n) for s, n in full_axes if n > 1] or [("cx", 1)]
+        kept_axes = [(s, n) for s, n in full_axes
+                     if n > 1 or (dyn_grid and s == "cx")] or [("cx", 1)]
         grid_axes = {s: i for i, (s, _n) in enumerate(kept_axes)}
         grid = tuple(n for _s, n in kept_axes)
 
@@ -321,6 +335,10 @@ class PallasCompiler(Compiler):
         if len(dims) != len(grid):  # user-specified 3D semantics: squeeze
             dims = tuple(d for (s, n), d in zip(full_axes, dims) if n > 1) \
                 or ("arbitrary",)
+        if dyn_grid:
+            # a runtime-sized dimension cannot be core-split statically
+            dims = tuple("arbitrary" if s == "cx" else d
+                         for (s, _n), d in zip(kept_axes, dims))
         # Raise the scoped-VMEM ceiling when the block windows need it:
         # Mosaic's 16MB default rejects fat (>4MB double-buffered) blocks
         # that the 128MB VMEM on v4+ holds easily, and fat blocks are how
@@ -333,21 +351,27 @@ class PallasCompiler(Compiler):
             dimension_semantics=dims,
             vmem_limit_bytes=vmem_limit,
         )
-        call = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=out_specs if n_out != 1 else out_specs[0],
-            out_shape=out_shapes if n_out != 1 else out_shapes[0],
-            scratch_shapes=scratch_shapes,
-            input_output_aliases=io_aliases,
-            compiler_params=compiler_params,
-            cost_estimate=pl.CostEstimate(
-                flops=max(1, flops), bytes_accessed=max(1, mem_bytes),
-                transcendentals=transc),
-            interpret=self.interpret,
-            name=defn.options.name,
-        )
+        def make_call(g):
+            return pl.pallas_call(
+                kernel,
+                grid=g,
+                in_specs=in_specs,
+                out_specs=out_specs if n_out != 1 else out_specs[0],
+                out_shape=out_shapes if n_out != 1 else out_shapes[0],
+                scratch_shapes=scratch_shapes,
+                input_output_aliases=io_aliases,
+                compiler_params=compiler_params,
+                cost_estimate=pl.CostEstimate(
+                    flops=max(1, flops), bytes_accessed=max(1, mem_bytes),
+                    transcendentals=transc),
+                interpret=self.interpret,
+                name=defn.options.name,
+            )
+
+        # with a runtime grid width the pallas_call binds per trace (the
+        # grid carries a traced scalar); one XLA executable still serves
+        # every width — Mosaic dynamic grid bounds
+        call = None if dyn_grid else make_call(grid)
 
         param_order = [bp.value.vid for bp in state.buffers]
         scalar_order = [sp.value.vid for sp in state.scalars]
@@ -379,7 +403,13 @@ class PallasCompiler(Compiler):
                         widths = ((0, pad), (0, 0)) if L > 1 else ((0, pad),)
                         arr = jnp.pad(arr, widths)
                     flat_in.append(arr)
-            res = call(*flat_in)
+            if dyn_grid:
+                pos = scalar_order.index(defn.dynamic_grid_vid)
+                gx = jnp.asarray(scalars[pos], jnp.int32).reshape(())
+                g = tuple(gx if s == "cx" else n for s, n in kept_axes)
+                res = make_call(g)(*flat_in)
+            else:
+                res = call(*flat_in)
             if n_out == 1:
                 res = (res,)
             outs = []

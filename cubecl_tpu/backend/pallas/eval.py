@@ -115,6 +115,12 @@ class Evaluator:
         # grid is (cz, cy, cx) squeezed of size-1 dims; x innermost
         return self._pids.get(axis, 0)
 
+    def num_programs(self, axis: str):
+        """Runtime grid extent — with a RuntimeCubeCount this is the
+        launched width, not the compiled capacity."""
+        i = self.grid_axes.get(axis)
+        return 1 if i is None else self.pl.num_programs(i)
+
     def _flat_unit_iota(self):
         return self.jax.lax.broadcasted_iota(self.jnp.int32, (self.U, 1), 0)
 
@@ -254,6 +260,14 @@ class Evaluator:
             return aff_ev(self.program_id("cy") * Uy, {"uy": 1})
         if b == Builtin.ABSOLUTE_POS_Z:
             return aff_ev(self.program_id("cz") * Uz, {"uz": 1})
+        if b in (Builtin.CUBE_COUNT_X, Builtin.CUBE_COUNT):
+            # only reachable under a dynamic grid (static counts fold in
+            # passes.fold_builtins): num_programs reports the RUNTIME
+            # width Mosaic launched with
+            nx = self.num_programs("cx")
+            if b == Builtin.CUBE_COUNT_X:
+                return EV(arr=nx, varying=False, line=1)
+            return EV(arr=nx * cc[1] * cc[2], varying=False, line=1)
         _kernel_fail(f"builtin {b} (should have been const-folded)")
 
     # -------------------------------------------------- affine index helpers

@@ -31,18 +31,29 @@ class Slice:
     _mutable = False
 
     def __init__(self, value: Value, length: int, line_size: int,
-                 offset: Any = 0):
+                 offset: Any = 0, dyn_len: Any = None):
         assert value.kind in (VarKind.BUFFER, VarKind.SHARED)
         self.value = value
         self._length = length
         self._line = line_size
         self._offset = offset  # comptime int or CubeVal, in lines
+        # runtime logical length in lines (CubeVal over an i32 scalar) —
+        # set for shape-polymorphic buffers (ArrayArg(dynamic=True));
+        # ``_length`` is then the physical capacity
+        self._dyn_len = dyn_len
 
-    # -- metadata (comptime) ------------------------------------------------
-    def len(self) -> int:
-        return self._length
+    # -- metadata -------------------------------------------------------------
+    def len(self):
+        """Number of lines. Comptime int for static buffers; a runtime
+        CubeVal (the logical length scalar) for dynamic buffers — the
+        reference's runtime ``metadata.rs`` buffer_len read."""
+        return self._dyn_len if self._dyn_len is not None else self._length
 
     def __len__(self) -> int:
+        if self._dyn_len is not None:
+            raise TypeError(
+                "dynamic buffer length is a runtime value; use .len() "
+                "(capacity is .buffer_len())")
         return self._length
 
     @property

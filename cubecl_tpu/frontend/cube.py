@@ -50,6 +50,12 @@ class ArrayArg:
     line_size: int = 1
     mutable: Optional[bool] = None
     length: Optional[int] = None  # elements; default from handle
+    # dynamic=True: the handle's physical size is the CAPACITY the kernel
+    # compiles against; ``length`` is the runtime LOGICAL length, passed
+    # as an implicit i32 scalar each launch. The KernelId keys on the
+    # capacity only — launches across logical lengths share one compiled
+    # kernel (the shape-polymorphic ABI; reference metadata.rs).
+    dynamic: bool = False
 
     @staticmethod
     def from_raw_parts(handle, length: int, line_size: int = 1,
@@ -155,7 +161,7 @@ class CubeFunction:
 
     def _launch(self, client, cube_count, cube_dim, args, kwargs,
                 checked: bool):
-        from ..runtime.base import DynamicCubeCount
+        from ..runtime.base import DynamicCubeCount, RuntimeCubeCount
 
         if isinstance(cube_count, DynamicCubeCount):
             # CubeCount::Dynamic: host read-back of the grid buffer
@@ -163,6 +169,7 @@ class CubeFunction:
             cube_count = cube_count.resolve(client)
         cc = _as_count(cube_count)
         cd = _as_dim(cube_dim)
+        rt = isinstance(cc, RuntimeCubeCount)
         if 0 in cc.as_tuple():
             # zero-grid guard (reference client.rs launch_inner): a 0-sized
             # grid is a no-op, never a 1-cube launch (the emitter squeezes
@@ -171,11 +178,14 @@ class CubeFunction:
 
         # launch-plan memo: identical (shapes, dtypes, comptimes, config)
         # launches skip classification + kernel-id hashing — the hot-loop
-        # fast path (the reference macro generates this statically)
+        # fast path (the reference macro generates this statically).
+        # Runtime grids/lengths key on CAPACITY; the varying values ride
+        # in the scalars below.
         key = None
         if not kwargs:
             try:
-                key = (cc, cd, checked, tuple(_arg_desc(a) for a in args))
+                key = (cc.cache_key() if rt else cc, cd, checked,
+                       tuple(_arg_desc(a) for a in args))
             except TypeError:
                 pass
         if key is not None:
@@ -184,7 +194,9 @@ class CubeFunction:
                 task, buf_paths, scalar_paths = plan
                 buffers = [_extract_handle(_resolve_path(args, p))
                            for p in buf_paths]
-                scalars = [_resolve_path(args, p).value for p in scalar_paths]
+                scalars = [_resolve_scalar(args, p) for p in scalar_paths]
+                if rt:
+                    scalars.append(cc.x)
                 client.launch(task, buffers, scalars)
                 return buffers
 
@@ -198,6 +210,8 @@ class CubeFunction:
             name=self.fn.__name__)
         buffers = [b["handle"] for p in params for b in _flat_buffers(p)]
         scalars = [p["value"] for p in params if p["kind"] == "scalar"]
+        if rt:
+            scalars.append(cc.x)
         client.launch(task, buffers, scalars)
 
         if key is not None:
@@ -244,6 +258,36 @@ class CubeFunction:
                     aa = value if isinstance(value, ArrayArg) else \
                         ArrayArg(value)
                     shape, _hdt = _meta_of(aa.handle)
+                    if getattr(aa, "dynamic", False):
+                        # shape-polymorphic buffer: capacity compiles the
+                        # kernel, the logical length rides as an implicit
+                        # i32 scalar (in lines) — registered BEFORE the
+                        # buffer so _define can hand the scalar to the
+                        # Slice proxy as its runtime .len()
+                        from ..ir.types import i32
+
+                        assert not tensor_ann, \
+                            "dynamic buffers are Slice-only (v1)"
+                        cap = int(np.prod(shape)) if shape else 1
+                        n = aa.length if aa.length is not None else cap
+                        assert 0 <= n <= cap, \
+                            f"{name}: logical length {n} > capacity {cap}"
+                        assert n % aa.line_size == 0 and \
+                            cap % aa.line_size == 0
+                        params.append(dict(
+                            kind="scalar", name=f"{name}__len",
+                            value=n // aa.line_size, elem=i32,
+                            implicit=True, dynlen_for=name))
+                        params.append(dict(
+                            kind="buffer", name=name,
+                            handle=_as_handle(aa.handle),
+                            line=aa.line_size,
+                            mutable=aa.mutable if aa.mutable is not None
+                            else mut_ann,
+                            tensor=False, shape=shape,
+                            strides=_c_strides(shape),
+                            length=None, dyn=True))
+                        continue
                     params.append(dict(
                         kind="buffer", name=name, handle=_as_handle(aa.handle),
                         line=aa.line_size,
@@ -279,8 +323,12 @@ class CubeFunction:
         return params
 
     def _kernel_id(self, cc: CubeCount, cd: CubeDim, params, checked) -> KernelId:
+        from ..runtime.base import RuntimeCubeCount
+
+        cck = cc.cache_key() if isinstance(cc, RuntimeCubeCount) \
+            else cc.as_tuple()
         parts = [self.fn.__module__, self.fn.__qualname__, self._code_hash,
-                 f"cc={cc.as_tuple()}", f"cd={cd.as_tuple()}",
+                 f"cc={cck}", f"cd={cd.as_tuple()}",
                  f"checked={checked}"]
         def buffer_part(p):
             # cached shape/dtype — do NOT touch handle.array here (it
@@ -288,7 +336,8 @@ class CubeFunction:
             h = p["handle"]
             elem = elem_from_dtype(h.dtype)
             return (f"b:{p['name']}:{elem}x{p['line']}:{tuple(h.shape)}:"
-                    f"{p['mutable']}:{p.get('tensor', False)}")
+                    f"{p['mutable']}:{p.get('tensor', False)}:"
+                    f"{p.get('dyn', False)}")
 
         for p in params:
             if p["kind"] == "buffer":
@@ -314,6 +363,8 @@ class CubeFunction:
         builder = CubeBuilder(scope)
         plane_dim = _pick_plane(cd.num_units)
 
+        dynlen_vals: dict = {}  # buffer name -> its length-scalar Value
+
         def buffer_proxy(p):
             h = p["handle"]  # cached metadata only; .array would flush
             elem = elem_from_dtype(h.dtype)
@@ -324,14 +375,17 @@ class CubeFunction:
             assert total % line == 0, \
                 f"buffer {p['name']} length {total} not divisible by " \
                 f"line size {line}"
+            dl = dynlen_vals.get(p["name"]) if p.get("dyn") else None
             v = scope.add_buffer(p["name"], Type(elem, line), total // line,
                                  p["mutable"],
-                                 p.get("shape"), p.get("strides"))
+                                 p.get("shape"), p.get("strides"),
+                                 dyn_len=dl)
             if p.get("tensor"):
                 cls = MutTensor if p["mutable"] else Tensor
                 return cls(v, p["shape"], p["strides"], line)
             cls = MutSlice if p["mutable"] else Slice
-            return cls(v, total // line, line)
+            return cls(v, total // line, line,
+                       dyn_len=CubeVal(dl) if dl is not None else None)
 
         proxies = []
         for p in params:
@@ -341,9 +395,27 @@ class CubeFunction:
                 proxies.append(Sequence([buffer_proxy(b) for b in p["items"]]))
             elif p["kind"] == "scalar":
                 v = scope.add_scalar(p["name"], Type(p["elem"]))
+                if p.get("implicit"):
+                    # a dynamic buffer's length scalar: registered in the
+                    # ABI (scalar order = launch order) but NOT a user
+                    # parameter — it reaches the kernel as the buffer
+                    # proxy's runtime .len()
+                    dynlen_vals[p["dynlen_for"]] = v
+                    continue
                 proxies.append(CubeVal(v))
             else:
                 proxies.append(p["value"])
+
+        from ..runtime.base import RuntimeCubeCount
+
+        dynamic_grid_vid = None
+        if isinstance(cc, RuntimeCubeCount):
+            # the runtime grid width: last scalar in the ABI (launch
+            # appends cc.x after all param scalars)
+            from ..ir.types import i32
+
+            gv = scope.add_scalar("__grid_x", Type(i32))
+            dynamic_grid_vid = gv.vid
 
         push_builder(builder)
         builder.push_function(entry=True)
@@ -366,7 +438,7 @@ class CubeFunction:
             dimension_semantics=self.options.get("dimension_semantics"),
         )
         return KernelDefinition(scope, cd.as_tuple(), cc.as_tuple(), opts,
-                                plane_dim)
+                                plane_dim, dynamic_grid_vid=dynamic_grid_vid)
 
 
 def _flat_buffers(p: dict):
@@ -387,6 +459,10 @@ def _arg_desc(a):
     if isinstance(a, ArrayArg):
         h = a.handle
         shape, dt = _meta_of(h)
+        if getattr(a, "dynamic", False):
+            # the logical length is a runtime scalar — NOT part of the
+            # memo key (that's the entire point of the dynamic ABI)
+            return ("bdyn", shape, str(dt), a.line_size, a.mutable)
         return ("b", shape, str(dt), a.line_size,
                 a.mutable, a.length)
     if isinstance(a, TensorArg):
@@ -413,7 +489,10 @@ def _is_buffer_arg(a) -> bool:
 
 
 def _index_paths(args):
-    """(buffer_paths, scalar_paths) in classification order, or None."""
+    """(buffer_paths, scalar_paths) in classification order, or None.
+    Scalar paths are tagged: ("v", path) reads ScalarArg.value, ("dl",
+    path) computes a dynamic buffer's logical LINE count — matching the
+    implicit scalar _classify injects before each dynamic buffer."""
     buf, sca = [], []
     for i, a in enumerate(args):
         if isinstance(a, Sequence):
@@ -421,15 +500,28 @@ def _index_paths(args):
                 return None
             buf.extend((i, j) for j in range(len(a)))
         elif _is_buffer_arg(a):
+            if isinstance(a, ArrayArg) and getattr(a, "dynamic", False):
+                sca.append(("dl", (i,)))
             buf.append((i,))
         elif isinstance(a, ScalarArg):
-            sca.append((i,))
+            sca.append(("v", (i,)))
     return buf, sca
 
 
 def _resolve_path(args, p):
     a = args[p[0]]
     return a[p[1]] if len(p) > 1 else a
+
+
+def _resolve_scalar(args, tagged):
+    tag, p = tagged
+    a = _resolve_path(args, p)
+    if tag == "dl":
+        shape, _dt = _meta_of(a.handle)
+        n = a.length if a.length is not None else \
+            (int(np.prod(shape)) if shape else 1)
+        return n // a.line_size
+    return a.value
 
 
 def _extract_handle(a) -> Handle:
@@ -467,7 +559,9 @@ def _as_handle(h):
 
 
 def _as_count(cc) -> CubeCount:
-    if isinstance(cc, CubeCount):
+    from ..runtime.base import RuntimeCubeCount
+
+    if isinstance(cc, (CubeCount, RuntimeCubeCount)):
         return cc
     if isinstance(cc, int):
         return CubeCount(cc)

@@ -25,18 +25,24 @@ class SharedDecl:
 
 @dataclass
 class BufferParam:
-    """A kernel buffer parameter. On TPU shapes are static per compilation
-    (the XLA model) so ``length`` (in lines) is comptime — this replaces the
-    reference's runtime metadata ABI (cubecl-core/src/codegen/metadata.rs)."""
+    """A kernel buffer parameter. On TPU the PHYSICAL extent (``length``,
+    in lines) is static per compilation (the XLA model). A buffer may
+    additionally carry a RUNTIME logical length (``dyn_len`` — an i32
+    scalar param, in lines): the capacity keys the compiled kernel while
+    the logical length varies per launch — the TPU rendering of the
+    reference's runtime metadata ABI
+    (cubecl-core/src/codegen/metadata.rs:1-40)."""
 
     value: Value
     name: str
     ty: Type              # element type + line size
-    length: int           # number of *lines*
+    length: int           # number of *lines* (physical capacity)
     mutable: bool = False
     # optional nd metadata for Tensor params
     shape: Optional[tuple] = None
     strides: Optional[tuple] = None
+    # runtime logical length (lines): the Value of an i32 scalar param
+    dyn_len: Optional[Value] = None
 
 
 @dataclass
@@ -114,11 +120,13 @@ class Scope:
         return v
 
     def add_buffer(self, name: str, ty: Type, length: int, mutable: bool,
-                   shape: Optional[tuple] = None, strides: Optional[tuple] = None) -> Value:
+                   shape: Optional[tuple] = None, strides: Optional[tuple] = None,
+                   dyn_len: Optional[Value] = None) -> Value:
         v = Value(self.state.alloc_vid(), ty, VarKind.BUFFER, payload=name,
                   shape=(length,), name=name)
         self.state.buffers.append(
-            BufferParam(v, name, ty, length, mutable, shape, strides))
+            BufferParam(v, name, ty, length, mutable, shape, strides,
+                        dyn_len))
         return v
 
     def add_scalar(self, name: str, ty: Type) -> Value:

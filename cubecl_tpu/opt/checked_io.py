@@ -15,7 +15,7 @@ from ..ir import ops as O
 from ..ir.ops import Instruction, Operation
 from ..ir.scope import Scope
 from ..ir.types import Type, bool_
-from ..ir.value import VarKind, const_value
+from ..ir.value import Value, VarKind, const_value
 from .analysis import (
     Affine,
     GRID_SYMS,
@@ -47,7 +47,13 @@ def insert_checked_io(scope: Scope, cube_dim, cube_count) -> None:
     ua = UniformityAnalysis(scope)
     loop_ranges = collect_loop_ranges(scope)
     _env, get = analyze_affine(scope, ua, loop_ranges, cube_dim, cube_count)
-    lengths = {bp.value.vid: bp.length for bp in scope.state.buffers}
+    # a buffer with a runtime logical length (dyn_len scalar) is checked
+    # against THAT value — the reference semantics (read_checked compares
+    # against the runtime buffer_len metadata, io.rs:12-106); its static
+    # capacity only bounds memory, not validity
+    lengths = {bp.value.vid: (bp.dyn_len if bp.dyn_len is not None
+                              else bp.length)
+               for bp in scope.state.buffers}
     for sd in scope.state.shareds:
         lengths[sd.value.vid] = sd.shape[0]
 
@@ -66,18 +72,21 @@ def insert_checked_io(scope: Scope, cube_dim, cube_count) -> None:
                 if buf.kind in (VarKind.BUFFER, VarKind.SHARED):
                     idx = inst.op.args[1]
                     length = lengths.get(buf.vid)
+                    dyn = isinstance(length, Value)
                     aff = get(idx)
                     safe = False
-                    if aff is not None and length is not None:
+                    if not dyn and aff is not None and length is not None:
                         lo, hi = _max_of(aff, cube_dim, cube_count, loop_ranges)
                         safe = lo is not None and lo >= 0 and hi < length
                     if not safe and length is not None:
                         # indices are signed here (unlike the reference's
                         # u32), so a lone upper-bound check would let a
                         # negative index through — check both bounds
+                        bound = length if dyn else \
+                            const_value(length, idx.ty)
                         ub = s.create_local(Type(bool_))
                         new.append(Instruction(ub, Operation(
-                            O.LT, (idx, const_value(length, idx.ty)))))
+                            O.LT, (idx, bound))))
                         lb = s.create_local(Type(bool_))
                         new.append(Instruction(lb, Operation(
                             O.GE, (idx, const_value(0, idx.ty)))))

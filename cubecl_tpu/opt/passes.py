@@ -31,20 +31,27 @@ def _children(inst: Instruction):
         yield sub
 
 
-def fold_builtins(scope: Scope, cube_dim, cube_count, plane_dim: int) -> None:
+def fold_builtins(scope: Scope, cube_dim, cube_count, plane_dim: int,
+                  dynamic_grid: bool = False) -> None:
     """Fold topology builtins that are comptime on TPU (cube_dim/count are
-    static per compilation — the XLA static-shape model)."""
+    static per compilation — the XLA static-shape model). With a dynamic
+    grid (RuntimeCubeCount) the X count is a runtime value, so
+    CUBE_COUNT_X/CUBE_COUNT stay symbolic and lower to
+    ``pl.num_programs`` in the evaluator."""
     consts = {
         Builtin.CUBE_DIM_X: cube_dim[0], Builtin.CUBE_DIM_Y: cube_dim[1],
         Builtin.CUBE_DIM_Z: cube_dim[2],
         Builtin.CUBE_DIM: cube_dim[0] * cube_dim[1] * cube_dim[2],
-        Builtin.CUBE_COUNT_X: cube_count[0], Builtin.CUBE_COUNT_Y: cube_count[1],
+        Builtin.CUBE_COUNT_Y: cube_count[1],
         Builtin.CUBE_COUNT_Z: cube_count[2],
-        Builtin.CUBE_COUNT: cube_count[0] * cube_count[1] * cube_count[2],
         Builtin.PLANE_DIM: plane_dim,
         Builtin.CUBE_CLUSTER_DIM: 1,
         Builtin.CUBE_CLUSTER_POS: 0,
     }
+    if not dynamic_grid:
+        consts[Builtin.CUBE_COUNT_X] = cube_count[0]
+        consts[Builtin.CUBE_COUNT] = \
+            cube_count[0] * cube_count[1] * cube_count[2]
 
     def subst(v: Value) -> Value:
         if v.kind == VarKind.BUILTIN and v.payload in consts:
@@ -180,10 +187,11 @@ def prune_empty_branches(scope: Scope) -> None:
 
 
 def optimize_scope(scope: Scope, cube_dim=(1, 1, 1), cube_count=(1, 1, 1),
-                   plane_dim: int = 8, max_iters: int = 8) -> None:
+                   plane_dim: int = 8, max_iters: int = 8,
+                   dynamic_grid: bool = False) -> None:
     """Fixpoint driver (reference optimize_scope,
     post_processing/mod.rs:27)."""
-    fold_builtins(scope, cube_dim, cube_count, plane_dim)
+    fold_builtins(scope, cube_dim, cube_count, plane_dim, dynamic_grid)
     for _ in range(max_iters):
         const_fold(scope)
         prune_empty_branches(scope)

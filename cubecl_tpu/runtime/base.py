@@ -55,6 +55,16 @@ class CubeCount:
         return DynamicCubeCount(handle)
 
     @staticmethod
+    def runtime(x: int, max_x: int) -> "RuntimeCubeCount":
+        """Runtime grid width: the kernel compiles ONCE against the
+        ``max_x`` capacity and launches with the runtime ``x`` riding as
+        a scalar — the shape-polymorphic launch ABI (reference: one
+        metadata info buffer serves every runtime shape,
+        cubecl-core/src/codegen/metadata.rs:1-40; here Mosaic's dynamic
+        grid bounds replace per-shape recompiles)."""
+        return RuntimeCubeCount(x, max_x)
+
+    @staticmethod
     def static(x: int, y: int = 1, z: int = 1) -> "CubeCount":
         return CubeCount(x, y, z)
 
@@ -79,6 +89,39 @@ class Runtime:
     @classmethod
     def max_cube_count(cls) -> Tuple[int, int, int]:
         return (2**31 - 1, 65535, 65535)
+
+
+@dataclass(frozen=True)
+class RuntimeCubeCount:
+    """Grid whose X width is a RUNTIME value bounded by a compile-time
+    capacity. One executable (keyed on ``max_x``) serves every launch
+    with ``x <= max_x``: the emitter builds the pallas grid from a
+    traced scalar (Mosaic dynamic grid bounds), so changing ``x`` costs
+    nothing — no recompile, no padded tail work.
+
+    v1 restriction: y and z must be 1 (the serving-shape cases —
+    elementwise/reduce/normalization sweeps — are 1D grids; higher-rank
+    runtime grids would entangle ABSOLUTE_POS flattening with runtime
+    sizes)."""
+
+    x: int
+    max_x: int
+
+    def __post_init__(self):
+        assert 1 <= self.x <= self.max_x, \
+            f"runtime grid x={self.x} outside [1, {self.max_x}]"
+
+    @property
+    def num_cubes(self) -> int:
+        return self.x
+
+    def as_tuple(self) -> Tuple[int, int, int]:
+        """Capacity tuple — what analyses/plans compile against."""
+        return (self.max_x, 1, 1)
+
+    def cache_key(self) -> Tuple:
+        """Kernel-id / launch-memo key: capacity only, never ``x``."""
+        return ("rt", self.max_x, 1, 1)
 
 
 class DynamicCubeCount:
