@@ -83,19 +83,42 @@ def main() -> int:
                           "value": 0.0, "unit": "%", "vs_baseline": 0.0}))
         return 1
 
-    # fp8 e4m3 matmul (VMEM/HBM at 1 byte/elem, fused MXU widening)
+    # fp8 e4m3 matmul (VMEM/HBM at 1 byte/elem, fused MXU widening).
+    # fp8 gets its OWN tile autotune (round-2 verdict #4): at 1 B/elem
+    # its VMEM budget admits fatter K tiles than bf16's winner, and
+    # reusing the bf16 tile under-reported fp8 by ~15%.
     fp8_tflops = None
     if on_tpu:
         try:
             a8 = a.astype(jnp.float8_e4m3fn).reshape(-1)
             b8 = b.astype(jnp.float8_e4m3fn).reshape(-1)
-            tm, tn, tk = best[0]
-            ck8 = _build_matmul(M, N, K, tm, tn, tk, "float8_e4m3fn",
-                                "bfloat16", "float32")
             o0 = jnp.zeros(M * N, jnp.bfloat16)
-            f8 = jax.jit(lambda x, y, z, _c=ck8: _c.fn([x, y, z], ())[0])
-            per8 = _per_iter(lambda x, y, z: f8(x, y, z), (a8, b8, o0))
-            fp8_tflops = round(2 * M * N * K / per8 / 1e12, 1)
+            ah8 = client.create(a8)
+            bh8 = client.create(b8)
+            oh8 = client.empty((M * N,), "bfloat16")
+            try:
+                tiles8 = autotune_top_tiles(client, ah8, bh8, oh8, M, N, K,
+                                            "float8_e4m3fn")
+            except Exception as e:  # noqa: BLE001
+                print(f"# fp8 autotune failed ({e}); bf16 tile fallback",
+                      file=sys.stderr)
+                tiles8 = [best[0]]
+            print(f"# fp8 autotune shortlist {tiles8}", file=sys.stderr)
+            for tm, tn, tk in tiles8:
+                try:
+                    ck8 = _build_matmul(M, N, K, tm, tn, tk,
+                                        "float8_e4m3fn", "bfloat16",
+                                        "float32")
+                    f8 = jax.jit(
+                        lambda x, y, z, _c=ck8: _c.fn([x, y, z], ())[0])
+                    per8 = _per_iter(lambda x, y, z: f8(x, y, z),
+                                     (a8, b8, o0))
+                    t8 = round(2 * M * N * K / per8 / 1e12, 1)
+                    if fp8_tflops is None or t8 > fp8_tflops:
+                        fp8_tflops = t8
+                except Exception as e:  # noqa: BLE001
+                    print(f"# fp8 tile {tm}x{tn}x{tk} failed: {e}",
+                          file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"# fp8 bench failed: {e}", file=sys.stderr)
 

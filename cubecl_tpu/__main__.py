@@ -39,8 +39,18 @@ def cmd_info() -> int:
 
 
 def cmd_test(args) -> int:
+    env = dict(os.environ)
+    args = list(args)
+    if "--tpu" in args:
+        # real-chip smoke subset (round-2 verdict item 5): Mosaic-
+        # sensitive kernel tests on hardware; the conftest deselects
+        # everything not marked tpu_smoke and hands out a TPU client
+        args.remove("--tpu")
+        env["CUBECL_TEST_TPU"] = "1"
+        env["PYTHONPATH"] = _repo_root() + os.pathsep + \
+            env.get("PYTHONPATH", "")
     return subprocess.call([sys.executable, "-m", "pytest", "tests/", "-q",
-                            *args], cwd=_repo_root())
+                            *args], cwd=_repo_root(), env=env)
 
 
 def cmd_bench() -> int:

@@ -220,6 +220,39 @@ class CubeFunction:
                 self._plans[key] = (task, paths[0], paths[1])
         return buffers
 
+    def apply(self, client, cube_count, cube_dim, *args,
+              checked: bool = False):
+        """FUNCTIONAL launch for jit composition: buffer args may be jax
+        arrays OR tracers; returns the updated mutable buffer(s) as new
+        values instead of rebinding handles. This is how model code
+        composes framework kernels with ``jax.jit``/``grad``/``shard_map``
+        — the compile happens host-side at TRACE time (through the
+        server's KernelId cache, so compile_count still tracks), while
+        the returned computation is the pure ``compiled.fn``.
+
+        The reference has no analogue (CUDA kernels are imperative);
+        this is the TPU-native bridge between the DSL and XLA's
+        functional model."""
+        from ..runtime.base import RuntimeCubeCount
+
+        cc = _as_count(cube_count)
+        cd = _as_dim(cube_dim)
+        bound = self._sig.bind(*args)
+        bound.apply_defaults()
+        params = self._classify(bound)
+        kid = self._kernel_id(cc, cd, params, checked)
+        task = KernelTask(
+            kid, lambda: self._define(cc, cd, params, checked),
+            name=self.fn.__name__)
+        compiled, _ = client._dev.call(lambda s: s.compile_kernel(task))
+        buffers = [_arr_of(b["handle"])
+                   for p in params for b in _flat_buffers(p)]
+        scalars = [p["value"] for p in params if p["kind"] == "scalar"]
+        if isinstance(cc, RuntimeCubeCount):
+            scalars.append(cc.x)
+        outs = compiled.fn(buffers, tuple(scalars))
+        return outs[0] if len(outs) == 1 else outs
+
     def compile_only(self, client, cube_count, cube_dim, *args,
                      checked: bool = True, **kwargs):
         """Dry-run compile (reference LaunchMode::Skip, dry_run.rs)."""

@@ -53,10 +53,12 @@ def _build_matmul(m: int, n: int, k: int, tm: int, tn: int, tk: int,
 
     # f32 inputs: 3-pass bf16 (≈f32); bf16/int8 use the native MXU pass.
     # fp8 (e4m3/e5m2) operands go to jnp.dot DIRECTLY: Mosaic fuses the
-    # widening into the systolic feed at full bf16 MXU rate (measured
-    # 197.7 TFLOP/s = 100% bf16 peak at 4096^3 on v5e) while VMEM/HBM
-    # see 1 byte/elem. A manual astype(bf16) in the kernel instead
-    # materializes VPU converts and costs 3.3x — do NOT "help" here.
+    # widening into the systolic feed (no VPU converts) while VMEM/HBM
+    # see 1 byte/elem; fp8 runs at the bf16 MXU rate per pass, with its
+    # own tile autotune (1 B/elem admits fatter K tiles — bench.py
+    # records the driver-reproduced figure each round). A manual
+    # astype(bf16) in the kernel instead materializes VPU converts and
+    # costs 3.3x — do NOT "help" here.
     prec = jax.lax.Precision.HIGHEST if in_dtype == "float32" else None
 
     def kernel(a_ref, b_ref, o_ref, acc_ref):

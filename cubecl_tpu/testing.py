@@ -14,7 +14,10 @@ active we re-exec once with it disabled.
 import os
 import sys
 
-if os.environ.get("PALLAS_AXON_POOL_IPS") and \
+# CUBECL_TEST_TPU=1: run the smoke subset on the REAL chip through the
+# tunnel (round-2 verdict item 5) — no re-exec, no virtual CPU mesh
+if not os.environ.get("CUBECL_TEST_TPU") and \
+        os.environ.get("PALLAS_AXON_POOL_IPS") and \
         not os.environ.get("CUBECL_TEST_REEXEC"):
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""
