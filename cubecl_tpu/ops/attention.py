@@ -66,7 +66,7 @@ def _seg_overlap(sq_ref, sk_ref):
 
 def _fwd_call(q, k, v, causal: bool, sm_scale: float,
               block_q: int, block_k: int, interpret: bool,
-              kv_len=None, seg=None):
+              kv_len=None, seg=None, window=None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -109,7 +109,7 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
                 preferred_element_type=jnp.float32)       # [bq, bk]
             if sm_scale != 1.0:
                 s = s * sm_scale
-            if causal or kv_mask or seg is not None:
+            if causal or kv_mask or seg is not None or window is not None:
                 rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) \
                     + qi * bq
                 cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) \
@@ -121,6 +121,9 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
                     sq = sq_ref[0, :, 0]
                     sk = sk_ref[0, :, 0]
                     ok = ok & (sq[:, None] == sk[None, :])
+                if window is not None:  # banded: col in [row-l, row+r]
+                    wl, wr = window
+                    ok = ok & (rows - cols <= wl) & (cols - rows <= wr)
                 s = jnp.where(ok, s, DEFAULT_MASK_VALUE)
 
             m_prev = m_sc[...]                             # [bq, 128]
@@ -142,6 +145,15 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
                 preferred_element_type=jnp.float32)
 
         cond = ((qi + 1) * bq - 1) >= (ki * bk) if causal else None
+        if window is not None:
+            # the band only intersects tiles whose column range overlaps
+            # [tile_rows - left, tile_rows + right] — whole off-band
+            # tiles skip BOTH MXU matmuls (cost becomes ~O(S*window))
+            wl, wr = window
+            wc = jnp.logical_and(
+                ki * bk + bk - 1 >= qi * bq - wl,
+                qi * bq + bq - 1 + wr >= ki * bk)
+            cond = wc if cond is None else jnp.logical_and(cond, wc)
         if seg is not None:
             # packed segments are contiguous, so a whole tile pair is
             # dead unless the [min, max] segment-id ranges intersect —
@@ -214,7 +226,8 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
             + q.size * q.dtype.itemsize,
             transcendentals=B * H * Sq * Skv),
         interpret=interpret,
-        name=f"flash_attn_{bq}x{bk}",
+        name=f"flash_attn_{bq}x{bk}"
+        + (f"_w{window[0]}_{window[1]}" if window else ""),
     )(*inputs)
 
 
@@ -271,7 +284,7 @@ def _fwd(q, k, v, causal, sm_scale, block_q, block_k, interpret,
 
 
 def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
-                  kv_len=None, seg=None):
+                  kv_len=None, seg=None, window=None):
     """dK/dV kernel: grid (B, H, kv, q) with q innermost so the dk/dv
     accumulators stay resident per KV tile (guide §7: dKV iterates Q
     per KV tile)."""
@@ -312,7 +325,7 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
             s = jax.lax.dot_general(
                 qt, kt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
-            if causal or kv_mask or seg is not None:
+            if causal or kv_mask or seg is not None or window is not None:
                 rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) \
                     + qi * bq
                 cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) \
@@ -324,6 +337,9 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
                     sq = sq_ref[0, :, 0]
                     sk = sk_ref[0, :, 0]
                     ok = ok & (sq[:, None] == sk[None, :])
+                if window is not None:
+                    wl, wr = window
+                    ok = ok & (rows - cols <= wl) & (cols - rows <= wr)
                 s = jnp.where(ok, s, DEFAULT_MASK_VALUE)
             p = jnp.exp(s - lse)                          # [bq, bk]
             # dV += P^T dO — P/dS feed the MXU at the storage dtype
@@ -341,6 +357,12 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
                 preferred_element_type=jnp.float32)
 
         cond = ((qi + 1) * bq - 1) >= (ki * bk) if causal else None
+        if window is not None:
+            wl, wr = window
+            wc = jnp.logical_and(
+                ki * bk + bk - 1 >= qi * bq - wl,
+                qi * bq + bq - 1 + wr >= ki * bk)
+            cond = wc if cond is None else jnp.logical_and(cond, wc)
         if seg is not None:
             ov = _seg_overlap(sq_ref, sk_ref)
             cond = ov if cond is None else jnp.logical_and(cond, ov)
@@ -407,7 +429,7 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
 
 
 def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
-                 kv_len=None, seg=None):
+                 kv_len=None, seg=None, window=None):
     """dQ kernel: grid (B, H, q, kv) with kv innermost (resident dq acc)."""
     import jax
     import jax.numpy as jnp
@@ -445,7 +467,7 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
             s = jax.lax.dot_general(
                 qt, kt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
-            if causal or kv_mask or seg is not None:
+            if causal or kv_mask or seg is not None or window is not None:
                 rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) \
                     + qi * bq
                 cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) \
@@ -457,6 +479,9 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
                     sq = sq_ref[0, :, 0]
                     sk = sk_ref[0, :, 0]
                     ok = ok & (sq[:, None] == sk[None, :])
+                if window is not None:
+                    wl, wr = window
+                    ok = ok & (rows - cols <= wl) & (cols - rows <= wr)
                 s = jnp.where(ok, s, DEFAULT_MASK_VALUE)
             p = jnp.exp(s - lse)
             dp = jax.lax.dot_general(
@@ -467,6 +492,12 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
                                       preferred_element_type=jnp.float32)
 
         cond = ((qi + 1) * bq - 1) >= (ki * bk) if causal else None
+        if window is not None:
+            wl, wr = window
+            wc = jnp.logical_and(
+                ki * bk + bk - 1 >= qi * bq - wl,
+                qi * bq + bq - 1 + wr >= ki * bk)
+            cond = wc if cond is None else jnp.logical_and(cond, wc)
         if seg is not None:
             ov = _seg_overlap(sq_ref, sk_ref)
             cond = ov if cond is None else jnp.logical_and(cond, ov)
@@ -661,3 +692,211 @@ def flash_attention_segmented(q, k, v, segment_ids_q, segment_ids_kv=None,
     return _flash_seg(q, k, v, _bcast_seg(segment_ids_q),
                       _bcast_seg(segment_ids_kv), causal, scale,
                       block_q, block_k, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Local (sliding-window) attention — banded tile skipping
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash_local(q, k, v, window, causal, scale, block_q, block_k,
+                 interpret):
+    o, _lse = _fwd_call(q, k, v, causal, scale, block_q, block_k,
+                        interpret, window=window)
+    return o
+
+
+def _flash_local_fwd(q, k, v, window, causal, scale, block_q, block_k,
+                     interpret):
+    o, lse = _fwd_call(q, k, v, causal, scale, block_q, block_k,
+                       interpret, window=window)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_local_bwd(window, causal, scale, block_q, block_k, interpret,
+                     res, do):
+    import jax.numpy as jnp
+
+    q, k, v, o, lse = res
+    bq = _fit_block(block_q, q.shape[2])
+    bk = _fit_block(min(block_k, 1024), k.shape[2])
+    di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                 axis=-1, keepdims=True)
+    di = jnp.broadcast_to(di, di.shape[:-1] + (128,))
+    dk, dv = _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk,
+                           interpret, window=window)
+    dq = _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk,
+                      interpret, window=window)
+    return dq, dk, dv
+
+
+_flash_local.defvjp(_flash_local_fwd, _flash_local_bwd)
+
+
+def flash_attention_local(q, k, v, left: int, right: int = 0,
+                          causal: bool = True,
+                          sm_scale: Optional[float] = None,
+                          block_q: int = 1024, block_k: int = 1024,
+                          interpret: bool = False):
+    """Sliding-window (banded) flash attention: position i attends keys
+    j with ``i - left <= j <= i + right`` (mistral-style local attention
+    when ``causal`` and ``right == 0``). Fully differentiable.
+
+    The splash-attention idea (a mask-driven tile schedule) specialises
+    here to an index test: whole KV tiles outside the band skip BOTH MXU
+    matmuls in forward AND backward, so cost scales with
+    ``S * (left + right + block)`` instead of ``S^2``. Smaller tiles
+    skip more (the segmented kernel's 1024^2 crossover applies — see
+    flash_attention_segmented's block notes).
+
+    Ref: the reference keeps attention in its kernel-library ecosystem
+    (cubek); jax's splash_attention is the public TPU baseline for
+    masked variants.
+    """
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(
+        q.shape[-1])
+    assert left >= 0 and right >= 0
+    return _flash_local(q, k, v, (int(left), int(right)), causal, scale,
+                        block_q, block_k, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Block-sparse attention (splash-style mask-driven tile schedule)
+# ---------------------------------------------------------------------------
+
+
+def build_block_schedule(block_mask) -> tuple:
+    """(kv_ids, counts): per q-tile list of active kv tiles, padded by
+    repeating the last active id (repeated runtime block indices are
+    skipped compute-side; Mosaic re-DMAs only on index change)."""
+    bm = np.asarray(block_mask, bool)
+    n_q, n_kv = bm.shape
+    counts = bm.sum(1).astype(np.int32)
+    assert counts.min() > 0, "every q tile must attend >= 1 kv tile"
+    max_active = int(counts.max())
+    kv_ids = np.zeros((n_q, max_active), np.int32)
+    for qi in range(n_q):
+        ids = np.nonzero(bm[qi])[0]
+        kv_ids[qi, :len(ids)] = ids
+        kv_ids[qi, len(ids):] = ids[-1]
+    return kv_ids, counts
+
+
+def flash_attention_block_sparse(q, k, v, block_mask,
+                                 causal: bool = True,
+                                 sm_scale: Optional[float] = None,
+                                 block_q: int = 512, block_k: int = 512,
+                                 interpret: bool = False):
+    """Flash attention over an ARBITRARY block-level mask (the
+    splash-attention idea, jax/experimental/pallas/ops/tpu/
+    splash_attention as the public baseline): ``block_mask[qi, ki]``
+    says whether q tile ``qi`` attends kv tile ``ki``. The kv tile list
+    of every q row is SCALAR-PREFETCHED and drives the K/V BlockSpec
+    index maps, so the grid only sweeps ACTIVE tiles — cost scales with
+    ``nnz(block_mask)``, not n_q*n_kv. ``causal`` additionally applies
+    the in-tile diagonal mask. Inference path (no backward).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    bq = _fit_block(block_q, Sq)
+    bk = _fit_block(block_k, Skv)
+    n_q, n_kv = Sq // bq, Skv // bk
+    bm = np.asarray(block_mask, bool)
+    assert bm.shape == (n_q, n_kv), \
+        f"block_mask {bm.shape} != tile grid {(n_q, n_kv)} for blocks " \
+        f"({bq},{bk})"
+    if causal:
+        # off-causal blocks can never contribute — prune them from the
+        # schedule outright
+        qr = np.arange(n_q)[:, None]
+        kr = np.arange(n_kv)[None, :]
+        bm = bm & (kr * bk <= qr * bq + bq - 1)
+    kv_ids, counts = build_block_schedule(bm)
+    max_active = kv_ids.shape[1]
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
+
+    def kernel(ids_ref, cnt_ref, q_ref, k_ref, v_ref, o_ref,
+               m_sc, l_sc, acc_sc):
+        qi = pl.program_id(2)
+        j = pl.program_id(3)
+
+        @pl.when(j == 0)
+        def _init():
+            m_sc[...] = jnp.full_like(m_sc, -jnp.inf)
+            l_sc[...] = jnp.zeros_like(l_sc)
+            acc_sc[...] = jnp.zeros_like(acc_sc)
+
+        def _run():
+            ki = ids_ref[qi, j]
+            qt = q_ref[0, 0]
+            kt = k_ref[0, 0]
+            s = jax.lax.dot_general(
+                qt, kt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if scale != 1.0:
+                s = s * scale
+            if causal:
+                rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) \
+                    + qi * bq
+                cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) \
+                    + ki * bk
+                s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+            m_prev, l_prev = m_sc[...], l_sc[...]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])
+            l_sc[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_sc[...] = m_next
+            vt = v_ref[0, 0]
+            acc_sc[...] = acc_sc[...] * alpha[:, :1] + jax.lax.dot(
+                p.astype(vt.dtype), vt,
+                preferred_element_type=jnp.float32)
+
+        pl.when(j < cnt_ref[qi])(_run)
+
+        @pl.when(j == max_active - 1)
+        def _done():
+            l = l_sc[...][:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, 0] = (acc_sc[...] * l_inv).astype(o_ref.dtype)
+
+    def _kv_idx(b, h, qi, j, ids, cnt):
+        import jax.numpy as jnp
+
+        return (b, h, ids[qi, jnp.minimum(j, cnt[qi] - 1)], 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, H, n_q, max_active),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D),
+                         lambda b, h, qi, j, ids, cnt: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, bk, D), _kv_idx),
+            pl.BlockSpec((1, 1, bk, D), _kv_idx),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, D),
+                               lambda b, h, qi, j, ids, cnt: (b, h, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+        name=f"flash_block_sparse_{bq}x{bk}",
+    )(jnp.asarray(kv_ids), jnp.asarray(counts), q, k, v)

@@ -635,3 +635,87 @@ def test_flash_attention_nondivisor_default_blocks(client):
                                jnp.asarray(v), True, 1.0 / np.sqrt(D))
     np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_flash_attention_local_window(client):
+    """Sliding-window (banded) attention vs a masked dense oracle,
+    fwd + grads (round-2 verdict stretch #9)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cubecl_tpu.ops.attention import (
+        DEFAULT_MASK_VALUE,
+        flash_attention_local,
+    )
+
+    B, H, S, D = 1, 1, 384, 128
+    q = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32) * 0.4)
+    k = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32) * 0.4)
+    v = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32))
+
+    def ref(q, k, v, left, right, causal):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                       k.astype(jnp.float32)) / np.sqrt(D)
+        r = np.arange(S)[:, None]
+        c = np.arange(S)[None, :]
+        ok = (r - c <= left) & (c - r <= right)
+        if causal:
+            ok &= c <= r
+        s = jnp.where(jnp.asarray(ok), s, DEFAULT_MASK_VALUE)
+        p = jax.nn.softmax(s, -1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+
+    for (left, right, causal) in ((128, 0, True), (64, 64, False)):
+        o = flash_attention_local(q, k, v, left, right, causal, None,
+                                  128, 128, True)
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(ref(q, k, v, left, right, causal)),
+            atol=3e-5, rtol=1e-4)
+
+    dy = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32))
+    gk = jax.grad(lambda q, k, v: (flash_attention_local(
+        q, k, v, 128, 0, True, None, 128, 128, True) * dy).sum(),
+        argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q, k, v: (ref(q, k, v, 128, 0, True) * dy).sum(),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_flash_attention_block_sparse(client):
+    """Arbitrary block masks through the scalar-prefetched tile schedule
+    (splash-style; cost scales with nnz of the block mask)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cubecl_tpu.ops.attention import (
+        DEFAULT_MASK_VALUE,
+        flash_attention_block_sparse,
+    )
+
+    B, H, S, D, bq = 1, 2, 512, 128, 128
+    nq = S // bq
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, H, S, D).astype(np.float32) * 0.4)
+    k = jnp.asarray(rng.randn(B, H, S, D).astype(np.float32) * 0.4)
+    v = jnp.asarray(rng.randn(B, H, S, D).astype(np.float32))
+
+    def ref(bm, causal):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                       k.astype(jnp.float32)) / np.sqrt(D)
+        el = np.kron(bm, np.ones((bq, bq), bool))
+        if causal:
+            el &= np.tril(np.ones((S, S), bool))
+        s = jnp.where(jnp.asarray(el), s, DEFAULT_MASK_VALUE)
+        p = jax.nn.softmax(s, -1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+
+    bm = rng.rand(nq, nq) < 0.4
+    np.fill_diagonal(bm, True)
+    for causal in (True, False):
+        o = flash_attention_block_sparse(q, k, v, bm, causal, None,
+                                         bq, bq, True)
+        np.testing.assert_allclose(np.asarray(o),
+                                   np.asarray(ref(bm, causal)),
+                                   atol=3e-5, rtol=1e-4)
