@@ -146,8 +146,17 @@ def _attention(x, layer, cfg: LlamaConfig):
         from ..ops.attention import flash_attention_padded
 
         interp = jax.default_backend() != "tpu"  # CPU: pallas interpret
+        packable = (hd % 128 and 128 % hd == 0 and nh % (128 // hd) == 0
+                    and s % 128 == 0)
 
         def fa(qq, kk, vv):
+            if packable:
+                # llama-class head_dim 64: lane-packed heads (round-2
+                # verdict #3) — full-width DMA, no zero-padding
+                from ..ops.attention import flash_attention_packed
+
+                return flash_attention_packed(qq, kk, vv, True, None,
+                                              1024, 1024, interp)
             return flash_attention_padded(qq, kk, vv, True, None, 128, 128,
                                           interp)
 

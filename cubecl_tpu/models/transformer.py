@@ -199,6 +199,12 @@ def _flash_ctx(q, k, v, cfg):
         from ..ops.attention import flash_attention as _fa
 
         fa = lambda qq, kk, vv: _fa(qq, kk, vv, True)
+    elif 128 % hd == 0 and q.shape[1] % (128 // hd) == 0:
+        # head_dim 32/64: lane-packed heads (full-width DMA + stacked
+        # softmax) instead of zero-padding to 128
+        from ..ops.attention import flash_attention_packed as _fpk
+
+        fa = lambda qq, kk, vv: _fpk(qq, kk, vv, True)
     else:
         from ..ops.attention import flash_attention_padded as _fap
 

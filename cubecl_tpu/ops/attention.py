@@ -900,3 +900,240 @@ def flash_attention_block_sparse(q, k, v, block_mask,
         interpret=interpret,
         name=f"flash_block_sparse_{bq}x{bk}",
     )(jnp.asarray(kv_ids), jnp.asarray(counts), q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Head-packed flash forward for head_dim < 128 (round-2 verdict #3)
+# ---------------------------------------------------------------------------
+
+
+def _fwd_call_packed(q, k, v, causal, sm_scale, block_q, block_k,
+                     interpret, kv_len=None, window=None):
+    """Flash forward with ``g = 128 // head_dim`` heads PACKED side by
+    side on the lane axis. A 64-wide head underfills everything a TPU
+    has: q/k/v stream at half lane width, vregs are half-empty, and the
+    softmax VPU work runs at (bq, bk) per head. Packing restores:
+
+    - full 128-lane DMA windows for q/k/v/o (the streaming-cliff rule:
+      width-128 buffers stream at ~750 GB/s on v5e),
+    - ONE stacked (g*bq, bk) softmax per tile pair (full VPU rows),
+    - full-width (bq, 128) accumulator/output updates,
+    - half (g=2) the grid steps.
+
+    The per-head QK/PV dots keep their true K=N=head_dim contraction
+    (no zero-padded MACs). lse is returned in the packed layout
+    (B, H/g, S, g, 128) and unpacked by the caller.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    g = 128 // D
+    assert D * g == 128 and H % g == 0
+    Hp = H // g
+
+    def pack(x):
+        b, h, s, d = x.shape
+        # heads 2i, 2i+1 -> lanes [0:D], [D:2D] of packed head i
+        return x.reshape(b, Hp, g, s, d).transpose(0, 1, 3, 2, 4) \
+                .reshape(b, Hp, s, g * d)
+
+    qp, kp, vp = pack(q), pack(k), pack(v)
+    bq = _fit_block(block_q, Sq)
+    bk = _fit_block(block_k, Skv)
+    grid = (B, Hp, Sq // bq, Skv // bk)
+    n_kv = Skv // bk
+    kv_mask = kv_len is not None and kv_len < Skv
+
+    def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc, l_sc, acc_sc):
+        qi = pl.program_id(2)
+        ki = pl.program_id(3)
+
+        @pl.when(ki == 0)
+        def _init():
+            m_sc[...] = jnp.full_like(m_sc, -jnp.inf)
+            l_sc[...] = jnp.zeros_like(l_sc)
+            acc_sc[...] = jnp.zeros_like(acc_sc)
+
+        def _run():
+            qt = q_ref[0, 0]                       # (bq, 128) = g heads
+            kt = k_ref[0, 0]                       # (bk, 128)
+            # per-head QK dots at the TRUE contraction (K = D, no
+            # zero-padded MACs), stacked on rows for the softmax phase
+            ss = [jax.lax.dot_general(
+                qt[:, t * D:(t + 1) * D], kt[:, t * D:(t + 1) * D],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) for t in range(g)]
+            s = jnp.concatenate(ss, axis=0)        # (g*bq, bk)
+            if sm_scale != 1.0:
+                s = s * sm_scale
+            if causal or kv_mask or window is not None:
+                rows1 = jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, bk), 0) + qi * bq
+                rows = jnp.concatenate([rows1] * g, axis=0)
+                cols = jax.lax.broadcasted_iota(
+                    jnp.int32, (g * bq, bk), 1) + ki * bk
+                ok = cols <= rows if causal else cols == cols
+                if kv_mask:
+                    ok = ok & (cols < kv_len)
+                if window is not None:
+                    wl, wr = window
+                    ok = ok & (rows - cols <= wl) & (cols - rows <= wr)
+                s = jnp.where(ok, s, DEFAULT_MASK_VALUE)
+
+            # ONE stacked softmax update for all packed heads
+            m_prev, l_prev = m_sc[...], l_sc[...]  # (g*bq, 128)
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])         # (g*bq, bk)
+            l_sc[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_sc[...] = m_next
+
+            vt = v_ref[0, 0]                       # (bk, 128)
+            pvs = [jax.lax.dot(
+                p[t * bq:(t + 1) * bq].astype(vt.dtype),
+                vt[:, t * D:(t + 1) * D],
+                preferred_element_type=jnp.float32) for t in range(g)]
+            pv = jnp.concatenate(pvs, axis=1)      # (bq, 128)
+            al = jnp.concatenate(
+                [alpha[t * bq:(t + 1) * bq, :1] for t in range(g)], axis=1)
+            # full-width accumulator update: per-head alpha broadcast
+            # across its D lanes
+            al = jnp.repeat(al, D, axis=1)
+            acc_sc[...] = acc_sc[...] * al + pv
+
+        cond = ((qi + 1) * bq - 1) >= (ki * bk) if causal else None
+        if window is not None:
+            wl, wr = window
+            wc = jnp.logical_and(
+                ki * bk + bk - 1 >= qi * bq - wl,
+                qi * bq + bq - 1 + wr >= ki * bk)
+            cond = wc if cond is None else jnp.logical_and(cond, wc)
+        if cond is not None:
+            pl.when(cond)(_run)
+        else:
+            _run()
+
+        @pl.when(ki == n_kv - 1)
+        def _done():
+            l = l_sc[...][:, :1]                   # (g*bq, 1)
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            li = jnp.concatenate(
+                [l_inv[t * bq:(t + 1) * bq] for t in range(g)], axis=1)
+            li = jnp.repeat(li, D, axis=1)         # (bq, 128)
+            o_ref[0, 0] = (acc_sc[...] * li).astype(o_ref.dtype)
+            lse = m_sc[...] + jnp.log(jnp.maximum(l_sc[...], 1e-37))
+            lse_ref[0, 0] = lse.reshape(g, bq, 128).transpose(1, 0, 2) \
+                .reshape(bq, g * 128)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, Hp, Sq, 128), q.dtype),
+        jax.ShapeDtypeStruct((B, Hp, Sq, g * 128), jnp.float32),
+    )
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, 128), lambda b, h, qi, ki: (b, h, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, 128), lambda b, h, qi, ki: (b, h, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, 128), lambda b, h, qi, ki: (b, h, ki, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    flops = 4 * B * H * Sq * Skv * D * (0.5 if causal else 1.0)
+    op, lsep = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, 1, bq, 128),
+                         lambda b, h, qi, ki: (b, h, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, g * 128),
+                         lambda b, h, qi, ki: (b, h, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((g * bq, 128), jnp.float32),
+            pltpu.VMEM((g * bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops),
+            bytes_accessed=(q.size + k.size + v.size + q.size)
+            * q.dtype.itemsize,
+            transcendentals=B * H * Sq * Skv),
+        interpret=interpret,
+        name=f"flash_attn_hd{D}x{g}_{bq}x{bk}",
+    )(qp, kp, vp)
+
+    def unpack(x, d):
+        b, hp, s, _ = x.shape
+        return x.reshape(b, hp, s, g, d).transpose(0, 1, 3, 2, 4) \
+                .reshape(b, H, s, d)
+
+    return unpack(op, D), unpack(lsep, 128)
+
+
+def flash_attention_packed(q, k, v, causal: bool = True,
+                           sm_scale: Optional[float] = None,
+                           block_q: int = 1024, block_k: int = 1024,
+                           interpret: bool = False,
+                           window=None):
+    """flash attention for head_dim in {32, 64}: packs 128//head_dim
+    heads per 128-lane tile (full-width DMA + stacked softmax). Fully
+    differentiable — the backward runs the existing per-head kernels on
+    the unpacked lse (padded to the lane tile by Mosaic); the forward
+    is the serving-hot path this packing accelerates.
+    """
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(
+        q.shape[-1])
+    D = q.shape[-1]
+    g = 128 // D
+    if D % 128 == 0 or q.shape[1] % g:
+        return flash_attention(q, k, v, causal, scale, block_q, block_k,
+                               interpret)
+    return _flash_packed(q, k, v, causal, scale, block_q, block_k,
+                         interpret, window)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash_packed(q, k, v, causal, scale, block_q, block_k, interpret,
+                  window):
+    o, _ = _fwd_call_packed(q, k, v, causal, scale, block_q, block_k,
+                            interpret, window=window)
+    return o
+
+
+def _flash_packed_fwd(q, k, v, causal, scale, block_q, block_k,
+                      interpret, window):
+    o, lse = _fwd_call_packed(q, k, v, causal, scale, block_q, block_k,
+                              interpret, window=window)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_packed_bwd(causal, scale, block_q, block_k, interpret, window,
+                      res, do):
+    import jax.numpy as jnp
+
+    q, k, v, o, lse = res
+    bq = _fit_block(block_q, q.shape[2])
+    bk = _fit_block(min(block_k, 1024), k.shape[2])
+    di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                 axis=-1, keepdims=True)
+    di = jnp.broadcast_to(di, di.shape[:-1] + (128,))
+    dk, dv = _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk,
+                           interpret, window=window)
+    dq = _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk,
+                      interpret, window=window)
+    return dq, dk, dv
+
+
+_flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)

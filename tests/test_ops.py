@@ -719,3 +719,37 @@ def test_flash_attention_block_sparse(client):
         np.testing.assert_allclose(np.asarray(o),
                                    np.asarray(ref(bm, causal)),
                                    atol=3e-5, rtol=1e-4)
+
+
+def test_flash_attention_packed_heads(client):
+    """head_dim 64/32: g=128//hd heads lane-packed per tile (round-2
+    verdict #3) — numerics + grads vs the dense oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from cubecl_tpu.ops.attention import (
+        _reference_attention,
+        flash_attention_packed,
+    )
+
+    for D, H in ((64, 4), (32, 4)):
+        B, S = 1, 256
+        q = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32) * .4)
+        k = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32) * .4)
+        v = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32))
+        for causal in (True, False):
+            o = flash_attention_packed(q, k, v, causal, None, 128, 128,
+                                       True)
+            ref = _reference_attention(q, k, v, causal, 1 / np.sqrt(D))
+            np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                                       atol=3e-5, rtol=1e-4)
+        dy = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32))
+        gk = jax.grad(lambda q, k, v: (flash_attention_packed(
+            q, k, v, True, None, 128, 128, True) * dy).sum(),
+            argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lambda q, k, v: (_reference_attention(
+            q, k, v, True, 1 / np.sqrt(D)) * dy).sum(),
+            argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4, rtol=1e-3)
