@@ -146,13 +146,20 @@ def _attention(x, layer, cfg: LlamaConfig):
         from ..ops.attention import flash_attention_padded
 
         interp = jax.default_backend() != "tpu"  # CPU: pallas interpret
+        exact64 = (hd % 128 == 0 or hd == 64) and s % 128 == 0
         packable = (hd % 128 and 128 % hd == 0 and nh % (128 // hd) == 0
                     and s % 128 == 0)
 
         def fa(qq, kk, vv):
-            if packable:
-                # llama-class head_dim 64: lane-packed heads (round-2
-                # verdict #3) — full-width DMA, no zero-padding
+            if exact64:
+                # hd=64 runs the exact kernel directly — measured 41.0
+                # TF vs padded 32.2 / lane-packed 39.8 on v5e (the MXU
+                # pads K/N to 128 regardless; see BENCH_NOTES hd<128)
+                from ..ops.attention import flash_attention
+
+                return flash_attention(qq, kk, vv, True, None,
+                                       1024, 1024, interp)
+            if packable:  # hd=32: lane-packed (g=4)
                 from ..ops.attention import flash_attention_packed
 
                 return flash_attention_packed(qq, kk, vv, True, None,

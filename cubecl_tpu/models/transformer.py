@@ -195,13 +195,16 @@ def _flash_ctx(q, k, v, cfg):
     import jax
 
     hd = q.shape[-1]
-    if hd % 128 == 0:
+    if hd % 128 == 0 or hd == 64:
+        # hd=64 runs the exact kernel DIRECTLY: measured v5e (S=2048
+        # bf16, equal FLOPs) 41.0 TF vs padded->128's 32.2 and lane-
+        # packed's 39.8 — the MXU pads K/N to 128 either way (52% of
+        # the hd=128 rate is the hardware ceiling; BENCH_NOTES hd<128)
         from ..ops.attention import flash_attention as _fa
 
         fa = lambda qq, kk, vv: _fa(qq, kk, vv, True)
     elif 128 % hd == 0 and q.shape[1] % (128 // hd) == 0:
-        # head_dim 32/64: lane-packed heads (full-width DMA + stacked
-        # softmax) instead of zero-padding to 128
+        # hd=32: lane-packed heads (g=4) over quarter-width naive
         from ..ops.attention import flash_attention_packed as _fpk
 
         fa = lambda qq, kk, vv: _fpk(qq, kk, vv, True)

@@ -912,17 +912,20 @@ def _fwd_call_packed(q, k, v, causal, sm_scale, block_q, block_k,
     """Flash forward with ``g = 128 // head_dim`` heads PACKED side by
     side on the lane axis. A 64-wide head underfills everything a TPU
     has: q/k/v stream at half lane width, vregs are half-empty, and the
-    softmax VPU work runs at (bq, bk) per head. Packing restores:
+    MXU pads K/N to 128 anyway (measured v5e: K=64 and N=64 matmuls run
+    at 0.54x/0.53x the 128-wide rate — the padding is physics, see
+    BENCH_NOTES). Packing restores what CAN be recovered:
 
-    - full 128-lane DMA windows for q/k/v/o (the streaming-cliff rule:
+    - full 128-lane DMA windows for q/k/v (the streaming-cliff rule:
       width-128 buffers stream at ~750 GB/s on v5e),
-    - ONE stacked (g*bq, bk) softmax per tile pair (full VPU rows),
-    - full-width (bq, 128) accumulator/output updates,
-    - half (g=2) the grid steps.
+    - ONE row-stacked (g*bq, bk) softmax per tile pair (one VPU op
+      chain for all packed heads),
+    - 1/g the grid steps.
 
-    The per-head QK/PV dots keep their true K=N=head_dim contraction
-    (no zero-padded MACs). lse is returned in the packed layout
-    (B, H/g, S, g, 128) and unpacked by the caller.
+    All cross-head data movement is ROW-stacked (sublane dim) — Mosaic
+    rejects sub-tile lane concatenation/reshape. Outputs (o, lse) are
+    written UNPACKED via (1, g, bq, D) blocks, so the caller and the
+    backward consume them directly.
     """
     import jax
     import jax.numpy as jnp
@@ -936,10 +939,10 @@ def _fwd_call_packed(q, k, v, causal, sm_scale, block_q, block_k,
     Hp = H // g
 
     def pack(x):
-        b, h, s, d = x.shape
-        # heads 2i, 2i+1 -> lanes [0:D], [D:2D] of packed head i
-        return x.reshape(b, Hp, g, s, d).transpose(0, 1, 3, 2, 4) \
-                .reshape(b, Hp, s, g * d)
+        b, h, s_, d = x.shape
+        # heads g*i .. g*i+g-1 -> lanes [0:D], [D:2D], ... of packed row i
+        return x.reshape(b, Hp, g, s_, d).transpose(0, 1, 3, 2, 4) \
+                .reshape(b, Hp, s_, g * d)
 
     qp, kp, vp = pack(q), pack(k), pack(v)
     bq = _fit_block(block_q, Sq)
@@ -961,13 +964,13 @@ def _fwd_call_packed(q, k, v, causal, sm_scale, block_q, block_k,
         def _run():
             qt = q_ref[0, 0]                       # (bq, 128) = g heads
             kt = k_ref[0, 0]                       # (bk, 128)
-            # per-head QK dots at the TRUE contraction (K = D, no
-            # zero-padded MACs), stacked on rows for the softmax phase
+            # per-head QK dots at the TRUE contraction (static lane
+            # slices), stacked on ROWS for one shared softmax phase
             ss = [jax.lax.dot_general(
                 qt[:, t * D:(t + 1) * D], kt[:, t * D:(t + 1) * D],
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) for t in range(g)]
-            s = jnp.concatenate(ss, axis=0)        # (g*bq, bk)
+            s = jnp.concatenate(ss, axis=0)        # (g*bq, bk) row concat
             if sm_scale != 1.0:
                 s = s * sm_scale
             if causal or kv_mask or window is not None:
@@ -984,7 +987,7 @@ def _fwd_call_packed(q, k, v, causal, sm_scale, block_q, block_k,
                     ok = ok & (rows - cols <= wl) & (cols - rows <= wr)
                 s = jnp.where(ok, s, DEFAULT_MASK_VALUE)
 
-            # ONE stacked softmax update for all packed heads
+            # ONE row-stacked softmax update for all packed heads
             m_prev, l_prev = m_sc[...], l_sc[...]  # (g*bq, 128)
             m_curr = jnp.max(s, axis=1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_curr)
@@ -998,13 +1001,8 @@ def _fwd_call_packed(q, k, v, causal, sm_scale, block_q, block_k,
                 p[t * bq:(t + 1) * bq].astype(vt.dtype),
                 vt[:, t * D:(t + 1) * D],
                 preferred_element_type=jnp.float32) for t in range(g)]
-            pv = jnp.concatenate(pvs, axis=1)      # (bq, 128)
-            al = jnp.concatenate(
-                [alpha[t * bq:(t + 1) * bq, :1] for t in range(g)], axis=1)
-            # full-width accumulator update: per-head alpha broadcast
-            # across its D lanes
-            al = jnp.repeat(al, D, axis=1)
-            acc_sc[...] = acc_sc[...] * al + pv
+            pv = jnp.concatenate(pvs, axis=0)      # (g*bq, D) row concat
+            acc_sc[...] = acc_sc[...] * alpha[:, :1] + pv
 
         cond = ((qi + 1) * bq - 1) >= (ki * bk) if causal else None
         if window is not None:
@@ -1022,17 +1020,14 @@ def _fwd_call_packed(q, k, v, causal, sm_scale, block_q, block_k,
         def _done():
             l = l_sc[...][:, :1]                   # (g*bq, 1)
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            li = jnp.concatenate(
-                [l_inv[t * bq:(t + 1) * bq] for t in range(g)], axis=1)
-            li = jnp.repeat(li, D, axis=1)         # (bq, 128)
-            o_ref[0, 0] = (acc_sc[...] * li).astype(o_ref.dtype)
+            o = (acc_sc[...] * l_inv).astype(o_ref.dtype)
+            o_ref[0] = o.reshape(g, bq, D)         # unpacked head blocks
             lse = m_sc[...] + jnp.log(jnp.maximum(l_sc[...], 1e-37))
-            lse_ref[0, 0] = lse.reshape(g, bq, 128).transpose(1, 0, 2) \
-                .reshape(bq, g * 128)
+            lse_ref[0] = lse.reshape(g, bq, 128)
 
     out_shapes = (
-        jax.ShapeDtypeStruct((B, Hp, Sq, 128), q.dtype),
-        jax.ShapeDtypeStruct((B, Hp, Sq, g * 128), jnp.float32),
+        jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+        jax.ShapeDtypeStruct((B, H, Sq, 128), jnp.float32),
     )
     in_specs = [
         pl.BlockSpec((1, 1, bq, 128), lambda b, h, qi, ki: (b, h, qi, 0),
@@ -1043,23 +1038,23 @@ def _fwd_call_packed(q, k, v, causal, sm_scale, block_q, block_k,
                      memory_space=pltpu.VMEM),
     ]
     flops = 4 * B * H * Sq * Skv * D * (0.5 if causal else 1.0)
-    op, lsep = pl.pallas_call(
+    o, lse = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, 1, bq, 128),
+            pl.BlockSpec((1, g, bq, D),
                          lambda b, h, qi, ki: (b, h, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, g * 128),
+            pl.BlockSpec((1, g, bq, 128),
                          lambda b, h, qi, ki: (b, h, qi, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((g * bq, 128), jnp.float32),
             pltpu.VMEM((g * bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((g * bq, D), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
@@ -1073,13 +1068,7 @@ def _fwd_call_packed(q, k, v, causal, sm_scale, block_q, block_k,
         interpret=interpret,
         name=f"flash_attn_hd{D}x{g}_{bq}x{bk}",
     )(qp, kp, vp)
-
-    def unpack(x, d):
-        b, hp, s, _ = x.shape
-        return x.reshape(b, hp, s, g, d).transpose(0, 1, 3, 2, 4) \
-                .reshape(b, H, s, d)
-
-    return unpack(op, D), unpack(lsep, 128)
+    return o, lse
 
 
 def flash_attention_packed(q, k, v, causal: bool = True,

@@ -285,3 +285,40 @@ def test_vit_sharded_train_step():
         labels = jax.device_put(jnp.zeros((4,), jnp.int32), ishard)
         _, loss = jstep(params, imgs, labels)
         assert jnp.isfinite(loss)
+
+
+def test_llama_decode_no_recompile_across_contexts():
+    """Round-2 verdict item 1 'Done' criterion: decode across growing
+    context lengths compiles a BOUNDED number of kernels. With a fixed-
+    capacity paged cache the shapes are static (1 compile for the whole
+    session); crossing page boundaries must not add variants."""
+    import jax
+    import jax.numpy as jnp
+
+    from cubecl_tpu.models import llama
+    import importlib
+
+    # ops/__init__ re-exports the FUNCTION under the submodule's name;
+    # fetch the module itself for its _TRACE_COUNT diagnostic
+    pa = importlib.import_module("cubecl_tpu.ops.paged_attention")
+
+    cfg = llama.LlamaConfig(vocab=64, d_model=64, n_heads=2, n_kv_heads=1,
+                            n_layers=1, d_ff=64, seq=32,
+                            use_framework_kernels=False)
+    params = llama.init_params(cfg)
+    B, page, max_pages = 2, 8, 4  # capacity 32 tokens
+    cache = llama.init_kv_cache(cfg, B, max_pages, page)
+    t0 = pa._TRACE_COUNT
+    step = jax.jit(lambda p, c, t: llama.decode_step(p, c, t, cfg))
+    tok = jnp.zeros((B,), jnp.int32)
+    # 18 steps: crosses two page boundaries (8, 16)
+    for _ in range(18):
+        logits, cache = step(params, cache, tok)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    assert np.isfinite(np.asarray(logits)).all()
+    # one paged-attention variant for the whole growing-context session
+    assert pa._TRACE_COUNT - t0 <= 1, pa._TRACE_COUNT - t0
+    # <=2: XLA may specialize the first call's fresh-buffer layouts;
+    # the growing context itself adds NO variants (the verdict's
+    # '<=2 kernels per family' criterion)
+    assert step._cache_size() <= 2, step._cache_size()
