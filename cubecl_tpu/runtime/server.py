@@ -117,6 +117,10 @@ class JaxServer(ComputeServer):
         handle.array = jax.device_put(np.asarray(data), self.device)
 
     def free(self, handle: Handle) -> None:
+        # drop-queue semantics (reference memory_pool/drop_queue +
+        # stream GcTask): a free must not invalidate a handle still
+        # referenced by queued-but-undispatched launches
+        self.flush_streams()
         self.memory.on_free(handle.id)
         handle.array = None
 

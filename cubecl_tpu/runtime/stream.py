@@ -50,12 +50,17 @@ class Stream:
         self.queue: List[_Queued] = []
         self.pending_ids: set = set()
         self.pending_writes: set = set()
+        self.errors: List[BaseException] = []
 
     def record(self) -> StreamEvent:
         return StreamEvent(self.index, self.cursor)
 
     def is_healthy(self) -> bool:
-        return True
+        """False once a task dispatched from this stream failed — the
+        reference's per-stream health probe (stream/event.rs:34). The
+        errors themselves follow the lazy contract: queued on the server
+        and raised at the next sync/read."""
+        return not self.errors
 
 
 class SchedulerMultiStream:
@@ -120,10 +125,30 @@ class SchedulerMultiStream:
         with self._lock:
             self._flush_locked()
 
+    def is_healthy(self) -> bool:
+        return all(s.is_healthy() for s in self.streams)
+
+    def _guard(self, s: Stream, run: Callable) -> Callable:
+        """Lazy-error capture (reference per-stream ServerError queues,
+        server/base.rs:294): a task that fails during a batched flush
+        must not abort the rest of the batch or surface at whatever
+        enqueue happened to trip the threshold — it marks the stream
+        unhealthy and queues on the server, raised at the next sync."""
+        def go(srv):
+            try:
+                run(srv)
+            except Exception as e:  # noqa: BLE001
+                s.errors.append(e)
+                q = getattr(srv, "error_queue", None)
+                if q is None:
+                    raise
+                q.append(e)
+        return go
+
     def _flush_stream(self, s: Stream) -> None:
         if not s.queue:
             return
-        runs = [q.run for q in s.queue]
+        runs = [self._guard(s, q.run) for q in s.queue]
         n = len(s.queue)
         s.flushed += n
         self._pending -= n
@@ -134,7 +159,7 @@ class SchedulerMultiStream:
         self.batch_exec(runs)
 
     def _flush_locked(self) -> None:
-        live = [list(s.queue) for s in self.streams]
+        live = [[(s, item) for item in s.queue] for s in self.streams]
         for s in self.streams:
             s.flushed += len(s.queue)
             s.queue.clear()
@@ -150,10 +175,11 @@ class SchedulerMultiStream:
             while any(live):
                 for q in live:
                     if q:
-                        runs.append(q.pop(0).run)
+                        s, item = q.pop(0)
+                        runs.append(self._guard(s, item.run))
         else:
             for q in live:
-                runs.extend(item.run for item in q)
+                runs.extend(self._guard(s, item.run) for s, item in q)
         self.dispatch_count += 1
         self.batch_exec(runs)
 

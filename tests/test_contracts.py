@@ -610,3 +610,68 @@ def test_scalar_value_change_no_recompile(client):
         np.testing.assert_allclose(client.read_one(o),
                                    np.full(8, v * 2 + v), rtol=1e-6)
     assert client._dev.call(lambda s: s.compile_count) == before
+
+
+def test_stream_health_and_lazy_batch_errors(client):
+    """A task that CRASHES during a batched flush (1) does not abort the
+    rest of the batch, (2) marks its stream unhealthy (reference
+    is_healthy probe, stream/event.rs:34), and (3) surfaces through the
+    lazy error queue at sync (server/base.rs:294)."""
+    import pytest
+
+    from cubecl_tpu.runtime.server import ServerError
+    from cubecl_tpu.runtime.stream import SchedulerMultiStream
+
+    class FakeSrv:
+        def __init__(self):
+            self.error_queue = []
+            self.ran = []
+
+    srv = FakeSrv()
+    sched = SchedulerMultiStream(
+        batch_exec=lambda runs: [r(srv) for r in runs],
+        num_streams=2, max_tasks=100)
+
+    def ok(tag):
+        return lambda s: s.ran.append(tag)
+
+    def boom(_s):
+        raise RuntimeError("boom in batch")
+
+    sched.enqueue(0, ok("a"), ids=[1])
+    sched.enqueue(1, boom, ids=[2])
+    sched.enqueue(0, ok("b"), ids=[3])
+    sched.flush()
+    assert srv.ran == ["a", "b"]          # batch survived the crash
+    assert sched.stream(0).is_healthy()
+    assert not sched.stream(1).is_healthy()
+    assert not sched.is_healthy()
+    assert len(srv.error_queue) == 1
+
+    # the real server drains its queue at sync with a ServerError
+    real = client._dev.call(lambda s: s)
+    real.error_queue.append(RuntimeError("late"))
+    with pytest.raises(ServerError, match="late"):
+        client.sync()
+
+
+def test_free_flushes_queued_launches(client):
+    """free() must dispatch queued launches that still reference the
+    handle (drop-queue semantics, memory_pool/drop_queue)."""
+    import numpy as np
+
+    from cubecl_tpu.frontend import ABSOLUTE_POS, ArrayArg, MutSlice, Slice, cube
+    from cubecl_tpu.runtime.base import CubeCount, CubeDim
+
+    @cube
+    def _copy1(inp: Slice, out: MutSlice):
+        out[ABSOLUTE_POS] = inp[ABSOLUTE_POS]
+
+    x = np.arange(256, dtype=np.float32)
+    h = client.create(x)
+    o = client.create(np.zeros(256, np.float32))
+    _copy1.launch_unchecked(client, CubeCount(2), CubeDim.new_1d(1),
+                            ArrayArg(h, line_size=128),
+                            ArrayArg(o, line_size=128, mutable=True))
+    client.free(h)  # queued launch must dispatch BEFORE the array drops
+    np.testing.assert_array_equal(client.read_one(o), x)
