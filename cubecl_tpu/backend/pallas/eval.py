@@ -485,11 +485,15 @@ class Evaluator:
             return EV(arr=val, varying=False, line=L)
         if c < 0:
             # reversed access (e.g. buf[N-1-UNIT_POS]): load the ascending
-            # span from the lowest index and flip the unit axis
+            # span from the lowest index and reverse the unit axis.
+            # jnp.flip lowers to lax.rev, which Mosaic does NOT implement
+            # (found by the round-3 TPU smoke suite) — reverse via an
+            # anti-diagonal one-hot matmul instead (exact; O(U^2) MACs,
+            # reversal is a teaching pattern, not a hot path)
             lo = rel + c * (U - 1)
             val = self._load_span(ref, lo, -c, L, blk_lines,
                                   mask_ev is not None, mult)
-            return EV(arr=self.jnp.flip(val, axis=0), varying=True, line=L)
+            return EV(arr=self._reverse_rows(val), varying=True, line=L)
         if L == 1 and c > 1 and not self.interpret:
             # strided per-unit SCALAR loads (e.g. row-major scalar sweeps,
             # unit stride c): the (U, c) group reshape of a 1D span is not
@@ -1174,6 +1178,28 @@ class Evaluator:
             old = ref[:, pl.ds(i * L, L)]
             mm = m if getattr(m, "ndim", 0) > 0 else jnp.full((self.U, 1), m)
             ref[:, pl.ds(i * L, L)] = jnp.where(mm, v, old)
+
+    def _reverse_rows(self, val):
+        """Reverse the sublane axis. ``lax.rev`` has no Mosaic lowering,
+        so compiled kernels use an anti-diagonal one-hot matmul (the MXU
+        eats the O(U^2) MACs; exact for f32/i32 inputs)."""
+        jnp = self.jnp
+        if self.interpret:
+            return jnp.flip(val, axis=0)
+        squeeze = val.ndim == 1
+        v2 = val.reshape(val.shape[0], 1) if squeeze else val
+        n = v2.shape[0]
+        i = self.jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        j = self.jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        anti = i + j == n - 1
+        if v2.dtype == jnp.int32:
+            out = jnp.dot(anti.astype(jnp.int32), v2,
+                          preferred_element_type=jnp.int32)
+        else:
+            out = jnp.dot(anti.astype(v2.dtype), v2,
+                          preferred_element_type=jnp.float32) \
+                .astype(v2.dtype)
+        return out.reshape(val.shape) if squeeze else out
 
     def _gather_load(self, buf, idx, mask_ev, out_line):
         """Unit-varying non-affine load: one-hot matmul gather over the
