@@ -52,7 +52,7 @@ class PallasCompiler(Compiler):
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
-        from .eval import EV, Cell, Evaluator
+        from .eval import EV, Cell, Evaluator, WideRef
 
         scope = defn.scope
         cd, cc = defn.cube_dim, defn.cube_count
@@ -150,6 +150,33 @@ class PallasCompiler(Compiler):
                     # divisibility
                     plan.pad_lines = plan.max_span
 
+        # sub-32-bit 1D refs cannot be ds-sliced by Mosaic at ANY static
+        # width that isn't a full packed lane-tile (bf16 needs %256; int8
+        # slices never lower) — round-3 TPU smoke suite. Line-1 sub-32-bit
+        # buffers are therefore WIDENED to their 32-bit carrier at the
+        # pallas_call boundary (exact round-trip: bf16->f32, i8->i32, ...)
+        # and the evaluator casts loads back to the logical dtype. Costs
+        # 2-4x HBM traffic on these buffers only — hot kernels use
+        # line>=128 2D refs (CLAUDE.md rule), which slice natively.
+        def _wide_jnp(elem):
+            # jnp.issubdtype, not numpy kind: ml_dtypes customs
+            # (bfloat16, fp8) carry numpy kind 'V' and would misroute
+            dt = jnp.dtype(elem.jnp_dtype())
+            if jnp.issubdtype(dt, jnp.floating):
+                return jnp.float32
+            if jnp.issubdtype(dt, jnp.unsignedinteger):
+                return jnp.uint32
+            return jnp.int32
+
+        widened: Dict[int, Any] = {}
+        logical_of: Dict[int, Any] = {}  # vid -> logical (narrow) dtype
+        if not self.interpret:
+            for bp in state.buffers:
+                if bp.ty.line == 1 and bp.ty.elem.size < 4 \
+                        and plans[bp.value.vid].mode != "nd":
+                    widened[bp.value.vid] = _wide_jnp(bp.ty.elem)
+                    logical_of[bp.value.vid] = bp.ty.elem.jnp_dtype()
+
         # ---------------- assemble specs ----------------------------------
         # grid is (cz, cy, cx), x innermost/fastest — with size-1 dims
         # SQUEEZED out: a 3D Mosaic grid with leading 1s costs ~2x the
@@ -231,7 +258,8 @@ class PallasCompiler(Compiler):
                     oshape = (padded, bp.ty.line) if bp.ty.line > 1 \
                         else (padded,)
                 out_shapes.append(jax.ShapeDtypeStruct(
-                    oshape, bp.ty.elem.jnp_dtype()))
+                    oshape, widened.get(bp.value.vid,
+                                        bp.ty.elem.jnp_dtype())))
                 out_buffer_vids.append(bp.value.vid)
                 if needs_input:
                     io_aliases[buffer_input_pos[bp.value.vid]] = out_idx
@@ -258,7 +286,12 @@ class PallasCompiler(Compiler):
                 elif not self.interpret and n % 128:
                     n = -(-n // 128) * 128  # 1D VMEM lane alignment
                 shape = (n,)
-            scratch_shapes.append(pltpu.VMEM(shape, sd.ty.elem.jnp_dtype()))
+            sdt = sd.ty.elem.jnp_dtype()
+            if not self.interpret and sd.ty.elem.size < 4 and \
+                    (L == 1 or per_unit):
+                sdt = _wide_jnp(sd.ty.elem)  # same 1D-slicing rule
+                logical_of[sd.value.vid] = sd.ty.elem.jnp_dtype()
+            scratch_shapes.append(pltpu.VMEM(shape, sdt))
             scratch_meta.append(sd.value.vid)
 
         n_in = len(in_specs)
@@ -309,6 +342,11 @@ class PallasCompiler(Compiler):
                 ref_map[vid] = r
             for vid, r in zip(scratch_meta, scratch_refs):
                 ref_map[vid] = r
+            # widened sub-32-bit refs: the evaluator sees the LOGICAL
+            # dtype through a casting proxy (loads narrow, stores widen)
+            for vid, ldt in logical_of.items():
+                if vid in ref_map:
+                    ref_map[vid] = WideRef(ref_map[vid], ldt, jnp)
 
             ev = Evaluator(defn, plans, ua, ref_map, scalar_vals,
                            jnp, lax, pl, jax, pltpu, self.interpret,
@@ -402,6 +440,8 @@ class PallasCompiler(Compiler):
                     if pad:
                         widths = ((0, pad), (0, 0)) if L > 1 else ((0, pad),)
                         arr = jnp.pad(arr, widths)
+                    if vid in widened:
+                        arr = arr.astype(widened[vid])
                     flat_in.append(arr)
             if dyn_grid:
                 pos = scalar_order.index(defn.dynamic_grid_vid)
@@ -420,6 +460,8 @@ class PallasCompiler(Compiler):
                 pad = pads_of[vid]
                 if pad:
                     r = r[:-pad] if r.ndim == 1 else r[:-pad, :]
+                if vid in widened:
+                    r = r.astype(buffers[idx].dtype)
                 outs.append(r.reshape(buffers[idx].shape))
             return tuple(outs)
 

@@ -76,6 +76,32 @@ def _kernel_fail(msg: str):
     raise NotImplementedError(f"pallas lowering: {msg}")
 
 
+class WideRef:
+    """Proxy over a pallas Ref whose PHYSICAL dtype is the 32-bit carrier
+    of a sub-32-bit logical dtype (emitter widens line-1 refs — Mosaic
+    cannot ds-slice 1D sub-32-bit memrefs at unaligned static widths).
+    Loads cast back to the logical dtype; stores cast to the carrier.
+    Exact round-trips by construction (bf16⊂f32, i8/i16⊂i32, u8/u16⊂u32).
+    """
+
+    __slots__ = ("raw", "dtype", "_jnp")
+
+    def __init__(self, raw, logical_dtype, jnp):
+        self.raw = raw
+        self.dtype = jnp.dtype(logical_dtype)
+        self._jnp = jnp
+
+    @property
+    def shape(self):
+        return self.raw.shape
+
+    def __getitem__(self, idx):
+        return self.raw[idx].astype(self.dtype)
+
+    def __setitem__(self, idx, val):
+        self.raw[idx] = self._jnp.asarray(val).astype(self.raw.dtype)
+
+
 class Evaluator:
     def __init__(self, defn, plans, ua, refs, scalar_vals, jnp, lax, pl, jax,
                  pltpu=None, interpret: bool = False, grid_axes=None):
@@ -298,7 +324,10 @@ class Evaluator:
         ev = self.get(idx)
         if ev.aff is None:
             if not ev.varying:
-                return (self.materialize(ev), 0)
+                # indices can arrive float-typed (f32 comptime literals in
+                # index position) — coerce: Mosaic's assume_multiple /
+                # pl.ds require integer operands
+                return (_index_int(self.jnp, self.materialize(ev)), 0)
             return None
         uni, coeffs = ev.aff
         c = self.flat_unit_coeff(coeffs)
@@ -332,7 +361,7 @@ class Evaluator:
                     if ev is None:
                         return None
                     v = self.materialize(ev)
-                rel = rel + k * v
+                rel = rel + k * _index_int(self.jnp, v)
             else:
                 return None
         c = self.flat_unit_coeff(
@@ -490,6 +519,11 @@ class Evaluator:
             # (found by the round-3 TPU smoke suite) — reverse via an
             # anti-diagonal one-hot matmul instead (exact; O(U^2) MACs,
             # reversal is a teaching pattern, not a hot path)
+            if -c > 1 and L == 1 and not self.interpret:
+                # reversed STRIDED scalar access: the ascending-span path
+                # would need an illegal (U, c) group reshape — exact
+                # one-hot gather instead (same rule as forward strides)
+                return self._gather_load(buf, idx, mask_ev, out_line)
             lo = rel + c * (U - 1)
             val = self._load_span(ref, lo, -c, L, blk_lines,
                                   mask_ev is not None, mult)
@@ -662,7 +696,7 @@ class Evaluator:
             jnp.int32, (U, blk_lines), 1)                  # (U, blk)
         oneh = (pos == tgt) & (mm.reshape(U, 1) != 0)
         data = ref[...]
-        hit = jnp.any(oneh, axis=0)                        # (blk,)
+        hit = self._any_live(oneh, axis=0)                 # (blk,)
         # sum over an exclusive one-hot is exact in the value dtype
         # (bool promotes to i32 so the sum is legal)
         work = jnp.int32 if data.dtype == jnp.bool_ else data.dtype
@@ -757,8 +791,8 @@ class Evaluator:
             if span_eff < span:
                 win = jnp.concatenate(
                     [win, jnp.zeros((span - span_eff,), win.dtype)])
-            return win.reshape(U, 1) if c == 1 else \
-                win.reshape(U, c)[:, :1]
+            return self._shape_cast(win, (U, 1)) if c == 1 else \
+                self._shape_cast(win, (U, c))[:, :1]
         row = self._hint(_as_i32(jnp, rel), U if c == 1 else 1)
         if L > 1:
             if not isinstance(rel, int) and not self.interpret:
@@ -776,7 +810,8 @@ class Evaluator:
         if span_eff < span:
             chunk = jnp.concatenate(
                 [chunk, jnp.zeros((span - span_eff,), chunk.dtype)])
-        return chunk.reshape(U, 1) if c == 1 else chunk.reshape(U, c)[:, :1]
+        return self._shape_cast(chunk, (U, 1)) if c == 1 \
+            else self._shape_cast(chunk, (U, c))[:, :1]
 
     def store_buffer(self, buf: Value, idx: Value, val_ev: EV,
                      mask_ev: Optional[EV], ignore_mask: bool = False,
@@ -810,13 +845,14 @@ class Evaluator:
             # out[i] = v` idiom; multiple live units on one address is a
             # data race on the reference GPUs too)
             if val_ev.varying:
-                v = self.materialize(val_ev, dtype).reshape(U, -1)
+                v = self._shape_cast(
+                    self.materialize(val_ev, dtype), (U, -1))
                 if m is not None and getattr(m, "ndim", 0) > 0:
-                    mm = m.reshape(U, -1)
+                    mm = self._shape_cast(m, (U, -1))
                     picked = jnp.where(mm, v.astype(jnp.float32)
                                        if v.dtype == jnp.bool_ else v, 0)
                     v = jnp.sum(picked, axis=0).astype(dtype)
-                    m = jnp.any(mm)
+                    m = self._any_live(mm)
                 else:
                     v = v[0]
                 v = v.reshape(L) if L > 1 else v.reshape(())
@@ -827,7 +863,7 @@ class Evaluator:
                     # n: out[i] = const`): the store fires iff ANY unit is
                     # live — collapse the (U,1) mask so the RMW below stays
                     # single-line instead of broadcasting to (U, L)
-                    m = jnp.any(m)
+                    m = self._any_live(m)
             if m is not None:
                 rel = self._clip_rel(rel, 0, blk_lines - 1)
             if L == 1 and not isinstance(rel, int):
@@ -840,7 +876,7 @@ class Evaluator:
                 if m is not None:
                     mm = m
                     if getattr(mm, "ndim", 0) > 0:
-                        mm = jnp.any(mm)
+                        mm = self._any_live(mm)
                     sel = sel & mm
                 ref[...] = jnp.where(sel, jnp.asarray(v, dtype), data)
                 return
@@ -872,13 +908,28 @@ class Evaluator:
         span = c * U                    # group-reshape size
         exact = (U - 1) * c + 1         # lines actually touched
         v = self.broadcast_to_canon(val_ev, True, L, dtype)  # (U, L)
+        if L == 1 and c > 1 and not self.interpret:
+            # strided per-unit SCALAR stores: the (U, c) group reshape of
+            # a 1D span is not a legal Mosaic relayout (dual of the
+            # strided-load rule in load_buffer) — one-hot scatter RMW,
+            # exact value/target pairing at any base incl. OOB drops
+            if exact > blk_lines and m is None:
+                _kernel_fail(
+                    f"unmasked store of {exact} lines into a {blk_lines}-line"
+                    f" buffer; guard the access or use launch() (checked)")
+            mm = jnp.full((U, 1), True) if m is None else (
+                m if getattr(m, "ndim", 0) > 0 else jnp.full((U, 1), m))
+            self._onehot_masked_store(ref, rel, c, self._shape_cast(v, (U, 1)),
+                                      mm, 1, blk_lines)
+            return
         if L == 1 and not isinstance(rel, int) and not self.interpret:
             # dynamic 1D offset store: aligned superspan RMW + rotate
             win, wb = self._dyn_window_1d(ref, rel, exact, blk_lines, mult)
             w2 = jnp.concatenate(
-                [win, jnp.zeros((span - exact,), win.dtype)]).reshape(U, c) \
-                if span > exact else win.reshape(U, c)
-            new = v.reshape(U, 1).astype(win.dtype)
+                [win, jnp.zeros((span - exact,), win.dtype)]) \
+                if span > exact else win
+            w2 = self._shape_cast(w2, (U, c))
+            new = self._shape_cast(v, (U, 1)).astype(win.dtype)
             if m is not None:
                 mm = m if getattr(m, "ndim", 0) > 0 else jnp.full((U, 1), m)
                 new = jnp.where(mm.reshape(U, 1), new, w2[:, :1])
@@ -892,7 +943,7 @@ class Evaluator:
         row = self._hint(_as_i32(jnp, rel), U if c == 1 else 1)
         dyn2d = L > 1 and not isinstance(rel, int) and not self.interpret
         if c == 1 and span <= blk_lines:
-            new = v if L > 1 else v.reshape(U)
+            new = v if L > 1 else self._shape_cast(v, (U,))
             if dyn2d:
                 win, wb = self._dyn_rows_2d(ref, rel_raw, U, blk_lines, mult)
                 if m is not None:
@@ -917,7 +968,7 @@ class Evaluator:
                 else:
                     old = ref[pl.ds(row, U)]
                     ref[pl.ds(row, U)] = jnp.where(
-                        mm.reshape(U), new, old)
+                        self._shape_cast(mm, (U,)), new, old)
                 return
             # masked store whose window may straddle the buffer (traced
             # base in interpret mode, or a static out-of-range base):
@@ -1022,7 +1073,7 @@ class Evaluator:
         data = ref[...]
         acc_dt = jnp.float32 if dtype != jnp.int32 else jnp.int32
         scattered = jnp.sum(jnp.where(onehot, v, 0).astype(acc_dt), axis=0)
-        written = jnp.any(onehot, axis=0)
+        written = self._any_live(onehot, axis=0)
         ref[...] = jnp.where(written, scattered.astype(data.dtype), data)
 
     def _nd_access(self, inst: Instruction) -> None:
@@ -1109,11 +1160,13 @@ class Evaluator:
         varying_tgt = unit_dim is not None
         if not varying_tgt and val_ev.varying:
             # uniform target, varying value: masked-unit select
-            v = self.materialize(val_ev, dtype).reshape(U, -1)
+            v = self._shape_cast(
+                self.materialize(val_ev, dtype), (U, -1))
             if m is not None and getattr(m, "ndim", 0) > 0:
-                mm = m.reshape(U, -1)
-                v = jnp.sum(jnp.where(mm, v, 0), axis=0).astype(dtype)
-                m = jnp.any(mm)
+                mm = self._shape_cast(m, (U, -1))
+                v = jnp.sum(jnp.where(mm, self._widen(v), 0),
+                            axis=0).astype(dtype)
+                m = self._any_live(mm)
             else:
                 v = v[0]
             new = v.reshape(L) if L > 1 else v.reshape(())
@@ -1123,7 +1176,7 @@ class Evaluator:
                     getattr(m, "ndim", 0) > 0:
                 # uniform value + uniform target under a per-unit mask:
                 # collapse (see store_buffer's c == 0 path)
-                m = jnp.any(m)
+                m = self._any_live(m)
         chunk_shape = ref[idxers].shape if (m is not None or cu > 1) else None
         if m is None and (unit_dim is None or cu == 1):
             ref[idxers] = new.reshape(
@@ -1201,6 +1254,112 @@ class Evaluator:
                 .astype(v2.dtype)
         return out.reshape(val.shape) if squeeze else out
 
+    # -- Mosaic dtype-legality shims -------------------------------------
+    # (all found by the round-3 TPU smoke suite: the interpreter accepts
+    # shapes/dtypes Mosaic rejects)
+
+    def _widen(self, x):
+        """32-bit view of a value for shape casts: Mosaic only inserts/
+        removes minor dims on 32-bit types. Exact round-trips: bf16/f16→f32,
+        i8/i16→i32, bool→i32, u8/u16→u32."""
+        jnp = self.jnp
+        dt = jnp.dtype(x.dtype)
+        if dt == jnp.bool_:
+            return x.astype(jnp.int32)
+        if dt.itemsize == 4:
+            return x
+        # NB: ml_dtypes customs (bfloat16, fp8) have numpy kind 'V' —
+        # dt.kind checks misroute them; issubdtype knows the hierarchy
+        if jnp.issubdtype(dt, jnp.floating):
+            return x.astype(jnp.float32)
+        if jnp.issubdtype(dt, jnp.unsignedinteger):
+            return x.astype(jnp.uint32)
+        return x.astype(jnp.int32)
+
+    def _shape_cast(self, x, shape):
+        """Mosaic-safe reshape: sub-32-bit dtypes round-trip through a
+        32-bit type (tpu.reshape only inserts/removes minor dims on
+        32-bit elements)."""
+        jnp = self.jnp
+        if not hasattr(x, "reshape"):
+            return jnp.asarray(x).reshape(shape)
+        if tuple(x.shape) == tuple(shape):
+            return x
+        if self.interpret or jnp.dtype(x.dtype).itemsize == 4:
+            return x.reshape(shape)
+        orig = x.dtype
+        wide = self._widen(x).reshape(shape)
+        if orig == jnp.bool_:
+            return wide != 0
+        return wide.astype(orig)
+
+    def _any_live(self, m, axis=None):
+        """jnp.any that Mosaic can lower: bool-vector reductions emit
+        illegal tpu.mask_cast ops — reduce an i32 view instead."""
+        jnp = self.jnp
+        if self.interpret or getattr(m, "ndim", 0) == 0:
+            return jnp.any(m, axis=axis)
+        return jnp.max(m.astype(jnp.int32), axis=axis) != 0
+
+    def _roll_rows(self, x2d, s):
+        """y[u] = x[u - s] cyclically along sublanes (static s)."""
+        n = x2d.shape[0]
+        s = s % n
+        if s == 0:
+            return x2d
+        if self.interpret:
+            return self.jnp.roll(x2d, s, 0)
+        return self.pltpu.roll(x2d, s, 0)
+
+    def _seg_scan(self, x2d, op, neutral, seg):
+        """Inclusive Hillis-Steele scan within aligned row segments of
+        ``seg`` (log2(seg) sublane rotates — cross-segment contributions
+        are masked to ``neutral``). The TPU-native lowering for plane
+        scans (seg = plane) and lockstep atomic prefixes (seg = U)."""
+        jnp = self.jnp
+        orig = x2d.dtype
+        if not self.interpret and jnp.dtype(orig).itemsize != 4:
+            y = self._seg_scan(self._widen(x2d), op, neutral, seg)
+            return (y != 0) if orig == jnp.bool_ else y.astype(orig)
+        li = self.jax.lax.broadcasted_iota(jnp.int32, x2d.shape, 0) % seg
+        s = 1
+        y = x2d
+        while s < seg:
+            sh = self._roll_rows(y, s)
+            y = op(y, jnp.where(li >= s, sh, jnp.full_like(y, neutral)))
+            s *= 2
+        return y
+
+    def _seg_fill_last(self, y2d, seg):
+        """Copy each segment's last row's value to every row of the
+        segment (log-step backward copy fill)."""
+        jnp = self.jnp
+        n = y2d.shape[0]
+        li = self.jax.lax.broadcasted_iota(jnp.int32, y2d.shape, 0) % seg
+        s = 1
+        while s < seg:
+            cand = self._roll_rows(y2d, n - s)  # y[u + s]
+            y2d = jnp.where(li + s <= seg - 1, cand, y2d)
+            s *= 2
+        return y2d
+
+    def _seg_bcast_static(self, x2d, k, seg):
+        """Every row reads its segment's row ``k`` (static): log-step
+        forward fill from k, then backward fill."""
+        jnp = self.jnp
+        n = x2d.shape[0]
+        li = self.jax.lax.broadcasted_iota(jnp.int32, x2d.shape, 0) % seg
+        y = x2d
+        s = 1
+        while s < seg:  # rows > k
+            y = jnp.where(li - s >= k, self._roll_rows(y, s), y)
+            s *= 2
+        s = 1
+        while s < seg:  # rows < k
+            y = jnp.where(li + s <= k, self._roll_rows(y, n - s), y)
+            s *= 2
+        return y
+
     def _gather_load(self, buf, idx, mask_ev, out_line):
         """Unit-varying non-affine load: one-hot matmul gather over the
         resident block (exact but O(block) — avoid in hot kernels)."""
@@ -1224,26 +1383,75 @@ class Evaluator:
 
     # ------------------------------------------------------------ plane ops
 
-    def _plane_reduce(self, x_ev: EV, fn, scan=False, exclusive=False):
+    def _plane_canon(self, x_ev: EV):
+        """Canonical (U, L) array in a 32-bit work dtype + a restore fn.
+
+        The reference's plane ops are warp-register shuffles
+        (cubecl-cpp warp printers); here the plane IS 8 sublanes of the
+        canonical (U, L) array, so every plane op lowers to log-step
+        sublane rotates (pltpu.roll) with in-plane masks — no 3D
+        reshapes (Mosaic rejects those shape casts; round-3 TPU smoke
+        suite). Sub-32-bit values are widened exactly (bf16→f32,
+        i8/i16/bool→i32)."""
         jnp = self.jnp
-        P = self.plane
         U = self.U
+        L = max(1, x_ev.line)
         x = self.materialize(x_ev)
         if not x_ev.varying:
-            x = jnp.broadcast_to(x, (U, max(1, x_ev.line)))
-        L = x.shape[-1] if x.ndim > 1 else 1
-        x = x.reshape(U // P, P, L)
+            x = jnp.broadcast_to(jnp.asarray(x), (U, L))
+        if getattr(x, "ndim", 0) == 1:
+            x = self._shape_cast(x, (U, 1))
+        orig = x.dtype
+        xw = self._widen(x)
+
+        def restore(y2d, dtype=orig):
+            if dtype == jnp.bool_:
+                return y2d != 0
+            return y2d.astype(dtype)
+
+        return xw, orig, restore
+
+    _PLANE_NEUTRAL = {"add": 0, "mul": 1, "max": None, "min": None}
+
+    def _plane_scan_op(self, oc):
+        """(op, neutral_for_dtype) for a plane scan/reduction opcode."""
+        jnp = self.jnp
+
+        def neutral_max(dt):
+            return jnp.finfo(dt).min if jnp.dtype(dt).kind == "f" \
+                else jnp.iinfo(dt).min
+
+        def neutral_min(dt):
+            return jnp.finfo(dt).max if jnp.dtype(dt).kind == "f" \
+                else jnp.iinfo(dt).max
+
+        return {
+            "add": (jnp.add, lambda dt: 0),
+            "mul": (jnp.multiply, lambda dt: 1),
+            "max": (jnp.maximum, neutral_max),
+            "min": (jnp.minimum, neutral_min),
+        }[oc]
+
+    def _plane_reduce(self, x_ev: EV, kind: str, scan=False,
+                      exclusive=False) -> EV:
+        """Plane reduction/scan via segmented log-step rotates."""
+        jnp = self.jnp
+        P = self.plane
+        xw, orig, restore = self._plane_canon(x_ev)
+        booly = orig == jnp.bool_
+        op, neutral_fn = self._plane_scan_op(
+            {"all": "min", "any": "max"}.get(kind, kind))
+        neutral = neutral_fn(xw.dtype)
+        y = self._seg_scan(xw, op, neutral, P)
         if scan:
-            y = fn(x)  # cumulative along axis=1
             if exclusive:
-                z = jnp.zeros_like(y[:, :1, :])
-                y = jnp.concatenate([z, y[:, :-1, :]], axis=1)
+                li = self.jax.lax.broadcasted_iota(jnp.int32, y.shape, 0) % P
+                y = jnp.where(li >= 1, self._roll_rows(y, 1),
+                              jnp.full_like(y, neutral))
         else:
-            y = fn(x)  # reduced along axis=1, keepdims
-            y = jnp.broadcast_to(y, x.shape)
-        out = y.reshape(U, L)
-        return EV(arr=out if x_ev.line > 1 else out, varying=True,
-                  line=x_ev.line)
+            y = self._seg_fill_last(y, P)
+        return EV(arr=restore(y, orig if not booly else jnp.bool_),
+                  varying=True, line=x_ev.line)
 
     # --------------------------------------------------------------- runner
 
@@ -1534,12 +1742,22 @@ class Evaluator:
         varying, line = self._canon_carry(v)
         dtype = _elem_dtype(jnp, v.ty)
         ev = self.get(v)
-        return self.broadcast_to_canon(ev, varying or ev.varying, line, dtype)
+        arr = self.broadcast_to_canon(ev, varying or ev.varying, line, dtype)
+        if not self.interpret and \
+                getattr(arr, "dtype", None) == jnp.bool_:
+            # Mosaic rejects i1 (mask-typed) loop carries ("Expected mask
+            # vector types", round-3 TPU smoke suite) — ride i32
+            arr = arr.astype(jnp.int32)
+        return arr
 
     def _carry_set(self, v: Value, arr) -> None:
         if v.kind == VarKind.MATRIX:
             self.env[v.vid] = EV(arr=arr, varying=False, line=1)
             return
+        jnp = self.jnp
+        if not self.interpret and _elem_dtype(jnp, v.ty) == jnp.bool_ \
+                and getattr(arr, "dtype", None) == jnp.int32:
+            arr = arr != 0  # un-widen the i32-carried bool
         varying, line = self._canon_carry(v)
         varying = varying or (getattr(arr, "ndim", 0) > 0
                               and arr.shape[:1] == (self.U,))
@@ -1672,7 +1890,7 @@ class Evaluator:
             ev = self.get(cond_value)
             c = self.materialize(ev)
             if ev.varying:
-                c = self.jnp.any(c)
+                c = self._any_live(c)
             return c
 
         def body_fn(carry):
@@ -1702,15 +1920,23 @@ class Evaluator:
         varying_alive = _loop_break_varying(body, self)
         alive0 = jnp.ones((self.U, 1), jnp.bool_) if varying_alive \
             else jnp.asarray(True)
+        # the alive mask rides the while carry as i32: Mosaic rejects
+        # i1 loop carries ("Expected mask vector types")
+        if not self.interpret:
+            alive0 = alive0.astype(jnp.int32)
         init = (alive0,) + tuple(self._carry_get(v) for v in carries)
         saved_env = dict(self.env)
 
         def cond_fn(carry):
             alive = carry[0]
-            return jnp.any(alive) if varying_alive else alive
+            if varying_alive:
+                return self._any_live(alive)
+            return alive if alive.dtype == jnp.bool_ else alive != 0
 
         def body_fn(carry):
             alive = carry[0]
+            if alive.dtype != jnp.bool_:
+                alive = alive != 0
             self.env = dict(saved_env)
             for v, c in zip(carries, carry[1:]):
                 self._carry_set(v, c)
@@ -1724,7 +1950,10 @@ class Evaluator:
             finally:
                 self.masks.pop()
                 self._loop_cells.pop()
-            return (cell.value,) + tuple(self._carry_get(v) for v in carries)
+            out_alive = jnp.asarray(cell.value)
+            if not self.interpret and out_alive.dtype == jnp.bool_:
+                out_alive = out_alive.astype(jnp.int32)
+            return (out_alive,) + tuple(self._carry_get(v) for v in carries)
 
         final = lax.while_loop(cond_fn, body_fn, init)
         self.env = saved_env
@@ -1765,60 +1994,50 @@ class Evaluator:
             return
         x = self.get(inst.op.args[0])
         if oc == O.PLANE_SUM:
-            ev = self._plane_reduce(x, lambda a: jnp.sum(a, 1, keepdims=True))
+            ev = self._plane_reduce(x, "add")
         elif oc == O.PLANE_PROD:
-            ev = self._plane_reduce(x, lambda a: jnp.prod(a, 1, keepdims=True))
+            ev = self._plane_reduce(x, "mul")
         elif oc == O.PLANE_MAX:
-            ev = self._plane_reduce(x, lambda a: jnp.max(a, 1, keepdims=True))
+            ev = self._plane_reduce(x, "max")
         elif oc == O.PLANE_MIN:
-            ev = self._plane_reduce(x, lambda a: jnp.min(a, 1, keepdims=True))
+            ev = self._plane_reduce(x, "min")
         elif oc == O.PLANE_ALL:
-            ev = self._plane_reduce(x, lambda a: jnp.all(a, 1, keepdims=True))
+            ev = self._plane_reduce(x, "all")
         elif oc == O.PLANE_ANY:
-            ev = self._plane_reduce(x, lambda a: jnp.any(a, 1, keepdims=True))
+            ev = self._plane_reduce(x, "any")
         elif oc == O.PLANE_INCLUSIVE_SUM:
-            ev = self._plane_reduce(x, lambda a: jnp.cumsum(a, 1), scan=True)
+            ev = self._plane_reduce(x, "add", scan=True)
         elif oc == O.PLANE_EXCLUSIVE_SUM:
-            ev = self._plane_reduce(x, lambda a: jnp.cumsum(a, 1), scan=True,
-                                    exclusive=True)
+            ev = self._plane_reduce(x, "add", scan=True, exclusive=True)
         elif oc == O.PLANE_INCLUSIVE_PROD:
-            ev = self._plane_reduce(x, lambda a: jnp.cumprod(a, 1), scan=True)
+            ev = self._plane_reduce(x, "mul", scan=True)
         elif oc == O.PLANE_EXCLUSIVE_PROD:
-            ev = self._plane_reduce(x, lambda a: jnp.cumprod(a, 1), scan=True,
-                                    exclusive=True)
+            ev = self._plane_reduce(x, "mul", scan=True, exclusive=True)
         elif oc == O.PLANE_BALLOT:
-            xm = self.materialize(x)
-            xm = jnp.broadcast_to(xm, (self.U, 1)) if not x.varying else xm
+            # packed plane bitmask: active << lane_in_plane, then an
+            # in-plane OR-scan + fill (i32 throughout — Mosaic has no
+            # unsigned reductions)
             P = self.plane
-            bits = xm.astype(jnp.uint32).reshape(self.U // P, P)
-            w = jnp.left_shift(
-                jnp.uint32(1),
-                self.jax.lax.broadcasted_iota(jnp.uint32, (1, P), 1))
-            packed = jnp.sum(bits * w, axis=1, keepdims=True)
-            packed = jnp.broadcast_to(packed, (self.U // P, P)).reshape(
-                self.U, 1)
-            ev = EV(arr=packed, varying=True)
+            xw, _orig, _restore = self._plane_canon(x)
+            li = self.jax.lax.broadcasted_iota(jnp.int32, xw.shape, 0) % P
+            bits = jnp.left_shift((xw != 0).astype(jnp.int32), li)
+            packed = self._seg_fill_last(
+                self._seg_scan(bits, jnp.bitwise_or, 0, P), P)
+            ev = EV(arr=packed.astype(jnp.uint32), varying=True)
         elif oc == O.PLANE_BROADCAST:
             lane_ev = self.get(inst.op.args[1])
-            if lane_ev.varying:
-                # per-unit source lane: one-hot gather over the plane
-                ev = self._plane_gather(x, self.broadcast_to_canon(
-                    lane_ev, True, 1, self.jnp.int32).reshape(self.U))
-                self.set_env(out, ev)
-                return
-            lane = self.materialize(lane_ev)
-            xm = self.materialize(x)
             if not x.varying:
                 ev = x
+            elif lane_ev.varying or not isinstance(
+                    self.materialize(lane_ev), int):
+                # per-unit (or traced-uniform) source lane
+                ev = self._plane_gather(x, self.broadcast_to_canon(
+                    lane_ev, True, 1, self.jnp.int32))
             else:
-                P = self.plane
-                L = xm.shape[-1] if xm.ndim > 1 else 1
-                g = xm.reshape(self.U // P, P, L)
-                idx = jnp.asarray(lane, jnp.int32)
-                sel = self.lax.dynamic_index_in_dim(g, idx, axis=1,
-                                                    keepdims=True)
-                y = jnp.broadcast_to(sel, g.shape).reshape(self.U, L)
-                ev = EV(arr=y, varying=True, line=x.line)
+                k = int(self.materialize(lane_ev)) % self.plane
+                xw, orig, restore = self._plane_canon(x)
+                y = self._seg_bcast_static(xw, k, self.plane)
+                ev = EV(arr=restore(y), varying=True, line=x.line)
         elif oc in (O.PLANE_SHUFFLE_XOR, O.PLANE_SHUFFLE_UP,
                     O.PLANE_SHUFFLE_DOWN, O.PLANE_SHUFFLE):
             ev = self._plane_shuffle(oc, x, inst.op.args[1])
@@ -1828,28 +2047,29 @@ class Evaluator:
 
     def _plane_gather(self, x: EV, src_lanes) -> EV:
         """Per-unit plane gather: unit u reads the value of lane
-        src_lanes[u] within its plane (one-hot select over the P=8
-        sublanes — O(P) VPU work; the general lowering for traced or
-        unit-varying shuffle/broadcast lanes)."""
+        src_lanes[u] within its plane. Lowered as a select over the P
+        static plane broadcasts (pure sublane rotates + selects — exact
+        for every dtype incl. inf/nan payloads; O(P log P) rotates, the
+        general path for traced or unit-varying shuffle lanes)."""
         jnp = self.jnp
-        P, U = self.plane, self.U
-        xm = self.materialize(x)
+        P = self.plane
         if not x.varying:
             return x
-        L = xm.shape[-1] if xm.ndim > 1 else 1
-        g = xm.reshape(U // P, P, L)
-        src = jnp.clip(jnp.asarray(src_lanes, jnp.int32).reshape(U), 0,
-                       P - 1).reshape(U // P, P)
-        oneh = src[:, :, None] == self.jax.lax.broadcasted_iota(
-            jnp.int32, (U // P, P, P), 2)           # [grp, unit, src]
-        y = jnp.sum(jnp.where(oneh[..., None], g[:, None, :, :],
-                              jnp.zeros_like(g[:, None, :, :])), axis=2)
-        return EV(arr=y.reshape(U, L), varying=True, line=x.line)
+        xw, orig, restore = self._plane_canon(x)
+        src = jnp.clip(self._shape_cast(
+            jnp.asarray(src_lanes, jnp.int32), (self.U, 1)), 0, P - 1)
+        acc = xw
+        for k in range(P):
+            bk = self._seg_bcast_static(xw, k, P)
+            acc = jnp.where(src == k, bk, acc)
+        return EV(arr=restore(acc), varying=True, line=x.line)
 
     def _plane_shuffle(self, oc, x: EV, arg: Value) -> EV:
         jnp = self.jnp
         a_ev = self.get(arg)
         P = self.plane
+        if not x.varying:
+            return x
         if a_ev.varying or not isinstance(
                 self.materialize(a_ev), (int,)):
             # traced (or per-unit) lane argument: compute per-unit source
@@ -1858,9 +2078,7 @@ class Evaluator:
             a = self.broadcast_to_canon(a_ev, True, 1, jnp.int32) \
                 if a_ev.varying else jnp.broadcast_to(
                     jnp.asarray(self.materialize(a_ev), jnp.int32), (U, 1))
-            a = a.reshape(U)
-            li = self.jax.lax.broadcasted_iota(
-                jnp.int32, (U,), 0) % P
+            li = self.jax.lax.broadcasted_iota(jnp.int32, (U, 1), 0) % P
             if oc == O.PLANE_SHUFFLE_XOR:
                 src = li ^ a
             elif oc == O.PLANE_SHUFFLE_UP:
@@ -1872,27 +2090,29 @@ class Evaluator:
             else:  # PLANE_SHUFFLE: absolute source lane
                 src = a % P
             return self._plane_gather(x, src)
-        a = self.materialize(a_ev)
-        lanes = list(range(P))
+        a = int(self.materialize(a_ev))
+        xw, orig, restore = self._plane_canon(x)
+        li = self.jax.lax.broadcasted_iota(jnp.int32, xw.shape, 0) % P
         if oc == O.PLANE_SHUFFLE_XOR:
-            perm = [l ^ a for l in lanes]
+            # butterfly: one rotate pair per set bit of the xor mask
+            y = xw
+            b = 1
+            while b < P:
+                if a & b:
+                    y = jnp.where((li & b) != 0, self._roll_rows(y, b),
+                                  self._roll_rows(y, xw.shape[0] - b))
+                b *= 2
+            y = y if (a % P) else xw
         elif oc == O.PLANE_SHUFFLE_UP:
-            # out-of-range lanes keep their own value (__shfl_up semantics)
-            perm = [l if l - a < 0 else l - a for l in lanes]
+            s = a % P
+            y = jnp.where(li >= s, self._roll_rows(xw, s), xw)
         elif oc == O.PLANE_SHUFFLE_DOWN:
-            perm = [l if l + a >= P else l + a for l in lanes]
-        else:  # PLANE_SHUFFLE with uniform src
-            perm = [a % P for _ in lanes]
-        xm = self.materialize(x)
-        if not x.varying:
-            return x
-        L = xm.shape[-1] if xm.ndim > 1 else 1
-        g = xm.reshape(self.U // P, P, L)
-        # static permutation via per-lane slices (an index-array constant
-        # cannot be captured inside a pallas kernel)
-        y = jnp.concatenate([g[:, p:p + 1, :] for p in perm],
-                            axis=1).reshape(self.U, L)
-        return EV(arr=y, varying=True, line=x.line)
+            s = a % P
+            y = jnp.where(li + s <= P - 1,
+                          self._roll_rows(xw, xw.shape[0] - s), xw)
+        else:  # PLANE_SHUFFLE with uniform static src
+            y = self._seg_bcast_static(xw, a % P, P)
+        return EV(arr=restore(y), varying=True, line=x.line)
 
     # ----------------------------------------------------------------- mma
 
@@ -2166,7 +2386,10 @@ class Evaluator:
         if oc == O.ATOMIC_ADD or oc == O.ATOMIC_SUB:
             sgn = 1 if oc == O.ATOMIC_ADD else -1
             vm = masked(v, jnp.zeros_like(v))
-            prefix = jnp.cumsum(vm, axis=0) - vm
+            # exclusive prefix over the unit axis via log-step sublane
+            # rotates (jnp.cumsum has no Mosaic lowering)
+            incl = self._seg_scan(vm, jnp.add, 0, self.U)
+            prefix = incl - vm
             total = jnp.sum(vm, axis=0, keepdims=True)
             if out is not None:
                 self.set_env(out, EV(arr=old2d + sgn * prefix, varying=True,
@@ -2174,10 +2397,10 @@ class Evaluator:
             new = old2d + sgn * total
         elif oc in (O.ATOMIC_MAX, O.ATOMIC_MIN):
             red = jnp.max if oc == O.ATOMIC_MAX else jnp.min
+            cmb = jnp.maximum if oc == O.ATOMIC_MAX else jnp.minimum
             neutral = jnp.broadcast_to(old2d, v.shape)
             vm = masked(v, neutral)
-            new = red(jnp.concatenate([vm, old2d], axis=0), axis=0,
-                      keepdims=True)
+            new = cmb(red(vm, axis=0, keepdims=True), old2d)
             if out is not None:
                 # per-unit old value approximated by the initial value (valid
                 # interleaving where all units read before any write)
@@ -2228,7 +2451,23 @@ class Evaluator:
 def _as_i32(jnp, x):
     if isinstance(x, int):
         return x
+    if isinstance(x, float):
+        return int(x)
     return x.astype(jnp.int32) if hasattr(x, "astype") else x
+
+
+def _index_int(jnp, x):
+    """Coerce a uniform index value to python int (static) or i32 (traced)."""
+    if isinstance(x, int):
+        return x
+    if isinstance(x, float):
+        return int(x)
+    if hasattr(x, "dtype") and "int" not in str(x.dtype):
+        try:  # numpy scalar → python int; traced f32 → i32
+            return int(x)
+        except Exception:
+            return x.astype(jnp.int32)
+    return x
 
 
 def _elem_dtype(jnp, ty: Type):
@@ -2391,7 +2630,33 @@ def _mk_pure_table():
 
     def _cast(ev, inst, xs):
         to = inst.op.attrs["to"]
-        return ev.jnp.asarray(xs[0]).astype(_elem_dtype(ev.jnp, to))
+        jnp = ev.jnp
+        x = jnp.asarray(xs[0])
+        dst = _elem_dtype(jnp, to)
+        src = jnp.dtype(x.dtype)
+        if not ev.interpret and src != dst:
+            # Mosaic has no unsigned<->float casts (round-3 TPU smoke
+            # suite: "Unsupported cast: uint32 -> float32") — route
+            # through int32, exactly.
+            unsigned = jnp.issubdtype(src, jnp.unsignedinteger)
+            if unsigned and jnp.issubdtype(dst, jnp.floating):
+                if src.itemsize < 4:
+                    return x.astype(jnp.int32).astype(dst)
+                xi = x.astype(jnp.int32)  # bit-preserving
+                hi = jnp.right_shift(xi, 16) & 0xFFFF
+                lo = xi & 0xFFFF
+                return (hi.astype(jnp.float32) * 65536.0 +
+                        lo.astype(jnp.float32)).astype(dst)
+            if jnp.issubdtype(src, jnp.floating) and \
+                    jnp.issubdtype(dst, jnp.unsignedinteger) and \
+                    dst.itemsize == 4:
+                # two's-complement wrap: [2^31, 2^32) -> negative i32
+                # with the same u32 bit pattern
+                xf = x.astype(jnp.float32)
+                wrapped = jnp.where(xf >= 2147483648.0,
+                                    xf - 4294967296.0, xf)
+                return wrapped.astype(jnp.int32).astype(dst)
+        return x.astype(dst)
 
     t[O.CAST] = _cast
 
