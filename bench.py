@@ -204,6 +204,18 @@ def _extra_kernel_lines(client):
     per = chain_args_time(lambda a, b, c: flash_attention(a, b, c), (q, k, v))
     out["flash_fwd_tflops"] = round(fl / per / 1e12, 1)
 
+    # long-context flash (S=8192): causal tile-skip finally outruns the
+    # per-step softmax serialization — the realistic training shape
+    S8 = 8192
+    q8 = jnp.asarray(rng.standard_normal((1, H, S8, D)) * .1, jnp.bfloat16)
+    k8 = jnp.asarray(rng.standard_normal((1, H, S8, D)) * .1, jnp.bfloat16)
+    v8 = jnp.asarray(rng.standard_normal((1, H, S8, D)) * .1, jnp.bfloat16)
+    fl8 = 4 * 1 * H * S8 * S8 * D // 2
+    per8 = chain_args_time(lambda a, b, c: flash_attention(a, b, c),
+                           (q8, k8, v8))
+    out["flash_fwd_8k_tflops"] = round(fl8 / per8 / 1e12, 1)
+    del q8, k8, v8
+
     # DSL CMMA matmul (the language path) — whole-K fragment tiles
     from cubecl_tpu.frontend import TensorArg
     from cubecl_tpu.ir.types import elem_from_dtype

@@ -26,6 +26,15 @@ import jax
 import numpy as np
 
 DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+
+# The whole family runs its online softmax in BASE-2: scores are scaled
+# by sm_scale*log2(e) once (folded into the MXU epilogue multiply) and
+# the exponentials are jnp.exp2. exp() is NOT free on the VPU — exp2
+# measured +7% end-to-end at S=8192 (1024-blocks, BENCH_NOTES flash
+# section); identical math (exp2((s-m)·log2e) ≡ exp(s-m)). The saved
+# lse residual is base-2 as well (lse2 = log2-sum-exp2) — both backward
+# kernels consume it as p = exp2(s2 - lse2).
+_LOG2E = float(np.log2(np.e))
 MIN_BLOCK = 128  # NUM_LANES — TPU tile constraint
 
 
@@ -66,7 +75,7 @@ def _seg_overlap(sq_ref, sk_ref):
 
 def _fwd_call(q, k, v, causal: bool, sm_scale: float,
               block_q: int, block_k: int, interpret: bool,
-              kv_len=None, seg=None, window=None):
+              kv_len=None, seg=None, window=None, need_lse: bool = True):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -74,6 +83,10 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
 
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
+    if block_q is None:
+        block_q = 1024 if Sq > 4096 else 2048
+    if block_k is None:
+        block_k = 1024 if Skv > 4096 else 2048
     bq = _fit_block(block_q, Sq)
     bk = _fit_block(block_k, Skv)
     assert Sq % bq == 0 and Skv % bk == 0, \
@@ -83,12 +96,12 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
     kv_mask = kv_len is not None and kv_len < Skv
 
     def kernel(*refs):
-        if seg is None:
-            q_ref, k_ref, v_ref, o_ref, lse_ref, m_sc, l_sc, acc_sc = refs
-            sq_ref = sk_ref = None
-        else:
-            (q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref, lse_ref,
-             m_sc, l_sc, acc_sc) = refs
+        n_seg = 0 if seg is None else 2
+        q_ref, k_ref, v_ref = refs[0:3]
+        sq_ref, sk_ref = (refs[3:5] if seg is not None else (None, None))
+        o_ref = refs[3 + n_seg]
+        lse_ref = refs[4 + n_seg] if need_lse else None
+        m_sc, l_sc, acc_sc = refs[3 + n_seg + (2 if need_lse else 1):]
         qi = pl.program_id(2)
         ki = pl.program_id(3)
 
@@ -107,8 +120,7 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
             s = jax.lax.dot_general(
                 qt, kt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)       # [bq, bk]
-            if sm_scale != 1.0:
-                s = s * sm_scale
+            s = s * (sm_scale * _LOG2E)  # base-2 softmax (module note)
             if causal or kv_mask or seg is not None or window is not None:
                 rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) \
                     + qi * bq
@@ -130,8 +142,8 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
             l_prev = l_sc[...]
             m_curr = jnp.max(s, axis=1, keepdims=True)     # [bq, 1]
             m_next = jnp.maximum(m_prev, m_curr)           # [bq, 128]
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - m_next[:, :1])                 # [bq, bk]
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - m_next[:, :1])                # [bq, bk]
             l_corr = alpha * l_prev
             l_next = l_corr + jnp.sum(p, axis=1, keepdims=True)
             m_sc[...] = m_next
@@ -171,13 +183,16 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
             l = l_sc[...][:, :1]
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
             o_ref[0, 0] = (acc_sc[...] * l_inv).astype(o_ref.dtype)
-            lse_ref[0, 0] = (m_sc[...] + jnp.log(
-                jnp.maximum(l_sc[...], 1e-37)))
+            if need_lse:
+                lse_ref[0, 0] = (m_sc[...] + jnp.log2(
+                    jnp.maximum(l_sc[...], 1e-37)))  # base-2 residual
 
+    # the (bq,128) lse residual output costs ~10%% at long S (an extra
+    # staged out-window per step) — inference paths skip it entirely
     out_shapes = (
         jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
-        jax.ShapeDtypeStruct((B, H, Sq, 128), jnp.float32),  # lse residual
-    )
+    ) + ((jax.ShapeDtypeStruct((B, H, Sq, 128), jnp.float32),)
+         if need_lse else ())
     flops = 4 * B * H * Sq * Skv * D * (0.5 if causal else 1.0)
     in_specs = [
         pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0),
@@ -198,7 +213,7 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
                          memory_space=pltpu.VMEM),
         ]
         inputs += [seg[0], seg[1]]
-    return pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         grid=grid,
@@ -206,9 +221,9 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
         out_specs=(
             pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, 128), lambda b, h, qi, ki: (b, h, qi, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        ) + ((pl.BlockSpec((1, 1, bq, 128),
+                           lambda b, h, qi, ki: (b, h, qi, 0),
+                           memory_space=pltpu.VMEM),) if need_lse else ()),
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),   # m
             pltpu.VMEM((bq, 128), jnp.float32),   # l
@@ -227,8 +242,10 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
             transcendentals=B * H * Sq * Skv),
         interpret=interpret,
         name=f"flash_attn_{bq}x{bk}"
+        + ("" if need_lse else "_nolse")
         + (f"_w{window[0]}_{window[1]}" if window else ""),
     )(*inputs)
+    return res if need_lse else (res[0], None)
 
 
 def _reference_attention(q, k, v, causal, sm_scale):
@@ -249,7 +266,8 @@ def _reference_attention(q, k, v, causal, sm_scale):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def flash_attention(q, k, v, causal: bool = True,
                     sm_scale: Optional[float] = None,
-                    block_q: int = 2048, block_k: int = 2048,
+                    block_q: Optional[int] = None,
+                    block_k: Optional[int] = None,
                     interpret: bool = False,
                     kv_len: Optional[int] = None):
     """softmax(q k^T / sqrt(d)) v with flash tiling.
@@ -257,20 +275,22 @@ def flash_attention(q, k, v, causal: bool = True,
     q/k/v: [batch, heads, seq, head_dim]; head_dim should be a multiple
     of 128 for full MXU utilization (pads otherwise via XLA).
 
-    Block defaults (round-2 sweep, S=2048 bf16 causal on v5e, 220-call
-    chains): (2048,2048) 0.406ms/84.6 TF (43% peak, 5.8x the XLA
-    reference) > (1024,1024) 0.466/74 > (1024,2048) 0.573/60 — fat q
-    blocks win now that the emitter-raised scoped-VMEM ceiling admits
-    them; blocks clamp to the actual sequence length in _fwd_call. MXU
-    operands stay at the storage dtype (measured perf-neutral vs
+    Block defaults auto-pick by sequence length (None -> 2048 up to
+    S=4096, 1024 beyond). Round-3 sweep, bf16 causal on v5e: at S=2048
+    (2048,2048) wins (0.406ms; the grid pipeline's per-step serialized
+    softmax costs more than the masked half-tile it saves), while at
+    S=8192 causal tile-SKIPPING finally outruns the step overhead and
+    (1024,1024) gives 114.6 useful TF (58% peak) vs 98 at 2048 blocks.
+    MXU operands stay at the storage dtype (measured perf-neutral vs
     explicit f32 upcasts — Mosaic fuses the converts — but it is the
     principled convention); f32 lives in preferred_element_type
-    accumulation and the softmax statistics.
+    accumulation and the softmax statistics, and the softmax runs in
+    base-2 (exp2; +7%% at S=8192 — see the module note).
     """
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(
         q.shape[-1])
     o, _lse = _fwd_call(q, k, v, causal, scale, block_q, block_k, interpret,
-                        kv_len)
+                        kv_len, need_lse=False)
     return o
 
 
@@ -324,7 +344,7 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
             dit = di_ref[0, 0][:, :1]
             s = jax.lax.dot_general(
                 qt, kt, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
+                preferred_element_type=jnp.float32) * (scale * _LOG2E)
             if causal or kv_mask or seg is not None or window is not None:
                 rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) \
                     + qi * bq
@@ -341,7 +361,7 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
                     wl, wr = window
                     ok = ok & (rows - cols <= wl) & (cols - rows <= wr)
                 s = jnp.where(ok, s, DEFAULT_MASK_VALUE)
-            p = jnp.exp(s - lse)                          # [bq, bk]
+            p = jnp.exp2(s - lse)                         # [bq, bk]
             # dV += P^T dO — P/dS feed the MXU at the storage dtype
             # (f32 accumulate), matching the forward's convention
             dv_sc[...] += jax.lax.dot_general(
@@ -466,7 +486,7 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
             dit = di_ref[0, 0][:, :1]
             s = jax.lax.dot_general(
                 qt, kt, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
+                preferred_element_type=jnp.float32) * (scale * _LOG2E)
             if causal or kv_mask or seg is not None or window is not None:
                 rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) \
                     + qi * bq
@@ -483,7 +503,7 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
                     wl, wr = window
                     ok = ok & (rows - cols <= wl) & (cols - rows <= wr)
                 s = jnp.where(ok, s, DEFAULT_MASK_VALUE)
-            p = jnp.exp(s - lse)
+            p = jnp.exp2(s - lse)
             dp = jax.lax.dot_general(
                 dot, vt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -564,8 +584,9 @@ def _bwd(causal, sm_scale, block_q, block_k, interpret, kv_len, res, do):
     q, k, v, o, lse = res
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(
         q.shape[-1])
-    bq = _fit_block(block_q, q.shape[2])
-    bk = _fit_block(min(block_k, 1024), k.shape[2])
+    bq = _fit_block(block_q if block_q is not None else 1024, q.shape[2])
+    bk = _fit_block(min(block_k if block_k is not None else 1024, 1024),
+                    k.shape[2])
     # D_i = rowsum(dO * O), broadcast to the (bq, 128) stats layout
     di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                  axis=-1, keepdims=True)
@@ -634,7 +655,7 @@ def _bcast_seg(seg):
 def _flash_seg(q, k, v, seg_q_b, seg_kv_b, causal, scale, block_q, block_k,
                interpret):
     o, _lse = _fwd_call(q, k, v, causal, scale, block_q, block_k, interpret,
-                        None, (seg_q_b, seg_kv_b))
+                        None, (seg_q_b, seg_kv_b), need_lse=False)
     return o
 
 
@@ -703,7 +724,7 @@ def flash_attention_segmented(q, k, v, segment_ids_q, segment_ids_kv=None,
 def _flash_local(q, k, v, window, causal, scale, block_q, block_k,
                  interpret):
     o, _lse = _fwd_call(q, k, v, causal, scale, block_q, block_k,
-                        interpret, window=window)
+                        interpret, window=window, need_lse=False)
     return o
 
 
@@ -766,18 +787,24 @@ def flash_attention_local(q, k, v, left: int, right: int = 0,
 # ---------------------------------------------------------------------------
 
 
-def build_block_schedule(block_mask) -> tuple:
+def build_block_schedule(block_mask, allow_empty: bool = False) -> tuple:
     """(kv_ids, counts): per q-tile list of active kv tiles, padded by
     repeating the last active id (repeated runtime block indices are
-    skipped compute-side; Mosaic re-DMAs only on index change)."""
+    skipped compute-side; Mosaic re-DMAs only on index change).
+    ``allow_empty`` admits all-zero rows (padded with tile 0, count 0) —
+    the backward's TRANSPOSED schedule can have kv tiles no q attends;
+    their dk/dv are zero and the compute guard never fires."""
     bm = np.asarray(block_mask, bool)
     n_q, n_kv = bm.shape
     counts = bm.sum(1).astype(np.int32)
-    assert counts.min() > 0, "every q tile must attend >= 1 kv tile"
-    max_active = int(counts.max())
+    if not allow_empty:
+        assert counts.min() > 0, "every q tile must attend >= 1 kv tile"
+    max_active = max(int(counts.max()), 1)
     kv_ids = np.zeros((n_q, max_active), np.int32)
     for qi in range(n_q):
         ids = np.nonzero(bm[qi])[0]
+        if len(ids) == 0:
+            continue
         kv_ids[qi, :len(ids)] = ids
         kv_ids[qi, len(ids):] = ids[-1]
     return kv_ids, counts
@@ -795,13 +822,10 @@ def flash_attention_block_sparse(q, k, v, block_mask,
     of every q row is SCALAR-PREFETCHED and drives the K/V BlockSpec
     index maps, so the grid only sweeps ACTIVE tiles — cost scales with
     ``nnz(block_mask)``, not n_q*n_kv. ``causal`` additionally applies
-    the in-tile diagonal mask. Inference path (no backward).
+    the in-tile diagonal mask. Differentiable: the backward runs the
+    same schedule for dQ and its TRANSPOSE for dK/dV, so gradients also
+    cost O(nnz).
     """
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
     bq = _fit_block(block_q, Sq)
@@ -817,12 +841,30 @@ def flash_attention_block_sparse(q, k, v, block_mask,
         qr = np.arange(n_q)[:, None]
         kr = np.arange(n_kv)[None, :]
         bm = bm & (kr * bk <= qr * bq + bq - 1)
+    counts = bm.sum(1)
+    assert counts.min() > 0, "every q tile must attend >= 1 kv tile"
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
+    # the mask rides as a hashable static arg through the custom_vjp
+    # (schedules are rebuilt per direction from it)
+    bm_key = tuple(map(tuple, bm.tolist()))
+    return _flash_bsp(q, k, v, bm_key, causal, scale, bq, bk, interpret)
+
+
+def _bsp_fwd_call(q, k, v, bm, causal, scale, bq, bk, interpret,
+                  need_lse: bool = True):
+    """(o, lse) over the scalar-prefetched schedule of pruned mask bm."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, Sq, D = q.shape
     kv_ids, counts = build_block_schedule(bm)
     max_active = kv_ids.shape[1]
-    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
 
-    def kernel(ids_ref, cnt_ref, q_ref, k_ref, v_ref, o_ref,
-               m_sc, l_sc, acc_sc):
+    def kernel(ids_ref, cnt_ref, q_ref, k_ref, v_ref, o_ref, *rest):
+        lse_ref = rest[0] if need_lse else None
+        m_sc, l_sc, acc_sc = rest[1:] if need_lse else rest
         qi = pl.program_id(2)
         j = pl.program_id(3)
 
@@ -839,8 +881,7 @@ def flash_attention_block_sparse(q, k, v, block_mask,
             s = jax.lax.dot_general(
                 qt, kt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            if scale != 1.0:
-                s = s * scale
+            s = s * (scale * _LOG2E)  # base-2 softmax (module note)
             if causal:
                 rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) \
                     + qi * bq
@@ -850,8 +891,8 @@ def flash_attention_block_sparse(q, k, v, block_mask,
             m_prev, l_prev = m_sc[...], l_sc[...]
             m_curr = jnp.max(s, axis=1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - m_next[:, :1])
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - m_next[:, :1])
             l_sc[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
             m_sc[...] = m_next
             vt = v_ref[0, 0]
@@ -866,28 +907,142 @@ def flash_attention_block_sparse(q, k, v, block_mask,
             l = l_sc[...][:, :1]
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
             o_ref[0, 0] = (acc_sc[...] * l_inv).astype(o_ref.dtype)
+            if need_lse:
+                lse_ref[0, 0] = (m_sc[...] + jnp.log2(
+                    jnp.maximum(l_sc[...], 1e-37)))  # base-2 residual
 
     def _kv_idx(b, h, qi, j, ids, cnt):
         import jax.numpy as jnp
 
         return (b, h, ids[qi, jnp.minimum(j, cnt[qi] - 1)], 0)
 
+    def _q_idx(b, h, qi, j, ids, cnt):
+        return (b, h, qi, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, H, n_q, max_active),
+        grid=(B, H, bm.shape[0], max_active),
         in_specs=[
-            pl.BlockSpec((1, 1, bq, D),
-                         lambda b, h, qi, j, ids, cnt: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, bq, D), _q_idx),
             pl.BlockSpec((1, 1, bk, D), _kv_idx),
             pl.BlockSpec((1, 1, bk, D), _kv_idx),
         ],
-        out_specs=pl.BlockSpec((1, 1, bq, D),
-                               lambda b, h, qi, j, ids, cnt: (b, h, qi, 0)),
+        out_specs=(
+            pl.BlockSpec((1, 1, bq, D), _q_idx),
+        ) + ((pl.BlockSpec((1, 1, bq, 128), _q_idx),)
+             if need_lse else ()),
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, D), jnp.float32),
         ],
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+        ) + ((jax.ShapeDtypeStruct((B, H, Sq, 128), jnp.float32),)
+             if need_lse else ()),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+        name=f"flash_block_sparse_{bq}x{bk}"
+        + ("" if need_lse else "_nolse"),
+    )(jnp.asarray(kv_ids), jnp.asarray(counts), q, k, v)
+    return res if need_lse else (res[0], None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash_bsp(q, k, v, bm_key, causal, scale, bq, bk, interpret):
+    bm = np.array(bm_key, bool)
+    o, _ = _bsp_fwd_call(q, k, v, bm, causal, scale, bq, bk, interpret,
+                         need_lse=False)
+    return o
+
+
+def _flash_bsp_fwd(q, k, v, bm_key, causal, scale, bq, bk, interpret):
+    bm = np.array(bm_key, bool)
+    o, lse = _bsp_fwd_call(q, k, v, bm, causal, scale, bq, bk, interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _bsp_dq_call(q, k, v, do, lse, di, bm, causal, scale, bq, bk,
+                 interpret):
+    """dQ over the FORWARD schedule (per q tile, its active kv tiles —
+    kv innermost so the dq accumulator stays VMEM-resident)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, Sq, D = q.shape
+    kv_ids, counts = build_block_schedule(bm)
+    max_active = kv_ids.shape[1]
+
+    def kernel(ids_ref, cnt_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+               di_ref, dq_ref, dq_sc):
+        qi = pl.program_id(2)
+        j = pl.program_id(3)
+
+        @pl.when(j == 0)
+        def _init():
+            dq_sc[...] = jnp.zeros_like(dq_sc)
+
+        def _run():
+            ki = ids_ref[qi, j]
+            qt = q_ref[0, 0]
+            kt = k_ref[0, 0]
+            vt = v_ref[0, 0]
+            dot = do_ref[0, 0]
+            lse_t = lse_ref[0, 0][:, :1]
+            dit = di_ref[0, 0][:, :1]
+            s = jax.lax.dot_general(
+                qt, kt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * (scale * _LOG2E)
+            if causal:
+                rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) \
+                    + qi * bq
+                cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) \
+                    + ki * bk
+                s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+            p = jnp.exp2(s - lse_t)
+            dp = jax.lax.dot_general(
+                dot, vt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - dit) * scale
+            dq_sc[...] += jax.lax.dot(ds.astype(kt.dtype), kt,
+                                      preferred_element_type=jnp.float32)
+
+        pl.when(j < cnt_ref[qi])(_run)
+
+        @pl.when(j == max_active - 1)
+        def _done():
+            dq_ref[0, 0] = dq_sc[...].astype(dq_ref.dtype)
+
+    def _kv_idx(b, h, qi, j, ids, cnt):
+        import jax.numpy as jnp
+
+        return (b, h, ids[qi, jnp.minimum(j, cnt[qi] - 1)], 0)
+
+    def _q_idx(b, h, qi, j, ids, cnt):
+        return (b, h, qi, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, H, bm.shape[0], max_active),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D), _q_idx),
+            pl.BlockSpec((1, 1, bk, D), _kv_idx),
+            pl.BlockSpec((1, 1, bk, D), _kv_idx),
+            pl.BlockSpec((1, 1, bq, D), _q_idx),
+            pl.BlockSpec((1, 1, bq, 128), _q_idx),
+            pl.BlockSpec((1, 1, bq, 128), _q_idx),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, D), _q_idx),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
     )
     return pl.pallas_call(
         kernel,
@@ -898,8 +1053,132 @@ def flash_attention_block_sparse(q, k, v, block_mask,
                                  "arbitrary"),
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-        name=f"flash_block_sparse_{bq}x{bk}",
-    )(jnp.asarray(kv_ids), jnp.asarray(counts), q, k, v)
+        name=f"flash_bsp_dq_{bq}x{bk}",
+    )(jnp.asarray(kv_ids), jnp.asarray(counts), q, k, v, do, lse, di)
+
+
+def _bsp_dkv_call(q, k, v, do, lse, di, bm, causal, scale, bq, bk,
+                  interpret):
+    """dK/dV over the TRANSPOSED schedule (per kv tile, the q tiles
+    that attend it — q innermost so dk/dv accumulators stay resident).
+    kv tiles nothing attends keep count 0: the guard never fires and
+    the zero-initialized scratch writes out zero gradients."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, Sq, D = q.shape
+    q_ids, q_counts = build_block_schedule(bm.T, allow_empty=True)
+    max_active = q_ids.shape[1]
+
+    def kernel(ids_ref, cnt_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+               di_ref, dk_ref, dv_ref, dk_sc, dv_sc):
+        ki = pl.program_id(2)
+        j = pl.program_id(3)
+
+        @pl.when(j == 0)
+        def _init():
+            dk_sc[...] = jnp.zeros_like(dk_sc)
+            dv_sc[...] = jnp.zeros_like(dv_sc)
+
+        def _run():
+            qi = ids_ref[ki, j]
+            qt = q_ref[0, 0]
+            kt = k_ref[0, 0]
+            vt = v_ref[0, 0]
+            dot = do_ref[0, 0]
+            lse_t = lse_ref[0, 0][:, :1]
+            dit = di_ref[0, 0][:, :1]
+            s = jax.lax.dot_general(
+                qt, kt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * (scale * _LOG2E)
+            if causal:
+                rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) \
+                    + qi * bq
+                cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) \
+                    + ki * bk
+                s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+            p = jnp.exp2(s - lse_t)
+            dv_sc[...] += jax.lax.dot_general(
+                p.astype(dot.dtype), dot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                dot, vt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - dit) * scale
+            dk_sc[...] += jax.lax.dot_general(
+                ds.astype(qt.dtype), qt, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        pl.when(j < cnt_ref[ki])(_run)
+
+        @pl.when(j == max_active - 1)
+        def _done():
+            dk_ref[0, 0] = dk_sc[...].astype(dk_ref.dtype)
+            dv_ref[0, 0] = dv_sc[...].astype(dv_ref.dtype)
+
+    def _q_idx(b, h, ki, j, ids, cnt):
+        import jax.numpy as jnp
+
+        return (b, h, ids[ki, jnp.minimum(j, jnp.maximum(
+            cnt[ki] - 1, 0))], 0)
+
+    def _kv_idx(b, h, ki, j, ids, cnt):
+        return (b, h, ki, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, H, bm.shape[1], max_active),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D), _q_idx),
+            pl.BlockSpec((1, 1, bk, D), _kv_idx),
+            pl.BlockSpec((1, 1, bk, D), _kv_idx),
+            pl.BlockSpec((1, 1, bq, D), _q_idx),
+            pl.BlockSpec((1, 1, bq, 128), _q_idx),
+            pl.BlockSpec((1, 1, bq, 128), _q_idx),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, bk, D), _kv_idx),
+            pl.BlockSpec((1, 1, bk, D), _kv_idx),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bk, D), jnp.float32),
+            pltpu.VMEM((bk, D), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+        name=f"flash_bsp_dkv_{bq}x{bk}",
+    )(jnp.asarray(q_ids), jnp.asarray(q_counts), q, k, v, do, lse, di)
+
+
+def _flash_bsp_bwd(bm_key, causal, scale, bq, bk, interpret, res, do):
+    import jax.numpy as jnp
+
+    q, k, v, o, lse = res
+    bm = np.array(bm_key, bool)
+    di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                 axis=-1, keepdims=True)
+    di = jnp.broadcast_to(di, di.shape[:-1] + (128,))
+    dq = _bsp_dq_call(q, k, v, do, lse, di, bm, causal, scale, bq, bk,
+                      interpret)
+    dk, dv = _bsp_dkv_call(q, k, v, do, lse, di, bm, causal, scale, bq,
+                           bk, interpret)
+    return dq, dk, dv
+
+
+_flash_bsp.defvjp(_flash_bsp_fwd, _flash_bsp_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -971,8 +1250,7 @@ def _fwd_call_packed(q, k, v, causal, sm_scale, block_q, block_k,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) for t in range(g)]
             s = jnp.concatenate(ss, axis=0)        # (g*bq, bk) row concat
-            if sm_scale != 1.0:
-                s = s * sm_scale
+            s = s * (sm_scale * _LOG2E)  # base-2 softmax (module note)
             if causal or kv_mask or window is not None:
                 rows1 = jax.lax.broadcasted_iota(
                     jnp.int32, (bq, bk), 0) + qi * bq
@@ -991,8 +1269,8 @@ def _fwd_call_packed(q, k, v, causal, sm_scale, block_q, block_k,
             m_prev, l_prev = m_sc[...], l_sc[...]  # (g*bq, 128)
             m_curr = jnp.max(s, axis=1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - m_next[:, :1])         # (g*bq, bk)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - m_next[:, :1])        # (g*bq, bk)
             l_sc[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
             m_sc[...] = m_next
 
@@ -1022,7 +1300,8 @@ def _fwd_call_packed(q, k, v, causal, sm_scale, block_q, block_k,
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
             o = (acc_sc[...] * l_inv).astype(o_ref.dtype)
             o_ref[0] = o.reshape(g, bq, D)         # unpacked head blocks
-            lse = m_sc[...] + jnp.log(jnp.maximum(l_sc[...], 1e-37))
+            lse = m_sc[...] + jnp.log2(
+                jnp.maximum(l_sc[...], 1e-37))     # base-2 residual
             lse_ref[0] = lse.reshape(g, bq, 128)
 
     out_shapes = (

@@ -166,8 +166,9 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
             s = jax.lax.dot_general(
                 qt, kt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)       # (G, span)
-            if sm_scale != 1.0:
-                s = s * sm_scale
+            # base-2 online softmax (ops/attention.py module note: exp2
+            # is measurably cheaper than exp on the VPU; identical math)
+            s = s * (sm_scale * 1.4426950408889634)
             pos = jax.lax.broadcasted_iota(jnp.int32, (G, span), 1) \
                 + i * span
             s = jnp.where(pos < seq_len, s, DEFAULT_MASK_VALUE)
@@ -175,8 +176,8 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
             m_prev, l_prev = m_sc[...], l_sc[...]
             m_curr = jnp.max(s, axis=1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - m_next[:, :1])
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - m_next[:, :1])
             l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
             m_sc[...] = m_next
             l_sc[...] = l_next

@@ -67,6 +67,9 @@ TPU_SMOKE = {
     "test_cube_count_builtin_dynamic",
     # control flow on hardware
     "test_loop", "test_continue_and_break", "test_early_return",
+    # scalar-prefetched schedules (block-sparse fwd + transposed bwd)
+    "test_flash_attention_block_sparse",
+    "test_flash_attention_block_sparse_grads",
 }
 
 
