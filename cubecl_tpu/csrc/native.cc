@@ -8,12 +8,21 @@
 //    (reference cubecl-common/src/hash.rs).
 //  - divmod_magic: magic-number computation for FastDivmod index math
 //    (reference cubecl-std/src/fast_math.rs:13-43).
+//  - page_pool_*: the serving-side KV block manager (vLLM-style) behind
+//    ops/paged_attention — free-list page allocation, per-sequence page
+//    lists, ref-counted fork (beam search shares full pages), and block
+//    table assembly in the kernel's repeat-last-page padding convention.
+//    The reference's analogous bookkeeping is its memory-pool offset
+//    management (cubecl-runtime/src/memory_management/memory_pool/).
 //
 // Build: g++ -O2 -shared -fPIC -std=c++17 native.cc -o libcubecl_native.so
 // (done lazily by cubecl_tpu/utils/native.py).
 
 #include <cstdint>
 #include <cstddef>
+#include <mutex>
+#include <unordered_map>
+#include <vector>
 
 extern "C" {
 
@@ -102,6 +111,175 @@ uint64_t divmod_magic(uint32_t divisor) {
   shift += 31;
   uint64_t magic = ((1ULL << shift) + divisor - 1) / divisor;
   return (magic << 8) | (shift - 32);
+}
+
+// --------------------------------------------------------------------------
+// Page pool: the KV block manager for paged serving.
+//
+// Pages are identified by int32 ids into the device-side page pool
+// arrays (ops/paged_attention's k_pages/v_pages). Full pages are
+// ref-counted so fork() (beam search / parallel sampling) shares them;
+// the device KV content of shared pages is immutable by construction
+// (append only writes NEWLY allocated pages). All calls are serialized
+// by one mutex — the serving loop drives this from a single device
+// actor thread; correctness, not contention, is the design point.
+// --------------------------------------------------------------------------
+
+namespace {
+
+struct PagePool {
+  std::vector<int32_t> free_list;            // stack of free page ids
+  std::vector<int32_t> refcount;             // per page
+  std::unordered_map<int64_t, std::vector<int32_t>> seqs;
+  bool alive = false;
+};
+
+std::mutex g_pool_mu;
+std::vector<PagePool> g_pools;
+
+PagePool* pool_of(int64_t h) {
+  if (h < 0 || (size_t)h >= g_pools.size() || !g_pools[(size_t)h].alive)
+    return nullptr;
+  return &g_pools[(size_t)h];
+}
+
+}  // namespace
+
+int64_t page_pool_create(int32_t num_pages) {
+  if (num_pages <= 0) return -1;
+  std::lock_guard<std::mutex> lk(g_pool_mu);
+  PagePool p;
+  p.alive = true;
+  p.refcount.assign(num_pages, 0);
+  p.free_list.reserve(num_pages);
+  for (int32_t i = num_pages - 1; i >= 0; --i) p.free_list.push_back(i);
+  for (size_t i = 0; i < g_pools.size(); ++i)
+    if (!g_pools[i].alive) { g_pools[i] = std::move(p); return (int64_t)i; }
+  g_pools.push_back(std::move(p));
+  return (int64_t)g_pools.size() - 1;
+}
+
+int32_t page_pool_destroy(int64_t h) {
+  std::lock_guard<std::mutex> lk(g_pool_mu);
+  PagePool* p = pool_of(h);
+  if (!p) return -1;
+  p->alive = false;
+  p->free_list.clear();
+  p->refcount.clear();
+  p->seqs.clear();
+  return 0;
+}
+
+int32_t page_pool_num_free(int64_t h) {
+  std::lock_guard<std::mutex> lk(g_pool_mu);
+  PagePool* p = pool_of(h);
+  return p ? (int32_t)p->free_list.size() : -1;
+}
+
+int32_t page_pool_seq_pages(int64_t h, int64_t seq) {
+  std::lock_guard<std::mutex> lk(g_pool_mu);
+  PagePool* p = pool_of(h);
+  if (!p) return -1;
+  auto it = p->seqs.find(seq);
+  return it == p->seqs.end() ? -1 : (int32_t)it->second.size();
+}
+
+// allocate n fresh pages for a NEW sequence; all-or-nothing.
+int32_t page_pool_alloc_seq(int64_t h, int64_t seq, int32_t n) {
+  std::lock_guard<std::mutex> lk(g_pool_mu);
+  PagePool* p = pool_of(h);
+  if (!p || n < 0) return -1;
+  if (p->seqs.count(seq)) return -2;                 // already exists
+  if ((int32_t)p->free_list.size() < n) return -3;   // no space
+  auto& v = p->seqs[seq];
+  v.reserve(n);
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t pg = p->free_list.back();
+    p->free_list.pop_back();
+    p->refcount[pg] = 1;
+    v.push_back(pg);
+  }
+  return 0;
+}
+
+// grow a sequence by one page; returns the new page id or <0.
+int32_t page_pool_append(int64_t h, int64_t seq) {
+  std::lock_guard<std::mutex> lk(g_pool_mu);
+  PagePool* p = pool_of(h);
+  if (!p) return -1;
+  auto it = p->seqs.find(seq);
+  if (it == p->seqs.end()) return -2;
+  if (p->free_list.empty()) return -3;
+  int32_t pg = p->free_list.back();
+  p->free_list.pop_back();
+  p->refcount[pg] = 1;
+  it->second.push_back(pg);
+  return pg;
+}
+
+// fork: dst shares all of src's pages (refcount++). The caller must
+// treat shared pages as read-only on device; the next append gives the
+// fork its own fresh page to write (copy-on-write at page granularity,
+// with the partial-page copy the caller's device-side job).
+int32_t page_pool_fork(int64_t h, int64_t src, int64_t dst) {
+  std::lock_guard<std::mutex> lk(g_pool_mu);
+  PagePool* p = pool_of(h);
+  if (!p) return -1;
+  auto it = p->seqs.find(src);
+  if (it == p->seqs.end()) return -2;
+  if (p->seqs.count(dst)) return -2;
+  for (int32_t pg : it->second) p->refcount[pg]++;
+  p->seqs[dst] = it->second;
+  return 0;
+}
+
+// release a sequence; pages return to the free list when their
+// refcount hits zero. Returns the number of pages actually freed.
+int32_t page_pool_free_seq(int64_t h, int64_t seq) {
+  std::lock_guard<std::mutex> lk(g_pool_mu);
+  PagePool* p = pool_of(h);
+  if (!p) return -1;
+  auto it = p->seqs.find(seq);
+  if (it == p->seqs.end()) return -2;
+  int32_t freed = 0;
+  for (int32_t pg : it->second) {
+    if (--p->refcount[pg] == 0) {
+      p->free_list.push_back(pg);
+      ++freed;
+    }
+  }
+  p->seqs.erase(it);
+  return freed;
+}
+
+// assemble the (n_seqs, max_pages) int32 block table for
+// ops/paged_attention: rows padded by REPEATING the last page id (the
+// kernel's clamped index_map skips the re-DMA of repeated indices).
+// Returns 0, or -2 if any sequence is unknown / exceeds max_pages.
+int32_t page_pool_fill_table(int64_t h, const int64_t* seq_ids,
+                             int32_t n_seqs, int32_t* out,
+                             int32_t max_pages) {
+  std::lock_guard<std::mutex> lk(g_pool_mu);
+  PagePool* p = pool_of(h);
+  if (!p) return -1;
+  for (int32_t i = 0; i < n_seqs; ++i) {
+    auto it = p->seqs.find(seq_ids[i]);
+    if (it == p->seqs.end()) return -2;
+    const auto& v = it->second;
+    if ((int32_t)v.size() > max_pages || v.empty()) return -2;
+    int32_t* row = out + (size_t)i * max_pages;
+    for (size_t j = 0; j < v.size(); ++j) row[j] = v[j];
+    for (int32_t j = (int32_t)v.size(); j < max_pages; ++j)
+      row[j] = v.back();
+  }
+  return 0;
+}
+
+int32_t page_pool_refcount(int64_t h, int32_t page) {
+  std::lock_guard<std::mutex> lk(g_pool_mu);
+  PagePool* p = pool_of(h);
+  if (!p || page < 0 || (size_t)page >= p->refcount.size()) return -1;
+  return p->refcount[page];
 }
 
 }  // extern "C"

@@ -338,18 +338,23 @@ def make_sharded_train_step(cfg: LlamaConfig, mesh, lr: float = 1e-3):
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_pages: int,
-                  page: int = 128, dtype=None):
+                  page: int = 128, dtype=None, num_pages=None):
     """Paged KV cache: per layer (H_kv, P, page, head_dim) pools + a
-    static block table (each sequence owns max_pages preassigned pages —
-    the allocator side of vLLM-style serving is orthogonal to the
-    kernel and kept simple here)."""
+    block table. Default: each sequence owns ``max_pages`` preassigned
+    pages (one compile for the whole session, zero allocator traffic).
+    For vLLM-style continuous batching pass ``num_pages`` to size the
+    physical pool independently and drive the table/lengths from
+    ``runtime.pages.PageAllocator`` (examples/serving.py demo)."""
     import jax.numpy as jnp
 
     dt = jnp.dtype(dtype or cfg.dtype)
-    P = batch * max_pages
+    P = int(num_pages) if num_pages is not None else batch * max_pages
     hd = cfg.head_dim
     zeros = jnp.zeros((cfg.n_layers, cfg.n_kv_heads, P, page, hd), dt)
-    table = jnp.arange(P, dtype=jnp.int32).reshape(batch, max_pages)
+    if num_pages is None:
+        table = jnp.arange(P, dtype=jnp.int32).reshape(batch, max_pages)
+    else:  # allocator-managed: rows start parked at page 0, length 0
+        table = jnp.zeros((batch, max_pages), jnp.int32)
     return {
         "k": zeros,
         "v": zeros,

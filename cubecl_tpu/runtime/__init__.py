@@ -8,6 +8,7 @@ from .handle import Handle
 from .kernel import KernelId, KernelTask
 from .logging import ServerLogger
 from .memory import MemoryManagement, MemoryUsage
+from .pages import PageAllocator
 from .profile import (BenchmarkComputations, ProfileDuration,
                       benchmark, time_launch)
 from .runtimes import CpuRuntime, TpuRuntime, default_client

@@ -62,5 +62,30 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.xxh64.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64]
         lib.divmod_magic.restype = ctypes.c_uint64
         lib.divmod_magic.argtypes = [ctypes.c_uint32]
+        # page pool (KV block manager, runtime/pages.py)
+        lib.page_pool_create.restype = ctypes.c_int64
+        lib.page_pool_create.argtypes = [ctypes.c_int32]
+        for name in ("page_pool_destroy", "page_pool_num_free"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int32
+            fn.argtypes = [ctypes.c_int64]
+        for name in ("page_pool_seq_pages", "page_pool_append",
+                     "page_pool_free_seq"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int32
+            fn.argtypes = [ctypes.c_int64, ctypes.c_int64]
+        lib.page_pool_alloc_seq.restype = ctypes.c_int32
+        lib.page_pool_alloc_seq.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                            ctypes.c_int32]
+        lib.page_pool_fork.restype = ctypes.c_int32
+        lib.page_pool_fork.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                       ctypes.c_int64]
+        lib.page_pool_fill_table.restype = ctypes.c_int32
+        lib.page_pool_fill_table.argtypes = [
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32]
+        lib.page_pool_refcount.restype = ctypes.c_int32
+        lib.page_pool_refcount.argtypes = [ctypes.c_int64, ctypes.c_int32]
         _CACHED = lib
         return _CACHED

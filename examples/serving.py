@@ -2,7 +2,9 @@
 
 Demonstrates the full serving path: prefill into pages, batched greedy
 decode through ops.paged_attention (scalar-prefetched block tables),
-and the continuous-batching bookkeeping (per-sequence lengths).
+and CONTINUOUS BATCHING — the native PageAllocator (csrc page_pool_*)
+owns the physical pages; requests are admitted into freed batch slots,
+grow page-by-page, and release under pool backpressure, vLLM-style.
 """
 
 import sys, os
@@ -45,5 +47,86 @@ def main():
           f"(python-loop overhead included; jit the step for production)")
 
 
+def continuous_batching():
+    """8 requests of different target lengths through 4 batch slots over
+    a 6-page physical pool: the allocator hands out pages as sequences
+    grow, slots recycle when a request finishes, and tight pool pressure
+    stalls admissions or PREEMPTS growing sequences (release + requeue
+    for recompute) until space frees - vLLM's policy."""
+    import jax
+    import jax.numpy as jnp
+
+    from cubecl_tpu.runtime.pages import PageAllocator
+
+    cfg = llama.LlamaConfig(vocab=256, d_model=256, n_heads=4,
+                            n_kv_heads=2, n_layers=2, d_ff=512, seq=64)
+    params = llama.init_params(cfg)
+
+    B, page, table_w, total_pages = 4, 128, 2, 6
+    alloc = PageAllocator(total_pages, page)
+    assert alloc.admit(-1, 1)       # parking page for stalled slots
+    cache = llama.init_kv_cache(cfg, B, table_w, page=page,
+                                num_pages=total_pages)
+    park_row = alloc.block_table([-1], table_w)[0]
+
+    # request queue: (id, target generated length)
+    todo = [(i, 40 + 45 * (i % 4)) for i in range(8)]
+    target = dict(todo)
+    remaining = {}
+    slots = [None] * B                  # slot -> request id
+    step_fn = jax.jit(lambda p, c, t: llama.decode_step(p, c, t, cfg))
+    tok = jnp.zeros((B,), jnp.int32)
+    finished, stalls, preempts, steps = 0, 0, 0, 0
+
+    print(f"native allocator: {alloc.native}; pool {total_pages} pages")
+    while finished < 8:
+        # admit into free slots (pool permitting)
+        for s in range(B):
+            if slots[s] is None and todo:
+                rid, tgt = todo[0]
+                if alloc.admit(rid, 1):
+                    todo.pop(0)
+                    slots[s] = rid
+                    remaining[rid] = tgt
+                else:
+                    stalls += 1     # pool full: request waits
+        # assemble table + lengths (parked rows for empty slots)
+        rows, lens = [], []
+        for s in range(B):
+            if slots[s] is None:
+                rows.append(park_row)
+                lens.append(0)
+            else:
+                rows.append(alloc.block_table([slots[s]], table_w)[0])
+                lens.append(alloc.lengths[slots[s]] - 1)  # next write pos
+        cache = dict(cache,
+                     page_indices=jnp.asarray(np.stack(rows)),
+                     lengths=jnp.asarray(np.array(lens, np.int32)))
+        logits, cache = step_fn(params, cache, tok)
+        steps += 1
+        # book the generated token; finish + recycle slots
+        for s in range(B):
+            rid = slots[s]
+            if rid is None:
+                continue
+            remaining[rid] -= 1
+            if remaining[rid] <= 0:
+                alloc.release(rid)
+                slots[s] = None
+                finished += 1
+            elif not alloc.extend(rid, 1):
+                # pool exhausted mid-flight: PREEMPT - release the pages
+                # and requeue for recompute (vLLM's preemption policy)
+                alloc.release(rid)
+                todo.insert(0, (rid, target[rid]))
+                slots[s] = None
+                preempts += 1
+    print(f"8 requests served in {steps} batched steps; "
+          f"{stalls} admission stalls, {preempts} preemptions under "
+          f"pool pressure; free pages at end: "
+          f"{alloc.num_free_pages()}/{total_pages}")
+
+
 if __name__ == "__main__":
     main()
+    continuous_batching()
