@@ -275,6 +275,28 @@ int32_t page_pool_fill_table(int64_t h, const int64_t* seq_ids,
   return 0;
 }
 
+// copy-on-write completion for mid-page forks: if seq's LAST page is
+// shared (refcount > 1), swap it for a fresh private page and return
+// (old_page << 32) | new_page so the caller can device-copy the
+// partial content. Returns -4 if the last page is already private
+// (nothing to do), -3 if no free page.
+int64_t page_pool_unshare_last(int64_t h, int64_t seq) {
+  std::lock_guard<std::mutex> lk(g_pool_mu);
+  PagePool* p = pool_of(h);
+  if (!p) return -1;
+  auto it = p->seqs.find(seq);
+  if (it == p->seqs.end() || it->second.empty()) return -2;
+  int32_t pg = it->second.back();
+  if (p->refcount[pg] <= 1) return -4;
+  if (p->free_list.empty()) return -3;
+  int32_t np = p->free_list.back();
+  p->free_list.pop_back();
+  p->refcount[np] = 1;
+  p->refcount[pg]--;
+  it->second.back() = np;
+  return ((int64_t)(uint32_t)pg << 32) | (uint32_t)np;
+}
+
 int32_t page_pool_refcount(int64_t h, int32_t page) {
   std::lock_guard<std::mutex> lk(g_pool_mu);
   PagePool* p = pool_of(h);

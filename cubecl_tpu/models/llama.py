@@ -364,6 +364,26 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_pages: int,
     }
 
 
+def fork_seq(cache, alloc, src: int, dst: int):
+    """Fork sequence ``src`` into ``dst`` for parallel sampling / beam
+    search: the PageAllocator shares all full prefix pages by refcount
+    (zero copies); if the fork point is MID-page, the partial last page
+    is unshared and its KV content device-copied once so the branches
+    can write independently. Returns (cache, ok)."""
+    if not alloc.fork(src, dst):
+        return cache, False
+    page = cache["page_size"]
+    if alloc.lengths[dst] % page != 0:
+        pair = alloc.unshare_last(dst)
+        if pair is not None:
+            old_pg, new_pg = pair
+            k, v = cache["k"], cache["v"]
+            k = k.at[:, :, new_pg].set(k[:, :, old_pg])
+            v = v.at[:, :, new_pg].set(v[:, :, old_pg])
+            cache = dict(cache, k=k, v=v)
+    return cache, True
+
+
 def _cache_write(pages, table, lengths, new, page: int):
     """Scatter one new (B, H_kv, hd) KV entry per sequence at position
     ``lengths[b]`` of its page list. Static shapes: dynamic_update_slice

@@ -88,6 +88,21 @@ class _PyPagePool:
     def seq_pages(self, seq: int) -> int:
         return len(self.seqs[seq]) if seq in self.seqs else -1
 
+    def unshare_last(self, seq: int) -> int:
+        v = self.seqs.get(seq)
+        if not v:
+            return -2
+        pg = v[-1]
+        if self.refcount[pg] <= 1:
+            return -4
+        if not self.free:
+            return -3
+        np_ = self.free.pop()
+        self.refcount[np_] = 1
+        self.refcount[pg] -= 1
+        v[-1] = np_
+        return (pg << 32) | np_
+
     def fill_table(self, seq_ids, out: np.ndarray, max_pages: int) -> int:
         for i, s in enumerate(seq_ids):
             v = self.seqs.get(int(s))
@@ -192,6 +207,20 @@ class PageAllocator:
         if ok:
             self.lengths[dst] = self.lengths[src]
         return ok
+
+    def unshare_last(self, seq: int):
+        """Copy-on-write completion for a MID-PAGE fork: if seq's last
+        page is shared, swap in a fresh private page and return
+        (old_page, new_page) so the caller device-copies the partial
+        KV content (models/llama.fork_seq does). None = already
+        private. Raises on pool exhaustion."""
+        r = (int(self._lib.page_pool_unshare_last(self._h, seq))
+             if self._lib is not None else self._py.unshare_last(seq))
+        if r == -4:
+            return None
+        if r < 0:
+            raise RuntimeError(f"unshare_last({seq}) rc={r}")
+        return (r >> 32) & 0xFFFFFFFF, r & 0xFFFFFFFF
 
     def release(self, seq: int) -> int:
         """Finish a sequence; returns pages actually returned to the

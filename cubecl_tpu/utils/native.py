@@ -87,5 +87,8 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_int32]
         lib.page_pool_refcount.restype = ctypes.c_int32
         lib.page_pool_refcount.argtypes = [ctypes.c_int64, ctypes.c_int32]
+        lib.page_pool_unshare_last.restype = ctypes.c_int64
+        lib.page_pool_unshare_last.argtypes = [ctypes.c_int64,
+                                               ctypes.c_int64]
         _CACHED = lib
         return _CACHED

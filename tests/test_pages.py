@@ -174,3 +174,88 @@ def test_allocator_drives_paged_attention(client):
             ref = p @ vc
             np.testing.assert_allclose(np.asarray(o)[b, h], ref,
                                        atol=2e-5, rtol=1e-4)
+
+
+def test_fork_seq_branch_divergence(client):
+    """Model-level copy-on-write: decode a prefix, fork mid-page, feed
+    the branches DIFFERENT tokens — each branch's logits must match an
+    independent (unforked) decode of its own full token stream, and the
+    shared prefix pages are never copied (refcount 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cubecl_tpu.models import llama
+
+    cfg = llama.LlamaConfig(vocab=64, d_model=64, n_heads=2, n_kv_heads=1,
+                            n_layers=2, d_ff=128, seq=32,
+                            use_flash_attention=False,
+                            use_framework_kernels=False)
+    params = llama.init_params(cfg)
+    page, table_w, pool_pages = 16, 4, 12
+    B = 2
+    step = jax.jit(lambda p, c, t: llama.decode_step(p, c, t, cfg))
+
+    def fresh_cache():
+        return llama.init_kv_cache(cfg, B, table_w, page=page,
+                                   num_pages=pool_pages)
+
+    def set_rows(cache, alloc, seqs):
+        rows, lens = [], []
+        for s in seqs:
+            rows.append(alloc.block_table([s], table_w)[0])
+            lens.append(alloc.lengths[s] - 1)   # next write position
+        return dict(cache,
+                    page_indices=jnp.asarray(np.stack(rows)),
+                    lengths=jnp.asarray(np.array(lens, np.int32)))
+
+    prefix = [3, 11, 7, 22, 9, 14, 5, 28, 17, 2, 25, 31, 8, 19, 13, 4,
+              27, 6, 21, 10]                      # 20 tokens: mid-page 2
+    branch_a, branch_b = [33, 42, 35], [55, 40, 61]
+
+    # --- forked run: prefix on seq 0 (slot 0 active; slot 1 parks) ----
+    from cubecl_tpu.runtime.pages import PageAllocator
+
+    alloc = PageAllocator(pool_pages, page)
+    assert alloc.admit(-1, 1)
+    cache = fresh_cache()
+    assert alloc.admit(0, 1)
+    logits = None
+    for t in prefix:
+        cache = set_rows(cache, alloc, [0, -1])
+        toks = jnp.asarray([t, 0], jnp.int32)
+        logits, cache = step(params, cache, toks)
+        assert alloc.extend(0, 1)
+    assert alloc.lengths[0] == len(prefix) + 1
+    assert alloc.lengths[0] % page != 0          # mid-page fork point
+
+    cache, ok = llama.fork_seq(cache, alloc, 0, 1)
+    assert ok
+    shared = alloc.block_table([0], 2)[0][:1]    # first (full) page
+    assert alloc.refcount(int(shared[0])) == 2   # prefix page shared
+    tb0 = alloc.block_table([0], 2)[0]
+    tb1 = alloc.block_table([1], 2)[0]
+    assert tb0[1] != tb1[1]                      # partial page unshared
+
+    fork_logits = {0: [], 1: []}
+    for ta, tb in zip(branch_a, branch_b):
+        cache = set_rows(cache, alloc, [0, 1])
+        logits, cache = step(params, cache,
+                             jnp.asarray([ta, tb], jnp.int32))
+        fork_logits[0].append(np.asarray(logits[0]))
+        fork_logits[1].append(np.asarray(logits[1]))
+        assert alloc.extend(0, 1) and alloc.extend(1, 1)
+
+    # --- control: independent decodes of each full stream -------------
+    for bi, branch in ((0, branch_a), (1, branch_b)):
+        alloc2 = PageAllocator(pool_pages, page)
+        assert alloc2.admit(-1, 1) and alloc2.admit(0, 1)
+        cache2 = fresh_cache()
+        for i, t in enumerate(prefix + branch):
+            cache2 = set_rows(cache2, alloc2, [0, -1])
+            lg, cache2 = step(params, cache2, jnp.asarray([t, 0], jnp.int32))
+            assert alloc2.extend(0, 1)
+            j = i - len(prefix)
+            if j >= 0:
+                np.testing.assert_allclose(
+                    np.asarray(lg[0]), fork_logits[bi][j],
+                    atol=1e-5, rtol=1e-5)
