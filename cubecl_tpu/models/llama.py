@@ -464,6 +464,118 @@ def _rope_at(x, pos, theta):
                            axis=-1)
 
 
+def beam_generate(params, prompt, steps: int, cfg: LlamaConfig,
+                  beams: int = 4, page: int = 128):
+    """Beam search over the PAGED serving stack: prefill ONCE, fork the
+    beams (prefix KV shared by refcount, partial page copied once), and
+    at every step reorder the beam set with allocator fork/release —
+    surviving multi-child beams fork, dead beams release their pages.
+    This is the vLLM beam dance running on ops.paged_attention +
+    runtime.pages.PageAllocator.
+
+    prompt: (S,) int32. Returns (tokens (beams, S+steps) int32,
+    scores (beams,) float cumulative log-probs), best beam first.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..runtime.pages import PageAllocator
+
+    S = int(prompt.shape[0])
+    total = S + steps
+    pages_per = -(-(total + 1) // page)
+    # worst case every beam fully private + parking + per-step fork
+    # slack (an unshare during reordering can transiently need a fresh
+    # page before a fully-shared dead parent frees any)
+    pool = PageAllocator(beams * (pages_per + 1) + 1, page)
+    assert pool.admit(-1, 1)                    # parking row
+    park = pool.block_table([-1], pages_per)[0]
+    cache = init_kv_cache(cfg, beams, pages_per, page=page,
+                          num_pages=pool.num_pages)
+    step_fn = jax.jit(lambda p, c, t: decode_step(p, c, t, cfg))
+
+    def rows_for(seqs):
+        rows, lens = [], []
+        for sq in seqs:
+            if sq is None:
+                rows.append(park)
+                lens.append(0)
+            else:
+                rows.append(pool.block_table([sq], pages_per)[0])
+                lens.append(pool.lengths[sq] - 1)   # next write pos
+        return dict(cache,
+                    page_indices=jnp.asarray(np.stack(rows)),
+                    lengths=jnp.asarray(np.array(lens, np.int32)))
+
+    # ---- prefill the prompt on sequence 0 -----------------------------
+    assert pool.admit(0, 1)
+    logits = None
+    toks_np = np.asarray(prompt, np.int32)
+    for t in toks_np:
+        cache = rows_for([0] + [None] * (beams - 1))
+        feed = jnp.asarray([int(t)] + [0] * (beams - 1), jnp.int32)
+        logits, cache = step_fn(params, cache, feed)
+        assert pool.extend(0, 1)
+
+    # ---- fork the initial beam set ------------------------------------
+    next_id = 1
+    beam_seqs = [0]
+    for _ in range(beams - 1):
+        cache, ok = fork_seq(cache, pool, 0, next_id)
+        assert ok
+        beam_seqs.append(next_id)
+        next_id += 1
+    histories = [toks_np.tolist() for _ in range(beams)]
+    scores = np.zeros(beams)
+    lp = np.asarray(jax.nn.log_softmax(logits[0].astype(jnp.float32)))
+    # first expansion: all beams share the prompt's distribution, so
+    # seed them with the top-`beams` distinct tokens
+    first = np.argsort(-lp)[:beams]
+    pending = [int(x) for x in first]            # token to FEED per beam
+    scores = lp[first]
+
+    for _ in range(steps - 1):
+        cache = rows_for(beam_seqs)
+        logits, cache = step_fn(params, cache,
+                                jnp.asarray(pending, jnp.int32))
+        for b in range(beams):
+            histories[b].append(pending[b])
+            assert pool.extend(beam_seqs[b], 1)
+        lp = np.asarray(jax.nn.log_softmax(
+            logits.astype(jnp.float32)))        # (beams, vocab)
+        flat = (scores[:, None] + lp).ravel()
+        top = np.argsort(-flat)[:beams]
+        parents, toks = top // lp.shape[1], top % lp.shape[1]
+        # reorder the beam set: release dead parents FIRST (their pages
+        # fund the forks), then first-child-reuses-parent, extras fork
+        keep = {int(pb) for pb in parents}
+        for pb in range(beams):
+            if pb not in keep:
+                pool.release(beam_seqs[pb])
+        used, new_seqs, new_hist = set(), [], []
+        for pb, tk in zip(parents, toks):
+            pb = int(pb)
+            if pb not in used:
+                used.add(pb)
+                new_seqs.append(beam_seqs[pb])
+            else:
+                cache, ok = fork_seq(cache, pool, beam_seqs[pb], next_id)
+                assert ok
+                new_seqs.append(next_id)
+                next_id += 1
+            new_hist.append(list(histories[pb]))
+        beam_seqs, histories = new_seqs, new_hist
+        scores = flat[top]
+        pending = [int(t) for t in toks]
+
+    for b in range(beams):
+        histories[b].append(pending[b])
+    order = np.argsort(-scores)
+    out = np.asarray([histories[b] for b in order], np.int32)
+    return jnp.asarray(out), jnp.asarray(scores[order])
+
+
 def generate(params, prompt, steps: int, cfg: LlamaConfig,
              max_pages: int = 4, page: int = 128):
     """Greedy decode: prefill the cache token-by-token (clarity over

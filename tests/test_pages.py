@@ -259,3 +259,47 @@ def test_fork_seq_branch_divergence(client):
                 np.testing.assert_allclose(
                     np.asarray(lg[0]), fork_logits[bi][j],
                     atol=1e-5, rtol=1e-5)
+
+
+def test_beam_generate_matches_recompute_reference(client):
+    """Paged fork-based beam search == classic beam search that re-runs
+    the full forward on every candidate prefix (same expansion rule)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cubecl_tpu.models import llama
+
+    cfg = llama.LlamaConfig(vocab=48, d_model=64, n_heads=2, n_kv_heads=1,
+                            n_layers=2, d_ff=128, seq=32,
+                            use_flash_attention=False,
+                            use_framework_kernels=False)
+    params = llama.init_params(cfg, seed=5)
+    prompt = jnp.asarray([7, 31, 2, 19, 11], jnp.int32)
+    K, steps = 3, 4
+
+    toks, scores = llama.beam_generate(params, prompt, steps, cfg,
+                                       beams=K, page=16)
+
+    # reference: recompute-from-scratch beam search
+    hist = [np.asarray(prompt).tolist()]
+    lp = np.asarray(jax.nn.log_softmax(
+        llama.forward(params, jnp.asarray([hist[0]]), cfg)[0, -1]
+        .astype(jnp.float32)))
+    first = np.argsort(-lp)[:K]
+    beams = [(hist[0] + [int(t)], float(lp[t])) for t in first]
+    for _ in range(steps - 1):
+        cand = []
+        batch = jnp.asarray([b[0] for b in beams], jnp.int32)
+        lps = np.asarray(jax.nn.log_softmax(
+            llama.forward(params, batch, cfg)[:, -1].astype(jnp.float32)))
+        flat = (np.asarray([b[1] for b in beams])[:, None] + lps).ravel()
+        top = np.argsort(-flat)[:K]
+        beams = [(beams[int(i // cfg.vocab)][0] + [int(i % cfg.vocab)],
+                  float(flat[i])) for i in top]
+    beams.sort(key=lambda b: -b[1])
+
+    for b in range(K):
+        assert np.asarray(toks)[b].tolist() == beams[b][0], \
+            (b, np.asarray(toks)[b].tolist(), beams[b][0])
+        np.testing.assert_allclose(float(np.asarray(scores)[b]),
+                                   beams[b][1], atol=1e-4)
