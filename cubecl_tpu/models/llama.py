@@ -125,7 +125,7 @@ def _rope(x, theta):
                            axis=-1)
 
 
-def _attention(x, layer, cfg: LlamaConfig):
+def _attention(x, layer, cfg: LlamaConfig, return_kv: bool = False):
     import jax.numpy as jnp
 
     b, s, d = x.shape
@@ -135,6 +135,7 @@ def _attention(x, layer, cfg: LlamaConfig):
     v = (x @ layer["wv"]).reshape(b, s, nkv, hd)
     q = _rope(q, cfg.rope_theta)
     k = _rope(k, cfg.rope_theta)
+    kv = (k, v) if return_kv else None   # post-rope, pre-GQA-broadcast
     # GQA: broadcast kv heads across the query-head groups (no gather)
     rep = nh // nkv
     k = jnp.repeat(k, rep, axis=2)
@@ -204,7 +205,8 @@ def _attention(x, layer, cfg: LlamaConfig):
                                scores - scores.max(-1, keepdims=True)
                            ).sum(-1, keepdims=True), qh.dtype),
                        vh).transpose(0, 2, 1, 3)
-    return o.reshape(b, s, nh * hd) @ layer["wo"]
+    out = o.reshape(b, s, nh * hd) @ layer["wo"]
+    return (out, kv) if return_kv else out
 
 
 def _swiglu(x, mlp):
@@ -407,6 +409,59 @@ def _cache_write(pages, table, lengths, new, page: int):
     return pages
 
 
+def prefill(params, cache, tokens, cfg: LlamaConfig):
+    """Batched prefill: run the full forward ONCE over the prompt
+    (B, S), capture every layer's post-rope K/V, and scatter them into
+    the paged cache along each row's block table. Returns (last-position
+    logits (B, vocab), cache with lengths = S). The compute-bound phase
+    of serving: one big MXU-saturating pass instead of S sequential
+    decode steps (which are latency-bound) — numerically identical to
+    the token-by-token path (tested).
+
+    The block tables in ``cache["page_indices"]`` must already cover
+    ceil((S+1)/page) pages per row (allocator: admit(seq, S+1))."""
+    import jax
+    import jax.numpy as jnp
+
+    B, S = tokens.shape
+    page = cache["page_size"]
+    x = params["embed"][tokens]
+    kvs = []
+    for layer in params["layers"]:
+        h = _rmsnorm(x, layer["rms1"], cfg.rms_eps, cfg)
+        o, kv = _attention(h, layer, cfg, return_kv=True)
+        kvs.append(kv)
+        x = x + o
+        h = _rmsnorm(x, layer["rms2"], cfg.rms_eps, cfg)
+        x = x + (_moe(h, layer["moe"], cfg) if cfg.n_experts
+                 else _swiglu(h, layer["mlp"]))
+    x = _rmsnorm(x, params["rms_out"], cfg.rms_eps, cfg)
+    logits = x[:, -1] @ params["embed"].T
+
+    # scatter the captured K/V into pages: (L, B, S, Hkv, hd) ->
+    # per (row, page-chunk) dynamic_update_slice at the table's page id
+    k_all = jnp.stack([kv[0] for kv in kvs])     # (L, B, S, Hkv, hd)
+    v_all = jnp.stack([kv[1] for kv in kvs])
+    k_all = k_all.transpose(0, 1, 3, 2, 4)       # (L, B, Hkv, S, hd)
+    v_all = v_all.transpose(0, 1, 3, 2, 4)
+    kp, vp = cache["k"], cache["v"]              # (L, Hkv, P, page, hd)
+    table = cache["page_indices"]
+    for b in range(B):                            # B static at serving
+        for ci in range(-(-S // page)):
+            s0 = ci * page
+            sc = min(page, S - s0)
+            pid = table[b, ci]
+            kc = k_all[:, b, :, s0:s0 + sc][:, :, None]  # (L,Hkv,1,sc,hd)
+            vc = v_all[:, b, :, s0:s0 + sc][:, :, None]
+            kp = jax.lax.dynamic_update_slice(
+                kp, kc.astype(kp.dtype), (0, 0, pid, 0, 0))
+            vp = jax.lax.dynamic_update_slice(
+                vp, vc.astype(vp.dtype), (0, 0, pid, 0, 0))
+    new_cache = dict(cache, k=kp, v=vp,
+                     lengths=jnp.full((B,), S, jnp.int32))
+    return logits, new_cache
+
+
 def decode_step(params, cache, tokens, cfg: LlamaConfig):
     """One token per sequence: returns (logits (B, vocab), new cache).
     Attention runs through ops.paged_attention; interpret mode is chosen
@@ -508,15 +563,12 @@ def beam_generate(params, prompt, steps: int, cfg: LlamaConfig,
                     page_indices=jnp.asarray(np.stack(rows)),
                     lengths=jnp.asarray(np.array(lens, np.int32)))
 
-    # ---- prefill the prompt on sequence 0 -----------------------------
-    assert pool.admit(0, 1)
-    logits = None
+    # ---- batched prefill of the prompt on sequence 0 ------------------
     toks_np = np.asarray(prompt, np.int32)
-    for t in toks_np:
-        cache = rows_for([0] + [None] * (beams - 1))
-        feed = jnp.asarray([int(t)] + [0] * (beams - 1), jnp.int32)
-        logits, cache = step_fn(params, cache, feed)
-        assert pool.extend(0, 1)
+    assert pool.admit(0, S + 1)
+    cache = rows_for([0] + [None] * (beams - 1))
+    logits, cache = prefill(params, cache,
+                            jnp.asarray(toks_np)[None, :], cfg)
 
     # ---- fork the initial beam set ------------------------------------
     next_id = 1
@@ -529,6 +581,7 @@ def beam_generate(params, prompt, steps: int, cfg: LlamaConfig,
     histories = [toks_np.tolist() for _ in range(beams)]
     scores = np.zeros(beams)
     lp = np.asarray(jax.nn.log_softmax(logits[0].astype(jnp.float32)))
+    # (prefill returned (1, vocab) — row 0 is the prompt's sequence)
     # first expansion: all beams share the prompt's distribution, so
     # seed them with the top-`beams` distinct tokens
     first = np.argsort(-lp)[:beams]
@@ -578,16 +631,14 @@ def beam_generate(params, prompt, steps: int, cfg: LlamaConfig,
 
 def generate(params, prompt, steps: int, cfg: LlamaConfig,
              max_pages: int = 4, page: int = 128):
-    """Greedy decode: prefill the cache token-by-token (clarity over
-    speed — a production prefill runs the batched forward once), then
-    generate ``steps`` tokens. Returns (B, steps) int32."""
+    """Greedy decode: batched ``prefill`` (one forward pass writes the
+    whole prompt's KV into pages), then ``steps`` decode steps.
+    Returns (B, steps) int32."""
     import jax.numpy as jnp
 
     B, S = prompt.shape
     cache = init_kv_cache(cfg, B, max_pages, page)
-    logits = None
-    for t in range(S):
-        logits, cache = decode_step(params, cache, prompt[:, t], cfg)
+    logits, cache = prefill(params, cache, prompt, cfg)
     out = []
     tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     for _ in range(steps):

@@ -322,3 +322,49 @@ def test_llama_decode_no_recompile_across_contexts():
     # the growing context itself adds NO variants (the verdict's
     # '<=2 kernels per family' criterion)
     assert step._cache_size() <= 2, step._cache_size()
+
+
+def test_prefill_matches_token_by_token(client):
+    """Batched prefill (one forward, paged KV scatter) is numerically
+    identical to S sequential decode steps — same cache pools, same
+    logits, and the continuations stay identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from cubecl_tpu.models import llama
+
+    cfg = llama.LlamaConfig(vocab=64, d_model=64, n_heads=2, n_kv_heads=1,
+                            n_layers=2, d_ff=128, seq=32,
+                            use_flash_attention=False,
+                            use_framework_kernels=False)
+    params = llama.init_params(cfg, seed=2)
+    B, S, page = 2, 20, 16          # S crosses a page boundary mid-page
+    rng = np.random.RandomState(0)
+    prompt = jnp.asarray(rng.randint(0, cfg.vocab, (B, S)), jnp.int32)
+
+    c1 = llama.init_kv_cache(cfg, B, 4, page)
+    lg1, c1 = llama.prefill(params, c1, prompt, cfg)
+
+    c2 = llama.init_kv_cache(cfg, B, 4, page)
+    lg2 = None
+    for t in range(S):
+        lg2, c2 = llama.decode_step(params, c2, prompt[:, t], cfg)
+
+    np.testing.assert_allclose(np.asarray(lg1), np.asarray(lg2),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(c1["lengths"]),
+                                  np.asarray(c2["lengths"]))
+    np.testing.assert_allclose(np.asarray(c1["k"]), np.asarray(c2["k"]),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(c1["v"]), np.asarray(c2["v"]),
+                               atol=2e-5, rtol=1e-5)
+
+    # continuations agree for 3 greedy steps
+    t1 = jnp.argmax(lg1, -1).astype(jnp.int32)
+    t2 = jnp.argmax(lg2, -1).astype(jnp.int32)
+    for _ in range(3):
+        lg1, c1 = llama.decode_step(params, c1, t1, cfg)
+        lg2, c2 = llama.decode_step(params, c2, t2, cfg)
+        t1 = jnp.argmax(lg1, -1).astype(jnp.int32)
+        t2 = jnp.argmax(lg2, -1).astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
