@@ -42,6 +42,7 @@ class LlamaConfig:
     use_flash_attention: bool = True
     n_experts: int = 0           # 0 = dense SwiGLU; >0 = MoE
     top_k: int = 2
+    kv_dtype: str = ""           # "int8": quantized paged KV cache
 
     @property
     def head_dim(self) -> int:
@@ -349,7 +350,8 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_pages: int,
     ``runtime.pages.PageAllocator`` (examples/serving.py demo)."""
     import jax.numpy as jnp
 
-    dt = jnp.dtype(dtype or cfg.dtype)
+    quant = (dtype or cfg.kv_dtype) == "int8"
+    dt = jnp.int8 if quant else jnp.dtype(dtype or cfg.dtype)
     P = int(num_pages) if num_pages is not None else batch * max_pages
     hd = cfg.head_dim
     zeros = jnp.zeros((cfg.n_layers, cfg.n_kv_heads, P, page, hd), dt)
@@ -357,13 +359,21 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_pages: int,
         table = jnp.arange(P, dtype=jnp.int32).reshape(batch, max_pages)
     else:  # allocator-managed: rows start parked at page 0, length 0
         table = jnp.zeros((batch, max_pages), jnp.int32)
-    return {
+    cache = {
         "k": zeros,
         "v": zeros,
         "page_indices": table,
         "lengths": jnp.zeros((batch,), jnp.int32),
         "page_size": page,
     }
+    if quant:
+        # per-(token, head) symmetric int8 scales (quantizing one new
+        # token never rescales previously written ones)
+        ones = jnp.ones((cfg.n_layers, cfg.n_kv_heads, P, page),
+                        jnp.float32)
+        cache["k_scales"] = ones
+        cache["v_scales"] = ones * 0 + 1.0
+    return cache
 
 
 def fork_seq(cache, alloc, src: int, dst: int):
@@ -383,7 +393,39 @@ def fork_seq(cache, alloc, src: int, dst: int):
             k = k.at[:, :, new_pg].set(k[:, :, old_pg])
             v = v.at[:, :, new_pg].set(v[:, :, old_pg])
             cache = dict(cache, k=k, v=v)
+            if "k_scales" in cache:   # int8 KV: copy the scales too
+                ks, vs = cache["k_scales"], cache["v_scales"]
+                ks = ks.at[:, :, new_pg].set(ks[:, :, old_pg])
+                vs = vs.at[:, :, new_pg].set(vs[:, :, old_pg])
+                cache = dict(cache, k_scales=ks, v_scales=vs)
     return cache, True
+
+
+def _quant_tok(x):
+    """(B, Hkv, hd) float -> (int8 values, (B, Hkv) f32 scales)."""
+    import jax.numpy as jnp
+
+    f = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(f), axis=-1)
+    sc = jnp.where(amax == 0, 1.0, amax / 127.0)
+    return jnp.round(f / sc[..., None]).astype(jnp.int8), sc
+
+
+def _scale_write(scales, table, lengths, new, page: int):
+    """Scatter one (B, Hkv) scale per sequence at position lengths[b].
+    scales: (Hkv, P, page)."""
+    import jax
+    import jax.numpy as jnp
+
+    B = new.shape[0]
+    for b in range(B):
+        pos = lengths[b]
+        pid = table[b, pos // page]
+        slot = pos % page
+        scales = jax.lax.dynamic_update_slice(
+            scales, new[b][:, None, None].astype(scales.dtype),
+            (0, pid, slot))
+    return scales
 
 
 def _cache_write(pages, table, lengths, new, page: int):
@@ -444,6 +486,17 @@ def prefill(params, cache, tokens, cfg: LlamaConfig):
     v_all = jnp.stack([kv[1] for kv in kvs])
     k_all = k_all.transpose(0, 1, 3, 2, 4)       # (L, B, Hkv, S, hd)
     v_all = v_all.transpose(0, 1, 3, 2, 4)
+    quant = "k_scales" in cache
+    if quant:  # int8 KV: same per-(token, head) formula as decode_step
+        f = k_all.astype(jnp.float32)
+        ka = jnp.max(jnp.abs(f), axis=-1)
+        ksc = jnp.where(ka == 0, 1.0, ka / 127.0)    # (L, B, Hkv, S)
+        k_all = jnp.round(f / ksc[..., None]).astype(jnp.int8)
+        f = v_all.astype(jnp.float32)
+        va = jnp.max(jnp.abs(f), axis=-1)
+        vsc = jnp.where(va == 0, 1.0, va / 127.0)
+        v_all = jnp.round(f / vsc[..., None]).astype(jnp.int8)
+        ksp, vsp = cache["k_scales"], cache["v_scales"]
     kp, vp = cache["k"], cache["v"]              # (L, Hkv, P, page, hd)
     table = cache["page_indices"]
     for b in range(B):                            # B static at serving
@@ -457,8 +510,18 @@ def prefill(params, cache, tokens, cfg: LlamaConfig):
                 kp, kc.astype(kp.dtype), (0, 0, pid, 0, 0))
             vp = jax.lax.dynamic_update_slice(
                 vp, vc.astype(vp.dtype), (0, 0, pid, 0, 0))
+            if quant:
+                ksp = jax.lax.dynamic_update_slice(
+                    ksp, ksc[:, b, :, s0:s0 + sc][:, :, None],
+                    (0, 0, pid, 0))
+                vsp = jax.lax.dynamic_update_slice(
+                    vsp, vsc[:, b, :, s0:s0 + sc][:, :, None],
+                    (0, 0, pid, 0))
     new_cache = dict(cache, k=kp, v=vp,
                      lengths=jnp.full((B,), S, jnp.int32))
+    if quant:
+        new_cache["k_scales"] = ksp
+        new_cache["v_scales"] = vsp
     return logits, new_cache
 
 
@@ -478,7 +541,11 @@ def decode_step(params, cache, tokens, cfg: LlamaConfig):
     pos = cache["lengths"]                          # (B,)
     x = params["embed"][tokens]                     # (B, d)
 
+    quant = "k_scales" in cache
     k_cache, v_cache = cache["k"], cache["v"]
+    ks_cache = cache.get("k_scales")
+    vs_cache = cache.get("v_scales")
+    table = cache["page_indices"]
     for li, layer in enumerate(params["layers"]):
         h = _rmsnorm(x, layer["rms1"], cfg.rms_eps, cfg)
         q = (h @ layer["wq"]).reshape(B, nh, hd)
@@ -487,13 +554,21 @@ def decode_step(params, cache, tokens, cfg: LlamaConfig):
         # rotary at the current position
         q = _rope_at(q, pos, cfg.rope_theta)
         k = _rope_at(k, pos, cfg.rope_theta)
+        if quant:  # int8 KV: values + per-(token, head) scales
+            k, k_s = _quant_tok(k)
+            v, v_s = _quant_tok(v)
+            ks_cache = ks_cache.at[li].set(_scale_write(
+                ks_cache[li], table, pos, k_s, page))
+            vs_cache = vs_cache.at[li].set(_scale_write(
+                vs_cache[li], table, pos, v_s, page))
         k_cache = k_cache.at[li].set(_cache_write(
-            k_cache[li], cache["page_indices"], pos, k, page))
+            k_cache[li], table, pos, k, page))
         v_cache = v_cache.at[li].set(_cache_write(
-            v_cache[li], cache["page_indices"], pos, v, page))
+            v_cache[li], table, pos, v, page))
         o = paged_attention(q, k_cache[li], v_cache[li],
-                            cache["page_indices"], pos + 1,
-                            interpret=interp)       # (B, H, hd)
+                            table, pos + 1, interpret=interp,
+                            k_scales=ks_cache[li] if quant else None,
+                            v_scales=vs_cache[li] if quant else None)
         x = x + o.reshape(B, nh * hd) @ layer["wo"]
         h = _rmsnorm(x, layer["rms2"], cfg.rms_eps, cfg)
         x = x + (_moe(h[:, None, :], layer["moe"], cfg)[:, 0]
@@ -501,6 +576,9 @@ def decode_step(params, cache, tokens, cfg: LlamaConfig):
     x = _rmsnorm(x, params["rms_out"], cfg.rms_eps, cfg)
     logits = x @ params["embed"].T
     new_cache = dict(cache, k=k_cache, v=v_cache, lengths=pos + 1)
+    if quant:
+        new_cache["k_scales"] = ks_cache
+        new_cache["v_scales"] = vs_cache
     return logits, new_cache
 
 

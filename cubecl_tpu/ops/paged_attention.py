@@ -60,7 +60,8 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
                     sm_scale: Optional[float] = None,
                     interpret: bool = False,
                     bucket_pages: bool = True,
-                    unroll: int = 16):
+                    unroll: int = 16,
+                    k_scales=None, v_scales=None):
     """Decode attention over a paged KV cache.
 
     q:            (B, H, D)            one query vector per head
@@ -105,6 +106,15 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
     # pool — fold the head into the leading page axis
     kf = k_pages.reshape(Hkv * P, page, D)
     vf = v_pages.reshape(Hkv * P, page, D)
+    # int8 KV mode: per-(token, head) scales (Hkv, P, page) ride their
+    # own page-window DMAs; dequant folds onto the score / probability
+    # COLUMNS inside the kernel (two lane-broadcast multiplies), so the
+    # MXU operands never materialize a dequantized KV tile
+    assert (k_scales is None) == (v_scales is None)
+    ksf = vsf = None
+    if k_scales is not None:
+        ksf = k_scales.reshape(Hkv * P, page).astype(jnp.float32)
+        vsf = v_scales.reshape(Hkv * P, page).astype(jnp.float32)
     max_pages = page_indices.shape[1]
     while unroll > 1 and max_pages % unroll:
         unroll //= 2
@@ -113,7 +123,7 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
     pi_h = (page_indices[:, None, :] + heads[None, :, None])  # (B,Hkv,mp)
 
     out = _paged_call_headed(qg, kf, vf, pi_h, lengths, scale, interpret,
-                             G, page, max_pages, unroll)
+                             G, page, max_pages, unroll, ksf, vsf)
     return out.reshape(B, H, D)
 
 
@@ -130,7 +140,7 @@ _TRACE_COUNT = 0  # distinct compiled decode variants (test/diagnostic)
 @functools.partial(jax.jit, static_argnames=(
     "sm_scale", "interpret", "G", "page", "max_pages", "unroll"))
 def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
-                       G, page, max_pages, unroll=1):
+                       G, page, max_pages, unroll=1, ksf=None, vsf=None):
     global _TRACE_COUNT
     _TRACE_COUNT += 1  # runs at trace time only: counts compiled variants
     import jax.numpy as jnp
@@ -140,11 +150,15 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
     B, Hkv, _G, D = qg.shape
     U = unroll
     span = U * page  # KV positions swept per grid step
+    quant = ksf is not None
 
     def kernel(pi_ref, len_ref, q_ref, *refs):
         k_refs = refs[:U]
         v_refs = refs[U:2 * U]
-        o_ref, m_sc, l_sc, acc_sc = refs[2 * U:]
+        n_in = 2 * U + (2 * U if quant else 0)
+        ks_refs = refs[2 * U:3 * U] if quant else None
+        vs_refs = refs[3 * U:4 * U] if quant else None
+        o_ref, m_sc, l_sc, acc_sc = refs[n_in:]
         b = pl.program_id(0)
         i = pl.program_id(2)
 
@@ -163,12 +177,19 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
             # concurrently (each ref has its own window), one matmul
             # at the storage dtype (f32 accumulation via preferred)
             kt = jnp.concatenate([r[0] for r in k_refs], axis=0)
+            if quant:
+                kt = kt.astype(jnp.float32)
             s = jax.lax.dot_general(
                 qt, kt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)       # (G, span)
             # base-2 online softmax (ops/attention.py module note: exp2
             # is measurably cheaper than exp on the VPU; identical math)
             s = s * (sm_scale * 1.4426950408889634)
+            if quant:
+                # K dequant folded onto score columns (lane broadcast)
+                ksv = jnp.concatenate([r[...] for r in ks_refs],
+                                      axis=1)             # (1, span)
+                s = s * ksv
             pos = jax.lax.broadcasted_iota(jnp.int32, (G, span), 1) \
                 + i * span
             s = jnp.where(pos < seq_len, s, DEFAULT_MASK_VALUE)
@@ -182,9 +203,16 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
             m_sc[...] = m_next
             l_sc[...] = l_next
             vt = jnp.concatenate([r[0] for r in v_refs], axis=0)
-            acc_sc[...] = acc_sc[...] * alpha[:, :1] + jax.lax.dot(
-                p.astype(vt.dtype), vt,
-                preferred_element_type=jnp.float32)
+            if quant:
+                # V dequant folded onto probability columns
+                vsv = jnp.concatenate([r[...] for r in vs_refs], axis=1)
+                acc_sc[...] = acc_sc[...] * alpha[:, :1] + jax.lax.dot(
+                    p * vsv, vt.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+            else:
+                acc_sc[...] = acc_sc[...] * alpha[:, :1] + jax.lax.dot(
+                    p.astype(vt.dtype), vt,
+                    preferred_element_type=jnp.float32)
 
         @pl.when(i == max_pages // U - 1)
         def _done():
@@ -201,6 +229,11 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
                             lambda b, h, i, pi, ln, u=u: (_kv_page(
                                 b, h, i * U + u, pi, ln, page), 0, 0))
 
+    def _scale_spec(u):
+        return pl.BlockSpec((1, page),
+                            lambda b, h, i, pi, ln, u=u: (_kv_page(
+                                b, h, i * U + u, pi, ln, page), 0))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, Hkv, max_pages // U),
@@ -209,6 +242,8 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
                           lambda b, h, i, pi, ln: (b, h, 0, 0))]
             + [_slot_spec(u) for u in range(U)]     # k slots
             + [_slot_spec(u) for u in range(U)]     # v slots
+            + ([_scale_spec(u % U) for u in range(2 * U)] if quant
+               else [])
         ),
         out_specs=pl.BlockSpec((1, 1, G, D),
                                lambda b, h, i, pi, ln: (b, h, 0, 0)),
@@ -226,8 +261,23 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-        name=f"paged_attn_g{G}_p{page}_u{U}",
-    )(pi_h, lengths, qg, *([kf] * U), *([vf] * U))
+        name=f"paged_attn_g{G}_p{page}_u{U}" + ("_q8" if quant else ""),
+    )(pi_h, lengths, qg, *([kf] * U), *([vf] * U),
+      *(([ksf] * U + [vsf] * U) if quant else []))
+
+
+def quantize_kv(pages):
+    """Symmetric per-(token, head) int8: (Hkv, P, page, D) float ->
+    (int8 values, (Hkv, P, page) f32 scales). The granularity the
+    kernel's column-folded dequant expects — one scale per KV position,
+    so quantizing a page never rescales previously written tokens."""
+    import jax.numpy as jnp
+
+    f = pages.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(f), axis=-1)
+    scales = jnp.where(amax == 0, 1.0, amax / 127.0)
+    q = jnp.round(f / scales[..., None])
+    return q.astype(jnp.int8), scales
 
 
 def paged_attention_reference(q, k_pages, v_pages, page_indices, lengths,

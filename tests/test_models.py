@@ -368,3 +368,53 @@ def test_prefill_matches_token_by_token(client):
         t1 = jnp.argmax(lg1, -1).astype(jnp.int32)
         t2 = jnp.argmax(lg2, -1).astype(jnp.int32)
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_llama_int8_kv_cache(client):
+    """int8 paged KV: decode matches the f32 cache within the int8
+    error budget, and batched prefill matches token-by-token decode in
+    quantized mode (same per-token quantization formula)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from cubecl_tpu.models import llama
+
+    cfg = llama.LlamaConfig(vocab=64, d_model=64, n_heads=2, n_kv_heads=1,
+                            n_layers=2, d_ff=128, seq=32, kv_dtype="int8",
+                            use_flash_attention=False,
+                            use_framework_kernels=False)
+    params = llama.init_params(cfg, seed=4)
+    B, S, page = 2, 20, 16
+    rng = np.random.RandomState(7)
+    prompt = jnp.asarray(rng.randint(0, cfg.vocab, (B, S)), jnp.int32)
+
+    # quantized stepwise vs quantized prefill: same numbers
+    cq = llama.init_kv_cache(cfg, B, 4, page)
+    assert cq["k"].dtype == jnp.int8 and "k_scales" in cq
+    lq = None
+    for t in range(S):
+        lq, cq = llama.decode_step(params, cq, prompt[:, t], cfg)
+    cp = llama.init_kv_cache(cfg, B, 4, page)
+    lp, cp = llama.prefill(params, cp, prompt, cfg)
+    # prefill quantizes EXACT attention outputs; stepwise attends the
+    # already-quantized cache, so deeper layers diverge by ~1 int8 ulp.
+    # Compare DEQUANTIZED caches and logits within the int8 budget.
+    kd_p = np.asarray(cp["k"], np.float32) * np.asarray(
+        cp["k_scales"])[..., None]
+    kd_q = np.asarray(cq["k"], np.float32) * np.asarray(
+        cq["k_scales"])[..., None]
+    np.testing.assert_allclose(kd_p, kd_q, atol=0.02)
+    frac = (np.asarray(cp["k"]) != np.asarray(cq["k"])).mean()
+    assert frac < 0.05, frac
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lq),
+                               atol=0.02)
+
+    # vs the f32 cache: int8 error budget on logits
+    cfg32 = dataclasses.replace(cfg, kv_dtype="")
+    c32 = llama.init_kv_cache(cfg32, B, 4, page)
+    l32 = None
+    for t in range(S):
+        l32, c32 = llama.decode_step(params, c32, prompt[:, t], cfg32)
+    err = np.abs(np.asarray(lq) - np.asarray(l32)).max()
+    assert err < 0.05, err

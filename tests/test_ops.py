@@ -804,3 +804,41 @@ def test_flash_attention_packed_heads(client):
         for a, b in zip(gk, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-4, rtol=1e-3)
+
+
+def test_paged_attention_int8_kv(client):
+    """int8 KV cache: column-folded dequant matches the f32 kernel run
+    on the dequantized pages EXACTLY, and the f32 oracle to int8
+    tolerance."""
+    import jax.numpy as jnp
+
+    from cubecl_tpu.ops.paged_attention import (
+        paged_attention,
+        paged_attention_reference,
+        quantize_kv,
+    )
+
+    Hkv, H, D, page, P, B = 2, 4, 128, 128, 6, 3
+    rng = np.random.RandomState(1)
+    kp = jnp.asarray(rng.randn(Hkv, P, page, D).astype(np.float32) * .5)
+    vp = jnp.asarray(rng.randn(Hkv, P, page, D).astype(np.float32))
+    q = jnp.asarray(rng.randn(B, H, D).astype(np.float32) * .5)
+    table = jnp.asarray(
+        np.stack([rng.permutation(P)[:3] for _ in range(B)]).astype(
+            np.int32))
+    lengths = jnp.asarray(np.array([300, 128, 257], np.int32))
+
+    k8, ks = quantize_kv(kp)
+    v8, vs = quantize_kv(vp)
+    o8 = paged_attention(q, k8, v8, table, lengths, interpret=True,
+                         k_scales=ks, v_scales=vs)
+    # same math, f32 kernel over explicitly dequantized pages
+    kd = k8.astype(jnp.float32) * ks[..., None]
+    vd = v8.astype(jnp.float32) * vs[..., None]
+    od = paged_attention(q, kd, vd, table, lengths, interpret=True)
+    np.testing.assert_allclose(np.asarray(o8), np.asarray(od),
+                               atol=1e-5, rtol=1e-5)
+    # and close to the unquantized oracle (int8 error budget)
+    oref = paged_attention_reference(q, kp, vp, table, lengths)
+    err = np.abs(np.asarray(o8) - np.asarray(oref)).max()
+    assert err < 0.03, err
