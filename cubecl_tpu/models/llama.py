@@ -597,6 +597,160 @@ def _rope_at(x, pos, theta):
                            axis=-1)
 
 
+def _rope_at_chunk(x, pos0, theta):
+    """Rotary for a chunk: x (B, C, H, hd), row b token i at position
+    pos0[b] + i."""
+    import jax.numpy as jnp
+
+    b, c, h, hd = x.shape
+    half = hd // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    pos = pos0.astype(jnp.float32)[:, None] + jnp.arange(
+        c, dtype=jnp.float32)[None, :]                    # (B, C)
+    ang = pos[..., None] * freqs[None, None, :]           # (B, C, half)
+    cos = jnp.cos(ang)[:, :, None, :].astype(x.dtype)
+    sin = jnp.sin(ang)[:, :, None, :].astype(x.dtype)
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos],
+                           axis=-1)
+
+
+def decode_chunk(params, cache, tokens, cfg: LlamaConfig):
+    """C tokens per sequence in ONE pass: writes the chunk's KV into
+    the pages, then ops.paged_attention_chunked scores every chunk
+    position against the whole cache with causal-within-chunk masking.
+    The verify pass of speculative decoding / the chunked-prefill step.
+    tokens (B, C) -> (logits (B, C, vocab), new cache)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.paged_attention import paged_attention_chunked
+
+    interp = jax.default_backend() != "tpu"
+    page = cache["page_size"]
+    B, C = tokens.shape
+    hd, nh, nkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    pos0 = cache["lengths"]                         # (B,)
+    x = params["embed"][tokens]                     # (B, C, d)
+
+    quant = "k_scales" in cache
+    k_cache, v_cache = cache["k"], cache["v"]
+    ks_cache = cache.get("k_scales")
+    vs_cache = cache.get("v_scales")
+    table = cache["page_indices"]
+    for li, layer in enumerate(params["layers"]):
+        h = _rmsnorm(x, layer["rms1"], cfg.rms_eps, cfg)
+        q = (h @ layer["wq"]).reshape(B, C, nh, hd)
+        k = (h @ layer["wk"]).reshape(B, C, nkv, hd)
+        v = (h @ layer["wv"]).reshape(B, C, nkv, hd)
+        q = _rope_at_chunk(q, pos0, cfg.rope_theta)
+        k = _rope_at_chunk(k, pos0, cfg.rope_theta)
+        kl, vl = k_cache[li], v_cache[li]
+        if quant:
+            ksl, vsl = ks_cache[li], vs_cache[li]
+        for i in range(C):                          # chunk is small
+            ki, vi = k[:, i], v[:, i]
+            if quant:
+                ki, k_s = _quant_tok(ki)
+                vi, v_s = _quant_tok(vi)
+                ksl = _scale_write(ksl, table, pos0 + i, k_s, page)
+                vsl = _scale_write(vsl, table, pos0 + i, v_s, page)
+            kl = _cache_write(kl, table, pos0 + i, ki, page)
+            vl = _cache_write(vl, table, pos0 + i, vi, page)
+        k_cache = k_cache.at[li].set(kl)
+        v_cache = v_cache.at[li].set(vl)
+        if quant:
+            ks_cache = ks_cache.at[li].set(ksl)
+            vs_cache = vs_cache.at[li].set(vsl)
+        o = paged_attention_chunked(
+            q.transpose(0, 2, 1, 3), k_cache[li], v_cache[li],
+            table, pos0 + C, pos0, interpret=interp,
+            k_scales=ks_cache[li] if quant else None,
+            v_scales=vs_cache[li] if quant else None)  # (B, H, C, hd)
+        x = x + o.transpose(0, 2, 1, 3).reshape(B, C, nh * hd) \
+            @ layer["wo"]
+        h = _rmsnorm(x, layer["rms2"], cfg.rms_eps, cfg)
+        x = x + (_moe(h, layer["moe"], cfg) if cfg.n_experts
+                 else _swiglu(h, layer["mlp"]))
+    x = _rmsnorm(x, params["rms_out"], cfg.rms_eps, cfg)
+    logits = x @ params["embed"].T
+    new_cache = dict(cache, k=k_cache, v=v_cache, lengths=pos0 + C)
+    if quant:
+        new_cache["k_scales"] = ks_cache
+        new_cache["v_scales"] = vs_cache
+    return logits, new_cache
+
+
+def speculative_generate(params, prompt, steps: int, cfg: LlamaConfig,
+                         draft_params, draft_cfg: LlamaConfig,
+                         gamma: int = 4, max_pages: int = 8,
+                         page: int = 128):
+    """GREEDY speculative decoding: the draft model proposes ``gamma``
+    tokens autoregressively; the target scores the whole proposal in
+    ONE ``decode_chunk`` (C = gamma + 1) and commits the longest
+    matching prefix plus its own correction token. Output is EXACTLY
+    the target-only greedy stream (tested); rollback is free on the
+    paged cache — just rewind ``lengths`` (rejected positions get
+    overwritten by the next chunk). Returns ((B, steps) int32 tokens,
+    mean accepted-per-round diagnostic)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    B, S = prompt.shape
+    tc = init_kv_cache(cfg, B, max_pages, page)
+    dc = init_kv_cache(draft_cfg, B, max_pages, page)
+    t_logits, tc = prefill(params, tc, prompt, cfg)
+    d_logits, dc = prefill(draft_params, dc, prompt, draft_cfg)
+    t_next = jnp.argmax(t_logits, -1).astype(jnp.int32)   # (B,)
+
+    dstep = jax.jit(lambda p, c, t: decode_step(p, c, t, draft_cfg))
+    vstep = jax.jit(lambda p, c, t: decode_chunk(p, c, t, cfg))
+
+    out = [[] for _ in range(B)]
+    accepted_counts = []
+    while min(len(o) for o in out) < steps:
+        # draft proposes gamma tokens, starting from the committed token
+        props = []
+        feed = t_next
+        for _ in range(gamma):
+            d_logits, dc = dstep(draft_params, dc, feed)
+            feed = jnp.argmax(d_logits, -1).astype(jnp.int32)
+            props.append(feed)
+        props = jnp.stack(props, axis=1)                  # (B, gamma)
+        # target verifies chunk [t_next, d1..d_gamma] in one pass
+        chunk = jnp.concatenate([t_next[:, None], props], axis=1)
+        t_pos0 = tc["lengths"]
+        d_pos0 = dc["lengths"]
+        logits, tc = vstep(params, tc, chunk)             # (B, g+1, V)
+        t_star = jnp.argmax(logits, -1).astype(jnp.int32)  # (B, g+1)
+        pn, tn = np.asarray(props), np.asarray(t_star)
+        acc = np.zeros(B, np.int32)
+        for b in range(B):
+            while acc[b] < gamma and pn[b, acc[b]] == tn[b, acc[b]]:
+                acc[b] += 1
+        accepted_counts.append(acc.mean())
+        for b in range(B):
+            out[b].append(int(np.asarray(t_next)[b]))
+            out[b].extend(int(x) for x in pn[b, :acc[b]])
+        # correction token = target's choice at the first mismatch
+        # (or the free BONUS token when every proposal was accepted)
+        t_next = jnp.asarray(tn[np.arange(B), acc], jnp.int32)
+        accj = jnp.asarray(acc)
+        # all-accepted rows are missing d_gamma's KV in the DRAFT cache
+        # (it proposed but never ingested it): one batch-wide sync step
+        # writes it at d_pos0+gamma; rows that didn't need it get the
+        # write overwritten after rollback
+        if (acc == gamma).any():
+            _, dc = dstep(draft_params, dc, props[:, -1])
+        # rollback: keep t_next's kv + accepted proposals (free on the
+        # paged cache - rejected positions are overwritten next round)
+        tc = dict(tc, lengths=t_pos0 + 1 + accj)
+        dc = dict(dc, lengths=d_pos0 + 1 + accj)
+    toks = np.asarray([o[:steps] for o in out], np.int32)
+    return jnp.asarray(toks), float(np.mean(accepted_counts))
+
+
 def beam_generate(params, prompt, steps: int, cfg: LlamaConfig,
                   beams: int = 4, page: int = 128):
     """Beam search over the PAGED serving stack: prefill ONCE, fork the

@@ -266,6 +266,179 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
       *(([ksf] * U + [vsf] * U) if quant else []))
 
 
+def paged_attention_chunked(q, k_pages, v_pages, page_indices, lengths,
+                            starts, sm_scale: Optional[float] = None,
+                            interpret: bool = False,
+                            bucket_pages: bool = True,
+                            unroll: int = 8,
+                            k_scales=None, v_scales=None):
+    """CHUNKED-query decode: C query tokens per sequence attend the
+    paged KV cache with causal masking inside the chunk. The verify
+    pass of speculative decoding and the building block of chunked
+    prefill — one kernel sweep scores a whole proposed extension
+    instead of C sequential decode steps.
+
+    q:       (B, H, C, D)  queries at positions starts[b]..starts[b]+C-1
+    starts:  (B,) int32    chunk start positions
+    lengths: (B,) int32    valid KV INCLUDING the chunk (the chunk's
+                           K/V must already be written to the pages)
+    -> (B, H, C, D)
+
+    GQA rows pack as (G*C) sublanes per kv head: row r = g*C + i holds
+    query token i of group-head g; one row-dependent mask serves the
+    whole tile (kv_pos <= starts[b] + r%C).
+    """
+    import jax.numpy as jnp
+
+    B, H, C, D = q.shape
+    Hkv, P, page, _ = k_pages.shape
+    G = H // Hkv
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
+    # (B, Hkv, G, C, D) -> (B, Hkv, G*C, D): row r = g*C + i
+    qg = q.reshape(B, Hkv, G, C, D).reshape(B, Hkv, G * C, D)
+    if bucket_pages:
+        mb = pages_bucket(page_indices.shape[1])
+        if mb != page_indices.shape[1]:
+            page_indices = jnp.pad(
+                page_indices, ((0, 0), (0, mb - page_indices.shape[1])))
+    kf = k_pages.reshape(Hkv * P, page, D)
+    vf = v_pages.reshape(Hkv * P, page, D)
+    assert (k_scales is None) == (v_scales is None)
+    ksf = vsf = None
+    if k_scales is not None:
+        ksf = k_scales.reshape(Hkv * P, page).astype(jnp.float32)
+        vsf = v_scales.reshape(Hkv * P, page).astype(jnp.float32)
+    max_pages = page_indices.shape[1]
+    while unroll > 1 and max_pages % unroll:
+        unroll //= 2
+    heads = jnp.arange(Hkv, dtype=page_indices.dtype) * P
+    pi_h = (page_indices[:, None, :] + heads[None, :, None])
+    out = _paged_chunked_call(qg, kf, vf, pi_h, lengths, starts, scale,
+                              interpret, G, C, page, max_pages, unroll,
+                              ksf, vsf)
+    # (B, Hkv, G*C, D) -> (B, H, C, D)
+    return out.reshape(B, Hkv, G, C, D).reshape(B, H, C, D)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sm_scale", "interpret", "G", "C", "page", "max_pages", "unroll"))
+def _paged_chunked_call(qg, kf, vf, pi_h, lengths, starts, sm_scale,
+                        interpret, G, C, page, max_pages, unroll=1,
+                        ksf=None, vsf=None):
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Hkv, GC, D = qg.shape
+    U = unroll
+    span = U * page
+    quant = ksf is not None
+
+    def kernel(pi_ref, len_ref, st_ref, q_ref, *refs):
+        k_refs = refs[:U]
+        v_refs = refs[U:2 * U]
+        n_in = 2 * U + (2 * U if quant else 0)
+        ks_refs = refs[2 * U:3 * U] if quant else None
+        vs_refs = refs[3 * U:4 * U] if quant else None
+        o_ref, m_sc, l_sc, acc_sc = refs[n_in:]
+        b = pl.program_id(0)
+        i = pl.program_id(2)
+
+        @pl.when(i == 0)
+        def _init():
+            m_sc[...] = jnp.full_like(m_sc, -jnp.inf)
+            l_sc[...] = jnp.zeros_like(l_sc)
+            acc_sc[...] = jnp.zeros_like(acc_sc)
+
+        start = st_ref[b]
+
+        @pl.when(i * span <= start + C - 1)
+        def _run():
+            qt = q_ref[0, 0]                              # (GC, D)
+            kt = jnp.concatenate([r[0] for r in k_refs], axis=0)
+            if quant:
+                kt = kt.astype(jnp.float32)
+            s = jax.lax.dot_general(
+                qt, kt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (GC, span)
+            s = s * (sm_scale * 1.4426950408889634)       # base-2
+            if quant:
+                ksv = jnp.concatenate([r[...] for r in ks_refs], axis=1)
+                s = s * ksv
+            pos = jax.lax.broadcasted_iota(jnp.int32, (GC, span), 1) \
+                + i * span
+            # row r = g*C + tok: its query position is start + r%C
+            prow = start + jax.lax.broadcasted_iota(
+                jnp.int32, (GC, span), 0) % C
+            s = jnp.where(pos <= prow, s, DEFAULT_MASK_VALUE)
+
+            m_prev, l_prev = m_sc[...], l_sc[...]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - m_next[:, :1])
+            l_sc[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_sc[...] = m_next
+            vt = jnp.concatenate([r[0] for r in v_refs], axis=0)
+            if quant:
+                vsv = jnp.concatenate([r[...] for r in vs_refs], axis=1)
+                acc_sc[...] = acc_sc[...] * alpha[:, :1] + jax.lax.dot(
+                    p * vsv, vt.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+            else:
+                acc_sc[...] = acc_sc[...] * alpha[:, :1] + jax.lax.dot(
+                    p.astype(vt.dtype), vt,
+                    preferred_element_type=jnp.float32)
+
+        @pl.when(i == max_pages // U - 1)
+        def _done():
+            l = l_sc[...][:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, 0] = (acc_sc[...] * l_inv).astype(o_ref.dtype)
+
+    def _slot_spec(u):
+        return pl.BlockSpec((1, page, D),
+                            lambda b, h, i, pi, ln, st, u=u: (_kv_page(
+                                b, h, i * U + u, pi, ln, page), 0, 0))
+
+    def _scale_spec(u):
+        return pl.BlockSpec((1, page),
+                            lambda b, h, i, pi, ln, st, u=u: (_kv_page(
+                                b, h, i * U + u, pi, ln, page), 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, Hkv, max_pages // U),
+        in_specs=(
+            [pl.BlockSpec((1, 1, GC, D),
+                          lambda b, h, i, pi, ln, st: (b, h, 0, 0))]
+            + [_slot_spec(u) for u in range(U)]
+            + [_slot_spec(u) for u in range(U)]
+            + ([_scale_spec(u % U) for u in range(2 * U)] if quant
+               else [])
+        ),
+        out_specs=pl.BlockSpec((1, 1, GC, D),
+                               lambda b, h, i, pi, ln, st: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((GC, 128), jnp.float32),
+            pltpu.VMEM((GC, 128), jnp.float32),
+            pltpu.VMEM((GC, D), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, GC, D), qg.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+        name=f"paged_attn_chunk{C}_g{G}_p{page}_u{U}"
+        + ("_q8" if quant else ""),
+    )(pi_h, lengths, starts, qg, *([kf] * U), *([vf] * U),
+      *(([ksf] * U + [vsf] * U) if quant else []))
+
+
 def quantize_kv(pages):
     """Symmetric per-(token, head) int8: (Hkv, P, page, D) float ->
     (int8 values, (Hkv, P, page) f32 scales). The granularity the

@@ -70,6 +70,8 @@ TPU_SMOKE = {
     # scalar-prefetched schedules (block-sparse fwd + transposed bwd)
     "test_flash_attention_block_sparse",
     "test_flash_attention_block_sparse_grads",
+    # int8 KV paged decode (scale windows + column-folded dequant)
+    "test_paged_attention_int8_kv",
 }
 
 

@@ -418,3 +418,72 @@ def test_llama_int8_kv_cache(client):
         l32, c32 = llama.decode_step(params, c32, prompt[:, t], cfg32)
     err = np.abs(np.asarray(lq) - np.asarray(l32)).max()
     assert err < 0.05, err
+
+
+def test_speculative_decoding_exact(client):
+    """Greedy speculative decoding reproduces the target-only greedy
+    stream EXACTLY — with a weak independent draft (frequent
+    rejections) and with draft == target (all-accepted fast path +
+    bonus tokens + draft-cache sync)."""
+    import jax.numpy as jnp
+
+    from cubecl_tpu.models import llama
+
+    cfg = llama.LlamaConfig(vocab=64, d_model=64, n_heads=2, n_kv_heads=1,
+                            n_layers=2, d_ff=128, seq=32,
+                            use_flash_attention=False,
+                            use_framework_kernels=False)
+    params = llama.init_params(cfg, seed=8)
+    draft = llama.init_params(cfg, seed=9)      # independent weak draft
+    B, S, steps = 2, 6, 10
+    rng = np.random.RandomState(3)
+    prompt = jnp.asarray(rng.randint(0, cfg.vocab, (B, S)), jnp.int32)
+
+    want = np.asarray(llama.generate(params, prompt, steps, cfg,
+                                     max_pages=2))
+
+    for dparams, note in ((draft, "weak draft"), (params, "self-draft")):
+        got, mean_acc = llama.speculative_generate(
+            params, prompt, steps, cfg, dparams, cfg, gamma=3,
+            max_pages=2)
+        np.testing.assert_array_equal(np.asarray(got), want), note
+        if dparams is params:
+            assert mean_acc == 3.0   # greedy self-draft: always accepted
+
+
+def test_decode_chunk_matches_sequential(client):
+    """decode_chunk(C tokens) == C sequential decode_steps: same cache
+    pools and logits (f32 and int8 KV modes)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from cubecl_tpu.models import llama
+
+    base = llama.LlamaConfig(vocab=64, d_model=64, n_heads=2,
+                             n_kv_heads=1, n_layers=2, d_ff=128, seq=32,
+                             use_flash_attention=False,
+                             use_framework_kernels=False)
+    rng = np.random.RandomState(5)
+    for kv_dtype, tol in (("", 3e-5), ("int8", 3e-5)):
+        cfg = dataclasses.replace(base, kv_dtype=kv_dtype)
+        params = llama.init_params(cfg, seed=6)
+        B, C, page = 2, 5, 16
+        toks = jnp.asarray(rng.randint(0, cfg.vocab, (B, 8)), jnp.int32)
+
+        c1 = llama.init_kv_cache(cfg, B, 4, page)
+        _, c1 = llama.prefill(params, c1, toks[:, :3], cfg)  # some ctx
+        c2 = {k: v for k, v in c1.items()}
+
+        lg1, c1 = llama.decode_chunk(params, c1, toks[:, 3:3 + C], cfg)
+        lg2 = []
+        for i in range(C):
+            l2, c2 = llama.decode_step(params, c2, toks[:, 3 + i], cfg)
+            lg2.append(l2)
+        lg2 = jnp.stack(lg2, axis=1)
+        np.testing.assert_allclose(np.asarray(lg1), np.asarray(lg2),
+                                   atol=tol, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(c1["k"]),
+                                   np.asarray(c2["k"]), atol=tol)
+        np.testing.assert_array_equal(np.asarray(c1["lengths"]),
+                                      np.asarray(c2["lengths"]))

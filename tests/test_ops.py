@@ -842,3 +842,64 @@ def test_paged_attention_int8_kv(client):
     oref = paged_attention_reference(q, kp, vp, table, lengths)
     err = np.abs(np.asarray(o8) - np.asarray(oref)).max()
     assert err < 0.03, err
+
+
+def test_paged_attention_chunked(client):
+    """C queries per sequence vs paged KV with causal-within-chunk
+    masking — the speculative-verify / chunked-prefill kernel — against
+    a dense gather oracle; f32 and int8-KV modes."""
+    import jax.numpy as jnp
+
+    from cubecl_tpu.ops.paged_attention import (
+        DEFAULT_MASK_VALUE,
+        paged_attention_chunked,
+        quantize_kv,
+    )
+
+    Hkv, H, D, page, P, B, C = 2, 4, 128, 128, 6, 2, 4
+    rng = np.random.RandomState(2)
+    kp = jnp.asarray(rng.randn(Hkv, P, page, D).astype(np.float32) * .5)
+    vp = jnp.asarray(rng.randn(Hkv, P, page, D).astype(np.float32))
+    q = jnp.asarray(rng.randn(B, H, C, D).astype(np.float32) * .5)
+    table = jnp.asarray(
+        np.stack([rng.permutation(P)[:3] for _ in range(B)]).astype(
+            np.int32))
+    starts = jnp.asarray(np.array([250, 100], np.int32))
+    lengths = starts + C
+
+    def oracle(kpages, vpages):
+        g = H // Hkv
+        out = np.zeros((B, H, C, D), np.float32)
+        kn, vn = np.asarray(kpages), np.asarray(vpages)
+        tab, st = np.asarray(table), np.asarray(starts)
+        for b in range(B):
+            S = int(st[b]) + C
+            npg = -(-S // page)
+            for h in range(H):
+                hk = h // g
+                kc = kn[hk, tab[b, :npg]].reshape(-1, D)[:S]
+                vc = vn[hk, tab[b, :npg]].reshape(-1, D)[:S]
+                for i in range(C):
+                    n = int(st[b]) + i + 1
+                    s = (np.asarray(q)[b, h, i] @ kc[:n].T) / np.sqrt(D)
+                    p = np.exp(s - s.max())
+                    p /= p.sum()
+                    out[b, h, i] = p @ vc[:n]
+        return out
+
+    o = paged_attention_chunked(q, kp, vp, table, lengths, starts,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(o), oracle(kp, vp),
+                               atol=2e-5, rtol=1e-4)
+
+    # int8 mode matches the dequantized-pages run exactly
+    k8, ks = quantize_kv(kp)
+    v8, vs = quantize_kv(vp)
+    o8 = paged_attention_chunked(q, k8, v8, table, lengths, starts,
+                                 interpret=True, k_scales=ks, v_scales=vs)
+    kd = k8.astype(jnp.float32) * ks[..., None]
+    vd = v8.astype(jnp.float32) * vs[..., None]
+    od = paged_attention_chunked(q, kd, vd, table, lengths, starts,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(o8), np.asarray(od),
+                               atol=1e-5, rtol=1e-5)
