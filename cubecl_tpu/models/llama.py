@@ -525,6 +525,47 @@ def prefill(params, cache, tokens, cfg: LlamaConfig):
     return logits, new_cache
 
 
+def _paged_maybe_sharded(q, kp, vp, table, lengths, interp,
+                         ks, vs, nkv):
+    """Paged decode attention, TENSOR-PARALLEL over kv heads when a
+    model mesh is active (models.transformer._use_mesh): the kernel
+    runs per-shard under shard_map — q's head dim and the KV pools'
+    kv-head dim split on "tp" (head blocks align because q's heads are
+    grouped by kv head). Attention is embarrassingly parallel over
+    heads, so no collective is needed; the proof that the serving
+    kernel composes with the multi-device axis."""
+    import jax
+
+    from ..ops.paged_attention import paged_attention
+    from .transformer import _MESH_CTX
+
+    mesh = _MESH_CTX.get()
+    tp = mesh.shape.get("tp", 1) if mesh is not None else 1
+    if mesh is None or tp == 1 or nkv % tp:
+        return paged_attention(q, kp, vp, table, lengths,
+                               interpret=interp, k_scales=ks,
+                               v_scales=vs)
+    from jax.sharding import PartitionSpec as P
+
+    quant = ks is not None
+
+    def shard_fn(qq, kk, vv, tt, ll, *sc):
+        return paged_attention(
+            qq, kk, vv, tt, ll, interpret=interp,
+            k_scales=sc[0] if quant else None,
+            v_scales=sc[1] if quant else None)
+
+    specs = [P(None, "tp", None), P("tp", None, None, None),
+             P("tp", None, None, None), P(None, None), P(None)]
+    args = [q, kp, vp, table, lengths]
+    if quant:
+        specs += [P("tp", None, None), P("tp", None, None)]
+        args += [ks, vs]
+    return jax.shard_map(shard_fn, mesh=mesh, in_specs=tuple(specs),
+                         out_specs=P(None, "tp", None),
+                         check_vma=False)(*args)
+
+
 def decode_step(params, cache, tokens, cfg: LlamaConfig):
     """One token per sequence: returns (logits (B, vocab), new cache).
     Attention runs through ops.paged_attention; interpret mode is chosen
@@ -565,10 +606,10 @@ def decode_step(params, cache, tokens, cfg: LlamaConfig):
             k_cache[li], table, pos, k, page))
         v_cache = v_cache.at[li].set(_cache_write(
             v_cache[li], table, pos, v, page))
-        o = paged_attention(q, k_cache[li], v_cache[li],
-                            table, pos + 1, interpret=interp,
-                            k_scales=ks_cache[li] if quant else None,
-                            v_scales=vs_cache[li] if quant else None)
+        o = _paged_maybe_sharded(
+            q, k_cache[li], v_cache[li], table, pos + 1, interp,
+            ks_cache[li] if quant else None,
+            vs_cache[li] if quant else None, nkv)
         x = x + o.reshape(B, nh * hd) @ layer["wo"]
         h = _rmsnorm(x, layer["rms2"], cfg.rms_eps, cfg)
         x = x + (_moe(h[:, None, :], layer["moe"], cfg)[:, 0]
@@ -679,6 +720,22 @@ def decode_chunk(params, cache, tokens, cfg: LlamaConfig):
         new_cache["k_scales"] = ks_cache
         new_cache["v_scales"] = vs_cache
     return logits, new_cache
+
+
+def prefill_chunked(params, cache, tokens, cfg: LlamaConfig,
+                    chunk: int = 256):
+    """Chunked prefill: feed the prompt through ``decode_chunk`` in
+    ``chunk``-sized pieces. Peak attention memory is O(chunk * S)
+    instead of O(S^2) and each piece batches with concurrent decode
+    traffic (vLLM's chunked-prefill scheduling) — at the cost of one
+    kernel sweep per chunk. Numerically matches the one-shot
+    ``prefill`` (tested). Returns (last-position logits, cache)."""
+    B, S = tokens.shape
+    logits = None
+    for s0 in range(0, S, chunk):
+        logits, cache = decode_chunk(params, cache,
+                                     tokens[:, s0:s0 + chunk], cfg)
+    return logits[:, -1], cache
 
 
 def speculative_generate(params, prompt, steps: int, cfg: LlamaConfig,

@@ -487,3 +487,69 @@ def test_decode_chunk_matches_sequential(client):
                                    np.asarray(c2["k"]), atol=tol)
         np.testing.assert_array_equal(np.asarray(c1["lengths"]),
                                       np.asarray(c2["lengths"]))
+
+
+def test_prefill_chunked_matches_prefill(client):
+    """Chunked prefill (decode_chunk pieces) == one-shot batched
+    prefill, including a chunk size that doesn't divide the prompt."""
+    import jax.numpy as jnp
+
+    from cubecl_tpu.models import llama
+
+    cfg = llama.LlamaConfig(vocab=64, d_model=64, n_heads=2, n_kv_heads=1,
+                            n_layers=2, d_ff=128, seq=32,
+                            use_flash_attention=False,
+                            use_framework_kernels=False)
+    params = llama.init_params(cfg, seed=3)
+    B, S, page = 2, 21, 16
+    rng = np.random.RandomState(9)
+    prompt = jnp.asarray(rng.randint(0, cfg.vocab, (B, S)), jnp.int32)
+
+    c1 = llama.init_kv_cache(cfg, B, 4, page)
+    l1, c1 = llama.prefill(params, c1, prompt, cfg)
+    c2 = llama.init_kv_cache(cfg, B, 4, page)
+    l2, c2 = llama.prefill_chunked(params, c2, prompt, cfg, chunk=8)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(c1["k"]), np.asarray(c2["k"]),
+                               atol=3e-5)
+    np.testing.assert_array_equal(np.asarray(c1["lengths"]),
+                                  np.asarray(c2["lengths"]))
+
+
+def test_llama_decode_tensor_parallel(client):
+    """Paged decode under a tp mesh: the kernel runs per kv-head shard
+    via shard_map and matches the unsharded step exactly (f32 + int8)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from cubecl_tpu.models import llama
+    from cubecl_tpu.models.transformer import _use_mesh
+
+    base = llama.LlamaConfig(vocab=64, d_model=64, n_heads=4,
+                             n_kv_heads=2, n_layers=2, d_ff=128, seq=32,
+                             use_flash_attention=False,
+                             use_framework_kernels=False)
+    devs = np.array(jax.devices()[:2]).reshape(2)
+    mesh = Mesh(devs, ("tp",))
+    rng = np.random.RandomState(11)
+    for kv_dtype in ("", "int8"):
+        cfg = dataclasses.replace(base, kv_dtype=kv_dtype)
+        params = llama.init_params(cfg, seed=12)
+        B, page = 2, 16
+        prompt = jnp.asarray(rng.randint(0, cfg.vocab, (B, 6)), jnp.int32)
+        tok = jnp.asarray(rng.randint(0, cfg.vocab, (B,)), jnp.int32)
+
+        c1 = llama.init_kv_cache(cfg, B, 4, page)
+        _, c1 = llama.prefill(params, c1, prompt, cfg)
+        l1, c1 = llama.decode_step(params, c1, tok, cfg)
+
+        c2 = llama.init_kv_cache(cfg, B, 4, page)
+        _, c2 = llama.prefill(params, c2, prompt, cfg)
+        with _use_mesh(mesh):
+            l2, c2 = llama.decode_step(params, c2, tok, cfg)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   atol=2e-5, rtol=1e-4)
