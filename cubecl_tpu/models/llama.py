@@ -918,6 +918,30 @@ def beam_generate(params, prompt, steps: int, cfg: LlamaConfig,
     return jnp.asarray(out), jnp.asarray(scores[order])
 
 
+def sample_logits(logits, key, temperature: float = 1.0,
+                  top_k: int = 0, top_p: float = 1.0):
+    """Standard serving sampler: temperature -> top-k mask -> top-p
+    (nucleus) mask -> categorical. temperature 0 (or top_k 1) = argmax.
+    logits (B, V) -> (B,) int32."""
+    import jax
+    import jax.numpy as jnp
+
+    if temperature == 0.0 or top_k == 1:
+        return jnp.argmax(logits, -1).astype(jnp.int32)
+    l = logits.astype(jnp.float32) / max(temperature, 1e-6)
+    if top_k > 0:
+        kth = jnp.sort(l, axis=-1)[:, -top_k][:, None]
+        l = jnp.where(l < kth, -jnp.inf, l)
+    if top_p < 1.0:
+        sl = jnp.sort(l, axis=-1)[:, ::-1]                # descending
+        probs = jax.nn.softmax(sl, axis=-1)
+        keep_sorted = jnp.cumsum(probs, axis=-1) - probs < top_p
+        kth = jnp.min(jnp.where(keep_sorted, sl, jnp.inf), axis=-1,
+                      keepdims=True)
+        l = jnp.where(l < kth, -jnp.inf, l)
+    return jax.random.categorical(key, l, axis=-1).astype(jnp.int32)
+
+
 def generate(params, prompt, steps: int, cfg: LlamaConfig,
              max_pages: int = 4, page: int = 128):
     """Greedy decode: batched ``prefill`` (one forward pass writes the

@@ -553,3 +553,35 @@ def test_llama_decode_tensor_parallel(client):
             l2, c2 = llama.decode_step(params, c2, tok, cfg)
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_sample_logits(client):
+    """Sampler semantics: temp-0/argmax, top-k support masking, top-p
+    nucleus support, and full-distribution sampling validity."""
+    import jax
+    import jax.numpy as jnp
+
+    from cubecl_tpu.models.llama import sample_logits
+
+    logits = jnp.asarray(np.log(np.array(
+        [[0.5, 0.3, 0.1, 0.06, 0.04]], np.float32)))
+    key = jax.random.PRNGKey(0)
+
+    assert int(sample_logits(logits, key, temperature=0.0)[0]) == 0
+    assert int(sample_logits(logits, key, top_k=1)[0]) == 0
+
+    # top_k=2: only tokens {0,1} ever sampled
+    seen = {int(sample_logits(logits, jax.random.PRNGKey(i),
+                              top_k=2)[0]) for i in range(60)}
+    assert seen <= {0, 1} and len(seen) == 2
+
+    # top_p=0.75: nucleus {0.5, 0.3} -> tokens {0,1}
+    seen = {int(sample_logits(logits, jax.random.PRNGKey(i),
+                              top_p=0.75)[0]) for i in range(60)}
+    assert seen <= {0, 1} and len(seen) == 2
+
+    # unconstrained: all tokens reachable, frequencies roughly ordered
+    counts = np.zeros(5)
+    for i in range(400):
+        counts[int(sample_logits(logits, jax.random.PRNGKey(i))[0])] += 1
+    assert counts[0] > counts[2] > 0
