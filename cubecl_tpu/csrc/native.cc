@@ -131,8 +131,32 @@ struct PagePool {
   std::vector<int32_t> free_list;            // stack of free page ids
   std::vector<int32_t> refcount;             // per page
   std::unordered_map<int64_t, std::vector<int32_t>> seqs;
+  // automatic prefix caching: full pages registered under a chain
+  // hash survive release on an evictable FIFO until pool pressure
+  // reclaims them (vLLM's prefix cache)
+  std::vector<uint64_t> page_hash;           // 0 = unregistered
+  std::unordered_map<uint64_t, int32_t> prefix_map;
+  std::vector<int32_t> evictable;            // refcount-0 cached pages
   bool alive = false;
 };
+
+// pop a free page, evicting the oldest cached page if needed;
+// returns -1 when truly exhausted. Caller holds the lock.
+int32_t take_page(PagePool* p) {
+  if (!p->free_list.empty()) {
+    int32_t pg = p->free_list.back();
+    p->free_list.pop_back();
+    return pg;
+  }
+  if (!p->evictable.empty()) {
+    int32_t pg = p->evictable.front();
+    p->evictable.erase(p->evictable.begin());
+    p->prefix_map.erase(p->page_hash[pg]);
+    p->page_hash[pg] = 0;
+    return pg;
+  }
+  return -1;
+}
 
 std::mutex g_pool_mu;
 std::vector<PagePool> g_pools;
@@ -151,6 +175,7 @@ int64_t page_pool_create(int32_t num_pages) {
   PagePool p;
   p.alive = true;
   p.refcount.assign(num_pages, 0);
+  p.page_hash.assign(num_pages, 0);
   p.free_list.reserve(num_pages);
   for (int32_t i = num_pages - 1; i >= 0; --i) p.free_list.push_back(i);
   for (size_t i = 0; i < g_pools.size(); ++i)
@@ -167,13 +192,18 @@ int32_t page_pool_destroy(int64_t h) {
   p->free_list.clear();
   p->refcount.clear();
   p->seqs.clear();
+  p->page_hash.clear();
+  p->prefix_map.clear();
+  p->evictable.clear();
   return 0;
 }
 
 int32_t page_pool_num_free(int64_t h) {
+  // free + reclaimable (cached pages evict on demand)
   std::lock_guard<std::mutex> lk(g_pool_mu);
   PagePool* p = pool_of(h);
-  return p ? (int32_t)p->free_list.size() : -1;
+  if (!p) return -1;
+  return (int32_t)(p->free_list.size() + p->evictable.size());
 }
 
 int32_t page_pool_seq_pages(int64_t h, int64_t seq) {
@@ -190,12 +220,12 @@ int32_t page_pool_alloc_seq(int64_t h, int64_t seq, int32_t n) {
   PagePool* p = pool_of(h);
   if (!p || n < 0) return -1;
   if (p->seqs.count(seq)) return -2;                 // already exists
-  if ((int32_t)p->free_list.size() < n) return -3;   // no space
+  if ((int32_t)(p->free_list.size() + p->evictable.size()) < n)
+    return -3;                                       // no space
   auto& v = p->seqs[seq];
   v.reserve(n);
   for (int32_t i = 0; i < n; ++i) {
-    int32_t pg = p->free_list.back();
-    p->free_list.pop_back();
+    int32_t pg = take_page(p);
     p->refcount[pg] = 1;
     v.push_back(pg);
   }
@@ -209,9 +239,8 @@ int32_t page_pool_append(int64_t h, int64_t seq) {
   if (!p) return -1;
   auto it = p->seqs.find(seq);
   if (it == p->seqs.end()) return -2;
-  if (p->free_list.empty()) return -3;
-  int32_t pg = p->free_list.back();
-  p->free_list.pop_back();
+  int32_t pg = take_page(p);
+  if (pg < 0) return -3;
   p->refcount[pg] = 1;
   it->second.push_back(pg);
   return pg;
@@ -244,7 +273,11 @@ int32_t page_pool_free_seq(int64_t h, int64_t seq) {
   int32_t freed = 0;
   for (int32_t pg : it->second) {
     if (--p->refcount[pg] == 0) {
-      p->free_list.push_back(pg);
+      if (p->page_hash[pg]) {
+        p->evictable.push_back(pg);      // retained for prefix reuse
+      } else {
+        p->free_list.push_back(pg);
+      }
       ++freed;
     }
   }
@@ -288,13 +321,66 @@ int64_t page_pool_unshare_last(int64_t h, int64_t seq) {
   if (it == p->seqs.end() || it->second.empty()) return -2;
   int32_t pg = it->second.back();
   if (p->refcount[pg] <= 1) return -4;
-  if (p->free_list.empty()) return -3;
-  int32_t np = p->free_list.back();
-  p->free_list.pop_back();
+  int32_t np = take_page(p);
+  if (np < 0) return -3;
   p->refcount[np] = 1;
   p->refcount[pg]--;
   it->second.back() = np;
   return ((int64_t)(uint32_t)pg << 32) | (uint32_t)np;
+}
+
+// register chain hashes for seq's first n (FULL, immutable) pages so
+// later requests with the same prefix reuse them. First registration
+// wins; a page already carrying a different hash is skipped.
+int32_t page_pool_register_prefix(int64_t h, int64_t seq,
+                                  const uint64_t* hashes, int32_t n) {
+  std::lock_guard<std::mutex> lk(g_pool_mu);
+  PagePool* p = pool_of(h);
+  if (!p) return -1;
+  auto it = p->seqs.find(seq);
+  if (it == p->seqs.end() || (int32_t)it->second.size() < n) return -2;
+  int32_t reg = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    uint64_t hv = hashes[i];
+    if (hv == 0) continue;
+    int32_t pg = it->second[i];
+    if (p->page_hash[pg] == hv) { ++reg; continue; }
+    if (p->page_hash[pg] != 0) continue;
+    if (p->prefix_map.count(hv)) continue;   // another page owns it
+    p->page_hash[pg] = hv;
+    p->prefix_map[hv] = pg;
+    ++reg;
+  }
+  return reg;
+}
+
+// start a sequence from a cached prefix: walk the hash chain, attach
+// every hit (refcount++, un-evict), stop at the first miss. Returns
+// the number of pages attached; the caller allocates the rest and
+// prefills only the uncached suffix.
+int32_t page_pool_admit_cached(int64_t h, int64_t seq,
+                               const uint64_t* hashes, int32_t n) {
+  std::lock_guard<std::mutex> lk(g_pool_mu);
+  PagePool* p = pool_of(h);
+  if (!p) return -1;
+  if (p->seqs.count(seq)) return -2;
+  std::vector<int32_t> v;
+  for (int32_t i = 0; i < n; ++i) {
+    auto mit = p->prefix_map.find(hashes[i]);
+    if (mit == p->prefix_map.end()) break;
+    int32_t pg = mit->second;
+    if (p->refcount[pg] == 0) {
+      for (size_t j = 0; j < p->evictable.size(); ++j)
+        if (p->evictable[j] == pg) {
+          p->evictable.erase(p->evictable.begin() + j);
+          break;
+        }
+    }
+    p->refcount[pg]++;
+    v.push_back(pg);
+  }
+  p->seqs[seq] = std::move(v);
+  return (int32_t)p->seqs[seq].size();
 }
 
 int32_t page_pool_refcount(int64_t h, int32_t page) {

@@ -39,18 +39,31 @@ class _PyPagePool:
         self.free: List[int] = list(range(num_pages - 1, -1, -1))
         self.refcount = [0] * num_pages
         self.seqs: Dict[int, List[int]] = {}
+        self.page_hash = [0] * num_pages
+        self.prefix_map: Dict[int, int] = {}
+        self.evictable: List[int] = []
+
+    def _take_page(self):
+        if self.free:
+            return self.free.pop()
+        if self.evictable:
+            pg = self.evictable.pop(0)
+            self.prefix_map.pop(self.page_hash[pg], None)
+            self.page_hash[pg] = 0
+            return pg
+        return -1
 
     def num_free(self) -> int:
-        return len(self.free)
+        return len(self.free) + len(self.evictable)
 
     def alloc_seq(self, seq: int, n: int) -> int:
         if seq in self.seqs:
             return -2
-        if len(self.free) < n:
+        if self.num_free() < n:
             return -3
         v = []
         for _ in range(n):
-            pg = self.free.pop()
+            pg = self._take_page()
             self.refcount[pg] = 1
             v.append(pg)
         self.seqs[seq] = v
@@ -59,9 +72,9 @@ class _PyPagePool:
     def append(self, seq: int) -> int:
         if seq not in self.seqs:
             return -2
-        if not self.free:
+        pg = self._take_page()
+        if pg < 0:
             return -3
-        pg = self.free.pop()
         self.refcount[pg] = 1
         self.seqs[seq].append(pg)
         return pg
@@ -81,9 +94,46 @@ class _PyPagePool:
         for pg in self.seqs.pop(seq):
             self.refcount[pg] -= 1
             if self.refcount[pg] == 0:
-                self.free.append(pg)
+                if self.page_hash[pg]:
+                    self.evictable.append(pg)   # retained for reuse
+                else:
+                    self.free.append(pg)
                 freed += 1
         return freed
+
+    def register_prefix(self, seq: int, hashes) -> int:
+        v = self.seqs.get(seq)
+        if v is None or len(v) < len(hashes):
+            return -2
+        reg = 0
+        for i, hv in enumerate(hashes):
+            if not hv:
+                continue
+            pg = v[i]
+            if self.page_hash[pg] == hv:
+                reg += 1
+                continue
+            if self.page_hash[pg] or hv in self.prefix_map:
+                continue
+            self.page_hash[pg] = hv
+            self.prefix_map[hv] = pg
+            reg += 1
+        return reg
+
+    def admit_cached(self, seq: int, hashes) -> int:
+        if seq in self.seqs:
+            return -2
+        v = []
+        for hv in hashes:
+            pg = self.prefix_map.get(hv)
+            if pg is None:
+                break
+            if self.refcount[pg] == 0 and pg in self.evictable:
+                self.evictable.remove(pg)
+            self.refcount[pg] += 1
+            v.append(pg)
+        self.seqs[seq] = v
+        return len(v)
 
     def seq_pages(self, seq: int) -> int:
         return len(self.seqs[seq]) if seq in self.seqs else -1
@@ -95,9 +145,9 @@ class _PyPagePool:
         pg = v[-1]
         if self.refcount[pg] <= 1:
             return -4
-        if not self.free:
+        np_ = self._take_page()
+        if np_ < 0:
             return -3
-        np_ = self.free.pop()
         self.refcount[np_] = 1
         self.refcount[pg] -= 1
         v[-1] = np_
@@ -231,6 +281,81 @@ class PageAllocator:
             freed = self._py.free_seq(seq)
         self.lengths.pop(seq, None)
         return max(freed, 0)
+
+    # -- automatic prefix caching ------------------------------------------
+
+    def _page_hashes(self, tokens) -> list:
+        """Chain hashes of the FULL token pages: h_i covers tokens
+        0..(i+1)*page-1 via h_i = xxh64(h_{i-1} || page_i_tokens) — the
+        vLLM prefix-cache key structure (native xxh64 when built)."""
+        import struct
+
+        from ..utils.hashing import stable_hash_bytes
+
+        toks = [int(t) for t in tokens]
+        out, parent = [], 0
+        for s0 in range(0, len(toks) - self.page_size + 1,
+                        self.page_size):
+            blob = struct.pack("<Q", parent) + struct.pack(
+                f"<{self.page_size}i",
+                *toks[s0:s0 + self.page_size])
+            parent = int(stable_hash_bytes(blob), 16) or 1
+            out.append(parent)
+        return out
+
+    def admit_cached(self, seq: int, tokens) -> int:
+        """Admit a sequence holding ``tokens``, reusing every cached
+        full-page prefix (their device KV is still in the pools —
+        retained pages were never handed out). Returns the number of
+        CACHED tokens (prefill only the suffix beyond it), or -1 if
+        the pool can't hold the sequence (nothing allocated)."""
+        import ctypes as ct
+
+        import numpy as np
+
+        hashes = self._page_hashes(tokens)
+        if self._lib is not None:
+            arr = np.asarray(hashes or [0], np.uint64)
+            k = int(self._lib.page_pool_admit_cached(
+                self._h, seq,
+                arr.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+                len(hashes)))
+        else:
+            k = self._py.admit_cached(seq, hashes)
+        if k < 0:
+            raise KeyError(f"admit_cached({seq}) rc={k}")
+        T = len(tokens)
+        need = max(1, -(-T // self.page_size)) - k
+        for _ in range(max(need, 0)):
+            pg = (int(self._lib.page_pool_append(self._h, seq))
+                  if self._lib is not None else self._py.append(seq))
+            if pg < 0:
+                self.release(seq)
+                return -1
+        self.lengths[seq] = T
+        return k * self.page_size
+
+    def register_prefix(self, seq: int, tokens) -> int:
+        """Register the sequence's WRITTEN full pages under their chain
+        hashes so later requests reuse them. Call after prefill; only
+        pages fully covered by both ``tokens`` and the written length
+        register. Returns the number registered."""
+        import ctypes as ct
+
+        import numpy as np
+
+        n_full = min(len(tokens), self.lengths.get(seq, 0)) \
+            // self.page_size
+        hashes = self._page_hashes(tokens)[:n_full]
+        if not hashes:
+            return 0
+        if self._lib is not None:
+            arr = np.asarray(hashes, np.uint64)
+            return max(0, int(self._lib.page_pool_register_prefix(
+                self._h, seq,
+                arr.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+                len(hashes))))
+        return max(0, self._py.register_prefix(seq, hashes))
 
     # -- kernel interop ----------------------------------------------------
 

@@ -90,5 +90,11 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.page_pool_unshare_last.restype = ctypes.c_int64
         lib.page_pool_unshare_last.argtypes = [ctypes.c_int64,
                                                ctypes.c_int64]
+        for name in ("page_pool_register_prefix", "page_pool_admit_cached"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int32
+            fn.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                           ctypes.POINTER(ctypes.c_uint64),
+                           ctypes.c_int32]
         _CACHED = lib
         return _CACHED

