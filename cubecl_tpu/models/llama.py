@@ -126,14 +126,22 @@ def _rope(x, theta):
                            axis=-1)
 
 
-def _attention(x, layer, cfg: LlamaConfig, return_kv: bool = False):
+def _attention(x, layer, cfg: LlamaConfig, return_kv: bool = False,
+               lora=None):
     import jax.numpy as jnp
 
     b, s, d = x.shape
     hd, nh, nkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
-    q = (x @ layer["wq"]).reshape(b, s, nh, hd)
-    k = (x @ layer["wk"]).reshape(b, s, nkv, hd)
-    v = (x @ layer["wv"]).reshape(b, s, nkv, hd)
+    qf = x @ layer["wq"]
+    kf = x @ layer["wk"]
+    vf = x @ layer["wv"]
+    if lora is not None:
+        la, ids, lsc = lora
+        qf = qf + _lora_delta(x, la["wq_a"], la["wq_b"], ids, lsc)
+        vf = vf + _lora_delta(x, la["wv_a"], la["wv_b"], ids, lsc)
+    q = qf.reshape(b, s, nh, hd)
+    k = kf.reshape(b, s, nkv, hd)
+    v = vf.reshape(b, s, nkv, hd)
     q = _rope(q, cfg.rope_theta)
     k = _rope(k, cfg.rope_theta)
     kv = (k, v) if return_kv else None   # post-rope, pre-GQA-broadcast
@@ -236,12 +244,17 @@ def _moe(x, moe, cfg: LlamaConfig):
     return jnp.einsum("bte,ebtd->btd", gates.astype(y.dtype), y)
 
 
-def forward(params, tokens, cfg: LlamaConfig):
-    """tokens (B, S) int32 -> logits (B, S, vocab)."""
+def forward(params, tokens, cfg: LlamaConfig, lora=None,
+            lora_ids=None):
+    """tokens (B, S) int32 -> logits (B, S, vocab). ``lora`` +
+    ``lora_ids`` apply per-row adapters (multi-LoRA training /
+    prefill)."""
     x = params["embed"][tokens]
-    for layer in params["layers"]:
+    for li, layer in enumerate(params["layers"]):
         h = _rmsnorm(x, layer["rms1"], cfg.rms_eps, cfg)
-        x = x + _attention(h, layer, cfg)
+        lo = (None if lora is None else
+              (lora["layers"][li], lora_ids, lora["scale"]))
+        x = x + _attention(h, layer, cfg, lora=lo)
         h = _rmsnorm(x, layer["rms2"], cfg.rms_eps, cfg)
         x = x + (_moe(h, layer["moe"], cfg) if cfg.n_experts
                  else _swiglu(h, layer["mlp"]))
@@ -259,6 +272,31 @@ def loss_fn(params, tokens, cfg: LlamaConfig):
         logits.max(-1, keepdims=True)
     nll = -jnp.take_along_axis(logp, targets[..., None], -1)
     return jnp.mean(nll)
+
+
+def make_lora_train_step(cfg: LlamaConfig, params, lr: float = 1e-2):
+    """Fine-tune ONLY the adapter bank (base params frozen by
+    construction — grads flow to the lora pytree alone)."""
+    import jax
+    import jax.numpy as jnp
+
+    def loss_fn_lora(lora, tokens, ids):
+        logits = forward(params, tokens[:, :-1], cfg, lora=lora,
+                         lora_ids=ids)
+        tgt = tokens[:, 1:]
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        nll = -jnp.take_along_axis(lp, tgt[..., None], -1)
+        return jnp.mean(nll)
+
+    @jax.jit
+    def step(lora, tokens, ids):
+        loss, g = jax.value_and_grad(loss_fn_lora)(lora, tokens, ids)
+        lora = jax.tree_util.tree_map(
+            lambda p, gg: p - lr * gg if p.dtype.kind == "f" else p,
+            lora, g)
+        return lora, loss
+
+    return step
 
 
 def make_train_step(cfg: LlamaConfig, lr: float = 1e-3):
@@ -566,10 +604,56 @@ def _paged_maybe_sharded(q, kp, vp, table, lengths, interp,
                          check_vma=False)(*args)
 
 
-def decode_step(params, cache, tokens, cfg: LlamaConfig):
+def init_lora(cfg: LlamaConfig, n_adapters: int, rank: int = 8,
+              seed: int = 0, scale: float = 2.0):
+    """Multi-LoRA adapter bank: per adapter, low-rank (A, B) deltas on
+    the attention q/v projections (the standard LoRA placement). B
+    initializes to ZERO, so a fresh adapter is exactly the base model.
+    Layout (n_layers): wq_a (N, d, r), wq_b (N, r, H*hd), wv_a/wv_b —
+    the adapter axis leads so per-request gathers batch cleanly."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(seed)
+    ks = iter(jax.random.split(key, 4 * cfg.n_layers))
+    d, hd = cfg.d_model, cfg.head_dim
+    layers = []
+    for _ in range(cfg.n_layers):
+        layers.append({
+            "wq_a": (jax.random.normal(next(ks), (n_adapters, d, rank))
+                     * 0.02).astype(jnp.float32),
+            "wq_b": jnp.zeros((n_adapters, rank, cfg.n_heads * hd),
+                              jnp.float32),
+            "wv_a": (jax.random.normal(next(ks), (n_adapters, d, rank))
+                     * 0.02).astype(jnp.float32),
+            "wv_b": jnp.zeros((n_adapters, rank,
+                               cfg.n_kv_heads * hd), jnp.float32),
+        })
+    return {"layers": layers, "scale": scale / rank}
+
+
+def _lora_delta(h, a, b, ids, scale):
+    """Per-request LoRA delta: h (B, d) or (B, C, d); a (N, d, r),
+    b (N, r, o); ids (B,) adapter index per sequence -> same-shape
+    delta. Gathered per row so one BATCH serves many adapters."""
+    import jax.numpy as jnp
+
+    ag = a[ids]                                   # (B, d, r)
+    bg = b[ids]                                   # (B, r, o)
+    if h.ndim == 2:
+        t = jnp.einsum("bd,bdr->br", h, ag)
+        return jnp.einsum("br,bro->bo", t, bg) * scale
+    t = jnp.einsum("bcd,bdr->bcr", h, ag)
+    return jnp.einsum("bcr,bro->bco", t, bg) * scale
+
+
+def decode_step(params, cache, tokens, cfg: LlamaConfig,
+                lora=None, lora_ids=None):
     """One token per sequence: returns (logits (B, vocab), new cache).
     Attention runs through ops.paged_attention; interpret mode is chosen
-    from the backend (CPU tests)."""
+    from the backend (CPU tests). ``lora`` + ``lora_ids`` (B,) apply a
+    PER-REQUEST low-rank adapter from the init_lora bank to the q/v
+    projections — one batch serves many adapters (multi-LoRA)."""
     import jax
     import jax.numpy as jnp
 
@@ -589,9 +673,18 @@ def decode_step(params, cache, tokens, cfg: LlamaConfig):
     table = cache["page_indices"]
     for li, layer in enumerate(params["layers"]):
         h = _rmsnorm(x, layer["rms1"], cfg.rms_eps, cfg)
-        q = (h @ layer["wq"]).reshape(B, nh, hd)
-        k = (h @ layer["wk"]).reshape(B, nkv, hd)
-        v = (h @ layer["wv"]).reshape(B, nkv, hd)
+        qf = h @ layer["wq"]
+        kf = h @ layer["wk"]
+        vf = h @ layer["wv"]
+        if lora is not None:
+            la = lora["layers"][li]
+            qf = qf + _lora_delta(h, la["wq_a"], la["wq_b"], lora_ids,
+                                  lora["scale"])
+            vf = vf + _lora_delta(h, la["wv_a"], la["wv_b"], lora_ids,
+                                  lora["scale"])
+        q = qf.reshape(B, nh, hd)
+        k = kf.reshape(B, nkv, hd)
+        v = vf.reshape(B, nkv, hd)
         # rotary at the current position
         q = _rope_at(q, pos, cfg.rope_theta)
         k = _rope_at(k, pos, cfg.rope_theta)
