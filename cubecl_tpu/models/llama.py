@@ -43,6 +43,8 @@ class LlamaConfig:
     n_experts: int = 0           # 0 = dense SwiGLU; >0 = MoE
     top_k: int = 2
     kv_dtype: str = ""           # "int8": quantized paged KV cache
+    attn_window: int = 0         # >0: StreamingLLM decode (last-W + sinks)
+    attn_sinks: int = 0
 
     @property
     def head_dim(self) -> int:
@@ -564,7 +566,7 @@ def prefill(params, cache, tokens, cfg: LlamaConfig):
 
 
 def _paged_maybe_sharded(q, kp, vp, table, lengths, interp,
-                         ks, vs, nkv):
+                         ks, vs, nkv, window=0, sinks=0):
     """Paged decode attention, TENSOR-PARALLEL over kv heads when a
     model mesh is active (models.transformer._use_mesh): the kernel
     runs per-shard under shard_map — q's head dim and the KV pools'
@@ -582,7 +584,7 @@ def _paged_maybe_sharded(q, kp, vp, table, lengths, interp,
     if mesh is None or tp == 1 or nkv % tp:
         return paged_attention(q, kp, vp, table, lengths,
                                interpret=interp, k_scales=ks,
-                               v_scales=vs)
+                               v_scales=vs, window=window, sinks=sinks)
     from jax.sharding import PartitionSpec as P
 
     quant = ks is not None
@@ -591,7 +593,8 @@ def _paged_maybe_sharded(q, kp, vp, table, lengths, interp,
         return paged_attention(
             qq, kk, vv, tt, ll, interpret=interp,
             k_scales=sc[0] if quant else None,
-            v_scales=sc[1] if quant else None)
+            v_scales=sc[1] if quant else None,
+            window=window, sinks=sinks)
 
     specs = [P(None, "tp", None), P("tp", None, None, None),
              P("tp", None, None, None), P(None, None), P(None)]
@@ -702,7 +705,8 @@ def decode_step(params, cache, tokens, cfg: LlamaConfig,
         o = _paged_maybe_sharded(
             q, k_cache[li], v_cache[li], table, pos + 1, interp,
             ks_cache[li] if quant else None,
-            vs_cache[li] if quant else None, nkv)
+            vs_cache[li] if quant else None, nkv,
+            cfg.attn_window, cfg.attn_sinks)
         x = x + o.reshape(B, nh * hd) @ layer["wo"]
         h = _rmsnorm(x, layer["rms2"], cfg.rms_eps, cfg)
         x = x + (_moe(h[:, None, :], layer["moe"], cfg)[:, 0]

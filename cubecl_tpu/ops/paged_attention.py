@@ -61,7 +61,8 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
                     interpret: bool = False,
                     bucket_pages: bool = True,
                     unroll: int = 16,
-                    k_scales=None, v_scales=None):
+                    k_scales=None, v_scales=None,
+                    window: int = 0, sinks: int = 0):
     """Decode attention over a paged KV cache.
 
     q:            (B, H, D)            one query vector per head
@@ -123,7 +124,8 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
     pi_h = (page_indices[:, None, :] + heads[None, :, None])  # (B,Hkv,mp)
 
     out = _paged_call_headed(qg, kf, vf, pi_h, lengths, scale, interpret,
-                             G, page, max_pages, unroll, ksf, vsf)
+                             G, page, max_pages, unroll, ksf, vsf,
+                             window, sinks)
     return out.reshape(B, H, D)
 
 
@@ -138,9 +140,11 @@ _TRACE_COUNT = 0  # distinct compiled decode variants (test/diagnostic)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sm_scale", "interpret", "G", "page", "max_pages", "unroll"))
+    "sm_scale", "interpret", "G", "page", "max_pages", "unroll",
+    "window", "sinks"))
 def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
-                       G, page, max_pages, unroll=1, ksf=None, vsf=None):
+                       G, page, max_pages, unroll=1, ksf=None, vsf=None,
+                       window=0, sinks=0):
     global _TRACE_COUNT
     _TRACE_COUNT += 1  # runs at trace time only: counts compiled variants
     import jax.numpy as jnp
@@ -169,8 +173,16 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
             acc_sc[...] = jnp.zeros_like(acc_sc)
 
         seq_len = len_ref[b]
+        step_live = i * span < seq_len
+        if window:
+            # a step is dead when its whole span falls between the
+            # sinks and the window tail
+            step_live = jnp.logical_and(
+                step_live,
+                jnp.logical_or(i * span < sinks,
+                               (i + 1) * span > seq_len - window))
 
-        @pl.when(i * span < seq_len)
+        @pl.when(step_live)
         def _run():
             qt = q_ref[0, 0]                              # (G, D)
             # one fused (span, D) KV tile per step: U pages DMA'd
@@ -192,7 +204,15 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
                 s = s * ksv
             pos = jax.lax.broadcasted_iota(jnp.int32, (G, span), 1) \
                 + i * span
-            s = jnp.where(pos < seq_len, s, DEFAULT_MASK_VALUE)
+            live = pos < seq_len
+            if window:
+                # StreamingLLM: attend the first `sinks` tokens + the
+                # last `window` tokens only (static compile-time mask
+                # shape; the step guard below skips dead middle pages'
+                # compute)
+                live = live & ((pos < sinks)
+                               | (pos >= seq_len - window))
+            s = jnp.where(live, s, DEFAULT_MASK_VALUE)
 
             m_prev, l_prev = m_sc[...], l_sc[...]
             m_curr = jnp.max(s, axis=1, keepdims=True)

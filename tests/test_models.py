@@ -667,3 +667,35 @@ def test_lora_finetune_only_adapters(client):
         assert float(jnp.abs(la["wq_b"][1]).max()) == 0.0
     # trained adapter changed
     assert float(jnp.abs(lora["layers"][0]["wq_b"][0]).max()) > 0.0
+
+
+def test_llama_streaming_window_decode(client):
+    """StreamingLLM config: windowed decode equals full decode while
+    the context fits in sinks+window, then diverges once it overflows
+    (the mask actually bites)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from cubecl_tpu.models import llama
+
+    base = llama.LlamaConfig(vocab=64, d_model=64, n_heads=2,
+                             n_kv_heads=1, n_layers=2, d_ff=128, seq=64,
+                             use_flash_attention=False,
+                             use_framework_kernels=False)
+    win = dataclasses.replace(base, attn_window=16, attn_sinks=16)
+    params = llama.init_params(base, seed=30)
+    rng = np.random.RandomState(33)
+    page = 16
+    toks = jnp.asarray(rng.randint(0, base.vocab, (1, 48)), jnp.int32)
+
+    cf = llama.init_kv_cache(base, 1, 4, page)
+    cw = llama.init_kv_cache(win, 1, 4, page)
+    same_until_overflow = True
+    for t in range(48):
+        lf, cf = llama.decode_step(params, cf, toks[:, t], base)
+        lw, cw = llama.decode_step(params, cw, toks[:, t], win)
+        if t < 31:   # context <= sinks+window: identical
+            np.testing.assert_allclose(np.asarray(lf), np.asarray(lw),
+                                       atol=1e-5)
+    assert np.abs(np.asarray(lf) - np.asarray(lw)).max() > 1e-4

@@ -903,3 +903,42 @@ def test_paged_attention_chunked(client):
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(o8), np.asarray(od),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_paged_attention_windowed_sinks(client):
+    """StreamingLLM-style masking: attend the first `sinks` tokens +
+    the last `window` tokens only; dead middle pages skip compute."""
+    import jax.numpy as jnp
+
+    from cubecl_tpu.ops.paged_attention import paged_attention
+
+    Hkv, H, D, page, P, B = 1, 2, 128, 128, 8, 2
+    sinks, window = 128, 256
+    rng = np.random.RandomState(4)
+    kp = jnp.asarray(rng.randn(Hkv, P, page, D).astype(np.float32) * .5)
+    vp = jnp.asarray(rng.randn(Hkv, P, page, D).astype(np.float32))
+    q = jnp.asarray(rng.randn(B, H, D).astype(np.float32) * .5)
+    table = jnp.asarray(
+        np.stack([rng.permutation(P)[:6] for _ in range(B)]).astype(
+            np.int32))
+    lengths = jnp.asarray(np.array([700, 300], np.int32))
+
+    o = paged_attention(q, kp, vp, table, lengths, interpret=True,
+                        window=window, sinks=sinks)
+
+    kn, vn, qn = (np.asarray(x) for x in (kp, vp, q))
+    tab, ln = np.asarray(table), np.asarray(lengths)
+    for b in range(B):
+        S = int(ln[b])
+        kc = kn[0, tab[b]].reshape(-1, D)[:S]
+        vc = vn[0, tab[b]].reshape(-1, D)[:S]
+        pos = np.arange(S)
+        live = (pos < sinks) | (pos >= S - window)
+        for h in range(H):
+            sco = (qn[b, h] @ kc.T) / np.sqrt(D)
+            sco = np.where(live, sco, -np.inf)
+            pr = np.exp(sco - sco[live].max())
+            pr /= pr.sum()
+            ref = pr @ vc
+            np.testing.assert_allclose(np.asarray(o)[b, h], ref,
+                                       atol=2e-5, rtol=1e-4)
