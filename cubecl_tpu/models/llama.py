@@ -45,6 +45,7 @@ class LlamaConfig:
     kv_dtype: str = ""           # "int8": quantized paged KV cache
     attn_window: int = 0         # >0: StreamingLLM decode (last-W + sinks)
     attn_sinks: int = 0
+    ring_cache: bool = False     # bounded-memory ring KV (decode only)
 
     @property
     def head_dim(self) -> int:
@@ -413,6 +414,15 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_pages: int,
                         jnp.float32)
         cache["k_scales"] = ones
         cache["v_scales"] = ones * 0 + 1.0
+    if cfg.attn_window and cfg.ring_cache:
+        # bounded-memory StreamingLLM: physical capacity stays at
+        # batch*max_pages while the logical stream grows without bound;
+        # per-slot absolute positions (shared across layers' write
+        # pattern, stored per layer-agnostic slot) mask stale tokens
+        assert cfg.attn_sinks % page == 0, "ring sinks must be page-aligned"
+        assert max_pages * page >= cfg.attn_sinks + cfg.attn_window + page, \
+            "ring capacity must cover sinks + window + one slack page"
+        cache["pos_meta"] = jnp.full((P, page), -1, jnp.int32)
     return cache
 
 
@@ -506,6 +516,8 @@ def prefill(params, cache, tokens, cfg: LlamaConfig):
     import jax.numpy as jnp
 
     B, S = tokens.shape
+    assert "pos_meta" not in cache, \
+        "ring caches decode token-by-token (positions recycle)"
     page = cache["page_size"]
     x = params["embed"][tokens]
     kvs = []
@@ -566,7 +578,7 @@ def prefill(params, cache, tokens, cfg: LlamaConfig):
 
 
 def _paged_maybe_sharded(q, kp, vp, table, lengths, interp,
-                         ks, vs, nkv, window=0, sinks=0):
+                         ks, vs, nkv, window=0, sinks=0, meta=None):
     """Paged decode attention, TENSOR-PARALLEL over kv heads when a
     model mesh is active (models.transformer._use_mesh): the kernel
     runs per-shard under shard_map — q's head dim and the KV pools'
@@ -584,7 +596,8 @@ def _paged_maybe_sharded(q, kp, vp, table, lengths, interp,
     if mesh is None or tp == 1 or nkv % tp:
         return paged_attention(q, kp, vp, table, lengths,
                                interpret=interp, k_scales=ks,
-                               v_scales=vs, window=window, sinks=sinks)
+                               v_scales=vs, window=window, sinks=sinks,
+                               pos_meta=meta)
     from jax.sharding import PartitionSpec as P
 
     quant = ks is not None
@@ -594,7 +607,8 @@ def _paged_maybe_sharded(q, kp, vp, table, lengths, interp,
             qq, kk, vv, tt, ll, interpret=interp,
             k_scales=sc[0] if quant else None,
             v_scales=sc[1] if quant else None,
-            window=window, sinks=sinks)
+            window=window, sinks=sinks,
+            pos_meta=sc[-1] if meta is not None else None)
 
     specs = [P(None, "tp", None), P("tp", None, None, None),
              P("tp", None, None, None), P(None, None), P(None)]
@@ -602,6 +616,9 @@ def _paged_maybe_sharded(q, kp, vp, table, lengths, interp,
     if quant:
         specs += [P("tp", None, None), P("tp", None, None)]
         args += [ks, vs]
+    if meta is not None:
+        specs += [P(None, None)]
+        args += [meta]
     return jax.shard_map(shard_fn, mesh=mesh, in_specs=tuple(specs),
                          out_specs=P(None, "tp", None),
                          check_vma=False)(*args)
@@ -670,10 +687,25 @@ def decode_step(params, cache, tokens, cfg: LlamaConfig,
     x = params["embed"][tokens]                     # (B, d)
 
     quant = "k_scales" in cache
+    ring = "pos_meta" in cache
     k_cache, v_cache = cache["k"], cache["v"]
     ks_cache = cache.get("k_scales")
     vs_cache = cache.get("v_scales")
     table = cache["page_indices"]
+    wpos = pos
+    meta = cache.get("pos_meta")
+    if ring:
+        # absolute position -> physical ring slot: sinks stay pinned,
+        # the window region recycles modulo the ring capacity
+        st = cfg.attn_sinks
+        ring_tok = table.shape[1] * page - st
+        wpos = jnp.where(pos < st, pos, st + (pos - st) % ring_tok)
+        B_ = pos.shape[0]
+        for b in range(B_):
+            pid = table[b, wpos[b] // page]
+            meta = jax.lax.dynamic_update_slice(
+                meta, pos[b][None, None].astype(jnp.int32),
+                (pid, wpos[b] % page))
     for li, layer in enumerate(params["layers"]):
         h = _rmsnorm(x, layer["rms1"], cfg.rms_eps, cfg)
         qf = h @ layer["wq"]
@@ -695,18 +727,18 @@ def decode_step(params, cache, tokens, cfg: LlamaConfig,
             k, k_s = _quant_tok(k)
             v, v_s = _quant_tok(v)
             ks_cache = ks_cache.at[li].set(_scale_write(
-                ks_cache[li], table, pos, k_s, page))
+                ks_cache[li], table, wpos, k_s, page))
             vs_cache = vs_cache.at[li].set(_scale_write(
-                vs_cache[li], table, pos, v_s, page))
+                vs_cache[li], table, wpos, v_s, page))
         k_cache = k_cache.at[li].set(_cache_write(
-            k_cache[li], table, pos, k, page))
+            k_cache[li], table, wpos, k, page))
         v_cache = v_cache.at[li].set(_cache_write(
-            v_cache[li], table, pos, v, page))
+            v_cache[li], table, wpos, v, page))
         o = _paged_maybe_sharded(
             q, k_cache[li], v_cache[li], table, pos + 1, interp,
             ks_cache[li] if quant else None,
             vs_cache[li] if quant else None, nkv,
-            cfg.attn_window, cfg.attn_sinks)
+            cfg.attn_window, cfg.attn_sinks, meta)
         x = x + o.reshape(B, nh * hd) @ layer["wo"]
         h = _rmsnorm(x, layer["rms2"], cfg.rms_eps, cfg)
         x = x + (_moe(h[:, None, :], layer["moe"], cfg)[:, 0]
@@ -717,6 +749,8 @@ def decode_step(params, cache, tokens, cfg: LlamaConfig,
     if quant:
         new_cache["k_scales"] = ks_cache
         new_cache["v_scales"] = vs_cache
+    if ring:
+        new_cache["pos_meta"] = meta
     return logits, new_cache
 
 

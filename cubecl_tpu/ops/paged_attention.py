@@ -62,7 +62,7 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
                     bucket_pages: bool = True,
                     unroll: int = 16,
                     k_scales=None, v_scales=None,
-                    window: int = 0, sinks: int = 0):
+                    window: int = 0, sinks: int = 0, pos_meta=None):
     """Decode attention over a paged KV cache.
 
     q:            (B, H, D)            one query vector per head
@@ -93,7 +93,9 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
     G = H // Hkv
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
     qg = q.reshape(B, Hkv, G, D)
-    if bucket_pages:
+    if bucket_pages and pos_meta is None:
+        # (ring tables are a small static capacity — no bucketing, and
+        # padded/repeated entries would double-count their metadata)
         mb = pages_bucket(page_indices.shape[1])
         if mb != page_indices.shape[1]:
             # padded entries are never read: the index_map clamps the
@@ -116,6 +118,14 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
     if k_scales is not None:
         ksf = k_scales.reshape(Hkv * P, page).astype(jnp.float32)
         vsf = v_scales.reshape(Hkv * P, page).astype(jnp.float32)
+    # ring-buffer (bounded-memory StreamingLLM) mode: per-slot ABSOLUTE
+    # position metadata replaces the table-order position iota — slots
+    # of a recycled page carry stale positions and mask out exactly.
+    # Tiled per kv head so the same clamped window specs serve it.
+    mf = None
+    if pos_meta is not None:
+        mf = jnp.tile(pos_meta.reshape(P, page).astype(jnp.int32),
+                      (Hkv, 1))
     max_pages = page_indices.shape[1]
     while unroll > 1 and max_pages % unroll:
         unroll //= 2
@@ -125,7 +135,7 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
 
     out = _paged_call_headed(qg, kf, vf, pi_h, lengths, scale, interpret,
                              G, page, max_pages, unroll, ksf, vsf,
-                             window, sinks)
+                             window, sinks, mf)
     return out.reshape(B, H, D)
 
 
@@ -144,7 +154,7 @@ _TRACE_COUNT = 0  # distinct compiled decode variants (test/diagnostic)
     "window", "sinks"))
 def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
                        G, page, max_pages, unroll=1, ksf=None, vsf=None,
-                       window=0, sinks=0):
+                       window=0, sinks=0, mf=None):
     global _TRACE_COUNT
     _TRACE_COUNT += 1  # runs at trace time only: counts compiled variants
     import jax.numpy as jnp
@@ -155,14 +165,21 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
     U = unroll
     span = U * page  # KV positions swept per grid step
     quant = ksf is not None
+    ring = mf is not None
 
     def kernel(pi_ref, len_ref, q_ref, *refs):
         k_refs = refs[:U]
         v_refs = refs[U:2 * U]
-        n_in = 2 * U + (2 * U if quant else 0)
-        ks_refs = refs[2 * U:3 * U] if quant else None
-        vs_refs = refs[3 * U:4 * U] if quant else None
-        o_ref, m_sc, l_sc, acc_sc = refs[n_in:]
+        n = 2 * U
+        ks_refs = vs_refs = m_refs = None
+        if quant:
+            ks_refs = refs[n:n + U]
+            vs_refs = refs[n + U:n + 2 * U]
+            n += 2 * U
+        if ring:
+            m_refs = refs[n:n + U]
+            n += U
+        o_ref, m_sc, l_sc, acc_sc = refs[n:]
         b = pl.program_id(0)
         i = pl.program_id(2)
 
@@ -173,8 +190,11 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
             acc_sc[...] = jnp.zeros_like(acc_sc)
 
         seq_len = len_ref[b]
-        step_live = i * span < seq_len
-        if window:
+        # ring tables are position-unordered: every step runs (capacity
+        # is small by construction); otherwise steps past the length -
+        # or in the dead windowed middle - skip compute
+        step_live = (i >= 0) if ring else (i * span < seq_len)
+        if window and not ring:
             # a step is dead when its whole span falls between the
             # sinks and the window tail
             step_live = jnp.logical_and(
@@ -202,9 +222,18 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
                 ksv = jnp.concatenate([r[...] for r in ks_refs],
                                       axis=1)             # (1, span)
                 s = s * ksv
-            pos = jax.lax.broadcasted_iota(jnp.int32, (G, span), 1) \
-                + i * span
-            live = pos < seq_len
+            if ring:
+                # absolute positions ride the metadata windows; stale
+                # slots of recycled pages (and never-written -1 slots)
+                # mask out by value
+                pos = jnp.concatenate(
+                    [r[...] for r in m_refs], axis=1)     # (1, span)
+                pos = jnp.broadcast_to(pos, (G, span))
+            else:
+                pos = jax.lax.broadcasted_iota(jnp.int32, (G, span), 1) \
+                    + i * span
+            live = ((pos >= 0) & (pos < seq_len)) if ring \
+                else (pos < seq_len)
             if window:
                 # StreamingLLM: attend the first `sinks` tokens + the
                 # last `window` tokens only (static compile-time mask
@@ -244,15 +273,20 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
     # steps past seq_len repeat the previous block index, so Mosaic's
     # pipeline skips their DMA entirely — ragged batch rows and bucket
     # padding stream no dead KV
+    def _page_at(b, h, i, pi, ln):
+        if ring:   # unclamped: repeated pages would double-count meta
+            return pi[b, h, i]
+        return _kv_page(b, h, i, pi, ln, page)
+
     def _slot_spec(u):
         return pl.BlockSpec((1, page, D),
-                            lambda b, h, i, pi, ln, u=u: (_kv_page(
-                                b, h, i * U + u, pi, ln, page), 0, 0))
+                            lambda b, h, i, pi, ln, u=u: (_page_at(
+                                b, h, i * U + u, pi, ln), 0, 0))
 
     def _scale_spec(u):
         return pl.BlockSpec((1, page),
-                            lambda b, h, i, pi, ln, u=u: (_kv_page(
-                                b, h, i * U + u, pi, ln, page), 0))
+                            lambda b, h, i, pi, ln, u=u: (_page_at(
+                                b, h, i * U + u, pi, ln), 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -264,6 +298,7 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
             + [_slot_spec(u) for u in range(U)]     # v slots
             + ([_scale_spec(u % U) for u in range(2 * U)] if quant
                else [])
+            + ([_scale_spec(u) for u in range(U)] if ring else [])
         ),
         out_specs=pl.BlockSpec((1, 1, G, D),
                                lambda b, h, i, pi, ln: (b, h, 0, 0)),
@@ -281,9 +316,11 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-        name=f"paged_attn_g{G}_p{page}_u{U}" + ("_q8" if quant else ""),
+        name=f"paged_attn_g{G}_p{page}_u{U}" + ("_q8" if quant else "")
+        + ("_ring" if ring else ""),
     )(pi_h, lengths, qg, *([kf] * U), *([vf] * U),
-      *(([ksf] * U + [vsf] * U) if quant else []))
+      *(([ksf] * U + [vsf] * U) if quant else []),
+      *(([mf] * U) if ring else []))
 
 
 def paged_attention_chunked(q, k_pages, v_pages, page_indices, lengths,

@@ -699,3 +699,38 @@ def test_llama_streaming_window_decode(client):
             np.testing.assert_allclose(np.asarray(lf), np.asarray(lw),
                                        atol=1e-5)
     assert np.abs(np.asarray(lf) - np.asarray(lw)).max() > 1e-4
+
+
+def test_llama_ring_cache_bounded_memory(client):
+    """Bounded-memory StreamingLLM: a ring cache with capacity
+    sinks+window+slack reproduces the UNBOUNDED windowed-mask decode
+    exactly, far beyond its physical capacity."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from cubecl_tpu.models import llama
+
+    page = 16
+    base = llama.LlamaConfig(vocab=64, d_model=64, n_heads=2,
+                             n_kv_heads=1, n_layers=2, d_ff=128, seq=64,
+                             attn_window=16, attn_sinks=16,
+                             use_flash_attention=False,
+                             use_framework_kernels=False)
+    ring = dataclasses.replace(base, ring_cache=True)
+    params = llama.init_params(base, seed=40)
+    rng = np.random.RandomState(41)
+    steps = 70                     # >> ring capacity of 48 tokens
+    toks = jnp.asarray(rng.randint(0, base.vocab, (1, steps)), jnp.int32)
+
+    cf = llama.init_kv_cache(base, 1, 8, page)    # unbounded oracle
+    cr = llama.init_kv_cache(ring, 1, 3, page)    # 3 pages TOTAL
+    assert "pos_meta" in cr
+    for t in range(steps):
+        lf, cf = llama.decode_step(params, cf, toks[:, t], base)
+        lr, cr = llama.decode_step(params, cr, toks[:, t], ring)
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(lr),
+                                   atol=2e-5, rtol=1e-4)
+    # the ring cache really is bounded: 3 pages regardless of length
+    assert cr["k"].shape[2] == 3
+    assert int(cr["lengths"][0]) == steps
