@@ -46,6 +46,7 @@ class LlamaConfig:
     attn_window: int = 0         # >0: StreamingLLM decode (last-W + sinks)
     attn_sinks: int = 0
     ring_cache: bool = False     # bounded-memory ring KV (decode only)
+    moe_capacity: int = 0        # >0: sparse MoE dispatch (ops/moe.py)
 
     @property
     def head_dim(self) -> int:
@@ -229,10 +230,30 @@ def _swiglu(x, mlp):
 
 def _moe(x, moe, cfg: LlamaConfig):
     """Dense MoE: every expert computed (static shapes, ep-shardable
-    einsum), gated by top-k router weights. b t d -> b t d."""
+    einsum), gated by top-k router weights. b t d -> b t d. With
+    ``cfg.moe_capacity > 0`` routes through the SPARSE capacity-grouped
+    dispatch instead (ops/moe.py expert_matmul — compute scales with
+    routed tokens, not E·T)."""
     import jax
     import jax.nn as jnn
     import jax.numpy as jnp
+
+    if cfg.moe_capacity:
+        from ..ops.moe import expert_matmul, moe_combine, moe_dispatch
+
+        interp = jax.default_backend() != "tpu"
+        B, T, d = x.shape
+        xf = x.reshape(B * T, d)
+        logits = xf @ moe["router"]
+        k = min(cfg.top_k, cfg.n_experts)
+        xg, gates, slot, tope, counts, live = moe_dispatch(
+            xf, logits, k, cfg.moe_capacity)
+        h = jnn.silu(expert_matmul(xg, moe["w1"], counts,
+                                   interpret=interp)) * \
+            expert_matmul(xg, moe["w3"], counts, interpret=interp)
+        y = expert_matmul(h.astype(xg.dtype), moe["w2"], counts,
+                          interpret=interp)
+        return moe_combine(y, gates, slot, tope, live).reshape(B, T, d)
 
     logits = x @ moe["router"]                   # (B, T, E)
     k = min(cfg.top_k, cfg.n_experts)
