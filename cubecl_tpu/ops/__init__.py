@@ -25,3 +25,9 @@ from .reduce import (
     reduce_sum_autotuned,
     reduce_sum_naive,
 )
+from .moe import (
+    expert_matmul,
+    moe_combine,
+    moe_dispatch,
+    moe_ep_ffn,
+)

@@ -132,3 +132,114 @@ def moe_combine(yg, gates, slot, expert, live):
     denom = jnp.maximum(g.sum(-1, keepdims=True), 1e-9)
     g = (g / denom).astype(picked.dtype)
     return jnp.einsum("tk,tkf->tf", g, picked)
+
+
+# ---------------------------------------------------------------------------
+# Expert parallelism: all_to_all token dispatch over an `ep` mesh axis
+# ---------------------------------------------------------------------------
+
+
+def _slots_in_bins(bin_ids, n_bins, valid=None):
+    """Rank of each element within its bin (exclusive running count),
+    sort-free via a cumulative one-hot. bin_ids (N,) int32 ->
+    (slot (N,), counts (n_bins,)). ``valid`` masks elements that must
+    not consume a slot."""
+    import jax
+    import jax.numpy as jnp
+
+    oh = jax.nn.one_hot(bin_ids, n_bins, dtype=jnp.int32)
+    if valid is not None:
+        oh = oh * valid[:, None].astype(jnp.int32)
+    ranks = jnp.cumsum(oh, axis=0) - oh                    # exclusive
+    slot = jnp.take_along_axis(ranks, bin_ids[:, None], axis=1)[:, 0]
+    return slot, oh.sum(0)
+
+
+def moe_ep_ffn(x, router_w, w1, w2, w3, *, n_experts: int, top_k: int,
+               cap_send: int, cap_local: int, axis: str = "ep",
+               bt: int = 128, interpret: bool = False):
+    """Expert-parallel sparse MoE FFN — call INSIDE shard_map.
+
+    The GShard/Switch dispatch, built TPU-first: static-shape send
+    buffers + two `lax.all_to_all` hops on ICI, a sort-free cumulative
+    one-hot slot assignment at both ends, and the capacity-grouped
+    `expert_matmul` pallas kernel (scalar-prefetch tile skip) for the
+    expert GEMMs. No NCCL-style p2p plumbing: the collective IS the
+    router fabric (reference ships raw collectives only,
+    crates/cubecl-runtime/src/comm — composition left to users).
+
+    x        (T_local, d)      this shard's tokens
+    router_w (d, E)            replicated
+    w1,w3    (E_local, d, f)   this shard's experts (E_local = E/ep)
+    w2       (E_local, f, d)
+    cap_send  per-destination-shard send capacity (tokens overflowing
+              a destination's send bin are dropped at the SOURCE)
+    cap_local per-local-expert compute capacity (overflow dropped at
+              the DESTINATION; the origin learns via the echoed
+              validity flag and renormalizes gates)
+    -> (T_local, d)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ep = jax.lax.axis_size(axis)
+    e_local = n_experts // ep
+    assert e_local * ep == n_experts, (n_experts, ep)
+    T, d = x.shape
+
+    logits = x @ router_w                                   # (T, E)
+    topv, tope = jax.lax.top_k(logits, top_k)
+    gates = jax.nn.softmax(topv, axis=-1)                   # (T, k)
+
+    # ---- source side: bin choices by destination shard --------------
+    flat_e = tope.reshape(-1)                               # (T*k,)
+    dest = flat_e // e_local
+    eid = flat_e % e_local
+    slot, _ = _slots_in_bins(dest, ep)
+    live = slot < cap_send
+    slot_c = jnp.where(live, slot, cap_send - 1)
+
+    src = jnp.repeat(x, top_k, axis=0)                      # (T*k, d)
+    xsend = jnp.zeros((ep, cap_send, d), x.dtype).at[dest, slot_c].add(
+        jnp.where(live[:, None], src, 0).astype(x.dtype))
+    # metadata rides one int buffer: 0 = empty, else local expert id+1
+    msend = jnp.zeros((ep, cap_send), jnp.int32).at[dest, slot_c].add(
+        jnp.where(live, eid + 1, 0).astype(jnp.int32))
+
+    xr = jax.lax.all_to_all(xsend, axis, 0, 0)              # (ep, cap_send, d)
+    mr = jax.lax.all_to_all(msend, axis, 0, 0)
+
+    # ---- destination side: group received tokens per local expert ---
+    n_r = ep * cap_send
+    mr_f = mr.reshape(n_r)
+    valid_r = mr_f > 0
+    eid_r = jnp.maximum(mr_f - 1, 0)
+    slot2, counts_full = _slots_in_bins(eid_r, e_local, valid=valid_r)
+    live2 = valid_r & (slot2 < cap_local)
+    slot2_c = jnp.where(live2, slot2, cap_local - 1)
+    counts = jnp.minimum(counts_full, cap_local).astype(jnp.int32)
+
+    xg = jnp.zeros((e_local, cap_local, d), x.dtype).at[eid_r, slot2_c].add(
+        jnp.where(live2[:, None], xr.reshape(n_r, d), 0).astype(x.dtype))
+
+    h = jax.nn.silu(expert_matmul(xg, w1, counts, bt=bt,
+                                  interpret=interpret)) * \
+        expert_matmul(xg, w3, counts, bt=bt, interpret=interpret)
+    yg = expert_matmul(h.astype(xg.dtype), w2, counts, bt=bt,
+                       interpret=interpret)                 # (E_l, cap, d)
+
+    # gather back into the received layout; echo the survival flag so
+    # origins can renormalize away destination-dropped choices
+    y_r = jnp.where(live2[:, None], yg[eid_r, slot2_c], 0)
+    f_r = live2.astype(jnp.int32)
+    y_back = jax.lax.all_to_all(y_r.reshape(ep, cap_send, d), axis, 0, 0)
+    f_back = jax.lax.all_to_all(f_r.reshape(ep, cap_send), axis, 0, 0)
+
+    # ---- origin combine ---------------------------------------------
+    ok = live & (f_back[dest, slot_c] > 0)                  # (T*k,)
+    picked = jnp.where(ok[:, None], y_back[dest, slot_c], 0)
+    picked = picked.reshape(T, top_k, d)
+    g = jnp.where(ok.reshape(T, top_k), gates, 0.0)
+    denom = jnp.maximum(g.sum(-1, keepdims=True), 1e-9)
+    g = (g / denom).astype(picked.dtype)
+    return jnp.einsum("tk,tkd->td", g, picked)

@@ -1016,3 +1016,69 @@ def test_moe_sparse_matches_dense(client):
     tight = dataclasses.replace(base, moe_capacity=16)  # T*k/E avg = 16
     clipped = llama.forward(params, toks, tight)
     assert np.isfinite(np.asarray(clipped)).all()
+
+
+def test_moe_ep_all_to_all_matches_dense():
+    """Expert-parallel MoE (all_to_all dispatch over an ep=4 mesh,
+    experts sharded) == the single-device dense gather when capacities
+    are roomy enough that nothing drops."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from cubecl_tpu.ops.moe import moe_ep_ffn
+    from cubecl_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs 4 devices")
+
+    ep, E, k = 4, 8, 2
+    T_local, d, f = 16, 128, 256
+    T = ep * T_local
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(T, d).astype(np.float32) * .3)
+    router = jnp.asarray(rng.randn(d, E).astype(np.float32) * .1)
+    w1 = jnp.asarray(rng.randn(E, d, f).astype(np.float32) * .1)
+    w3 = jnp.asarray(rng.randn(E, d, f).astype(np.float32) * .1)
+    w2 = jnp.asarray(rng.randn(E, f, d).astype(np.float32) * .1)
+
+    mesh = make_mesh({"ep": ep})
+    cap_send = T_local * k          # a rank can send ALL choices anywhere
+    cap_local = ep * cap_send       # a shard can absorb every arrival
+
+    fn = jax.jit(jax.shard_map(
+        lambda xx, rr, a, b, c: moe_ep_ffn(
+            xx, rr, a, b, c, n_experts=E, top_k=k, cap_send=cap_send,
+            cap_local=cap_local, interpret=True),
+        mesh=mesh,
+        in_specs=(P("ep"), P(), P("ep"), P("ep"), P("ep")),
+        out_specs=P("ep"), check_vma=False))
+    y = fn(x, router, w1, w2, w3)
+
+    # dense oracle: every expert on every token, gated by top-k softmax
+    logits = x @ router
+    topv, tope = jax.lax.top_k(logits, k)
+    gates = jax.nn.softmax(topv, axis=-1)
+    h = jax.nn.silu(jnp.einsum("td,edf->tef", x, w1)) * \
+        jnp.einsum("td,edf->tef", x, w3)
+    all_out = jnp.einsum("tef,efd->ted", h, w2)             # (T, E, d)
+    picked = jnp.take_along_axis(
+        all_out, tope[..., None].astype(jnp.int32), axis=1)
+    ref = jnp.einsum("tk,tkd->td", gates, picked)
+
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
+
+    # tight capacities: finite, and gate renormalization holds (scale
+    # of output stays bounded by the max |expert output|)
+    fn2 = jax.jit(jax.shard_map(
+        lambda xx, rr, a, b, c: moe_ep_ffn(
+            xx, rr, a, b, c, n_experts=E, top_k=k, cap_send=8,
+            cap_local=8, interpret=True),
+        mesh=mesh,
+        in_specs=(P("ep"), P(), P("ep"), P("ep"), P("ep")),
+        out_specs=P("ep"), check_vma=False))
+    y2 = np.asarray(fn2(x, router, w1, w2, w3))
+    assert np.isfinite(y2).all()
+    assert np.abs(y2).max() <= np.abs(np.asarray(all_out)).max() * (1 + 1e-6)
