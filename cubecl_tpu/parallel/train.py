@@ -32,6 +32,7 @@ __all__ = [
     "adamw_init",
     "adamw_update",
     "clip_by_global_norm",
+    "warmup_cosine",
     "fsdp_shardings",
     "make_fsdp_train_step",
 ]
@@ -85,6 +86,24 @@ def adamw_update(params, grads, state, lr, *, b1=0.9, b2=0.999, eps=1e-8,
     new_m = treedef.unflatten([o[1] for o in out])
     new_v = treedef.unflatten([o[2] for o in out])
     return new_p, {"m": new_m, "v": new_v, "step": step}
+
+
+def warmup_cosine(peak_lr: float, warmup_steps: int, total_steps: int,
+                  end_lr: float = 0.0):
+    """Linear warmup to ``peak_lr`` then cosine decay to ``end_lr`` —
+    the production default. Returns schedule(step) -> lr (traceable)."""
+    import jax.numpy as jnp
+
+    def schedule(step):
+        s = step.astype(jnp.float32) if hasattr(step, "astype") \
+            else jnp.float32(step)
+        warm = peak_lr * s / max(1, warmup_steps)
+        prog = jnp.clip((s - warmup_steps)
+                        / max(1, total_steps - warmup_steps), 0.0, 1.0)
+        cos = end_lr + (peak_lr - end_lr) * 0.5 * (1 + jnp.cos(jnp.pi * prog))
+        return jnp.where(s < warmup_steps, warm, cos)
+
+    return schedule
 
 
 def clip_by_global_norm(grads, max_norm: float):
@@ -224,7 +243,8 @@ def make_fsdp_train_step(
             loss, g = grads_of(p, batch)
         if max_grad_norm is not None:
             g, _ = clip_by_global_norm(g, max_grad_norm)
-        new_p, new_opt = adamw_update(p, g, state["opt"], lr, b1=b1, b2=b2,
+        lr_t = lr(state["opt"]["step"]) if callable(lr) else lr
+        new_p, new_opt = adamw_update(p, g, state["opt"], lr_t, b1=b1, b2=b2,
                                       eps=eps, weight_decay=weight_decay)
         return {"params": new_p, "opt": new_opt}, loss
 

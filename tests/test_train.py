@@ -211,3 +211,115 @@ def test_mixed_precision_bf16(fsdp_setup):
         for a, b in zip(jax.tree_util.tree_leaves(state["params"]),
                         jax.tree_util.tree_leaves(params)))
     assert moved
+
+
+def test_warmup_cosine_schedule():
+    import jax.numpy as jnp
+
+    from cubecl_tpu.parallel import warmup_cosine
+
+    sched = warmup_cosine(1e-2, warmup_steps=10, total_steps=110,
+                          end_lr=1e-4)
+    assert abs(float(sched(jnp.int32(0)))) < 1e-8
+    assert abs(float(sched(jnp.int32(5))) - 5e-3) < 1e-8
+    assert abs(float(sched(jnp.int32(10))) - 1e-2) < 1e-7
+    mid = float(sched(jnp.int32(60)))           # halfway through decay
+    assert abs(mid - (1e-4 + (1e-2 - 1e-4) / 2)) < 1e-7
+    assert abs(float(sched(jnp.int32(110))) - 1e-4) < 1e-7
+    assert abs(float(sched(jnp.int32(500))) - 1e-4) < 1e-7
+
+
+def test_checkpoint_resume_identical(fsdp_setup, tmp_path):
+    """save at step 2 -> restore -> 1 more step == 3 uninterrupted
+    steps, bit-for-bit (same jitted program, same donated layout)."""
+    import jax
+
+    from cubecl_tpu.models import transformer as tr
+    from cubecl_tpu.parallel import (
+        make_fsdp_train_step,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    mesh, cfg, params, tokens = fsdp_setup
+    loss_fn = lambda p, b: tr.loss_fn(p, b, cfg)  # noqa: E731
+    init_state, jstep, bshard = make_fsdp_train_step(
+        loss_fn, mesh, params, lr=1e-2)
+    batch = jax.device_put(tokens, bshard)
+
+    state = init_state(params)
+    for _ in range(2):
+        state, _ = jstep(state, batch)
+    save_checkpoint(str(tmp_path / "ckpt"), state)
+    state, loss_a = jstep(state, batch)
+
+    # resume path: restore into the SHARDED layout and take the step
+    template = init_state(params)
+    restored = restore_checkpoint(str(tmp_path / "ckpt"), template)
+    assert int(restored["opt"]["step"]) == 2
+    resumed, loss_b = jstep(restored, batch)
+    assert float(loss_a) == float(loss_b)
+    _tree_close(resumed["params"], state["params"], rtol=0, atol=0)
+
+
+def test_checkpoint_restores_across_meshes(fsdp_setup, tmp_path):
+    """A checkpoint saved from an fsdp=8 layout restores onto fsdp=4
+    and onto a single device — elastic topology resume."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cubecl_tpu.models import transformer as tr
+    from cubecl_tpu.parallel import (
+        fsdp_shardings,
+        make_fsdp_train_step,
+        make_mesh,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    mesh, cfg, params, tokens = fsdp_setup
+    loss_fn = lambda p, b: tr.loss_fn(p, b, cfg)  # noqa: E731
+    init_state, jstep, bshard = make_fsdp_train_step(
+        loss_fn, mesh, params, lr=1e-2)
+    state = init_state(params)
+    state, _ = jstep(state, jax.device_put(tokens, bshard))
+    save_checkpoint(str(tmp_path / "c2"), state)
+
+    mesh4 = make_mesh({"fsdp": 4}, jax.devices()[:4])
+    p4 = fsdp_shardings(state["params"], mesh4, "fsdp")
+    tgt4 = {
+        "params": jax.tree_util.tree_map(
+            lambda l, s: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=s),
+            state["params"], p4),
+    }
+    r4 = restore_checkpoint(str(tmp_path / "c2"), tgt4,
+                            partial=True)["params"]
+    big = next(l for l in jax.tree_util.tree_leaves(r4) if l.size >= 2 ** 12)
+    assert big.addressable_shards[0].data.size * 4 == big.size
+    _tree_close(r4, state["params"], rtol=0, atol=0)
+
+    single = jax.tree_util.tree_map(
+        lambda l: jax.ShapeDtypeStruct(
+            l.shape, l.dtype,
+            sharding=NamedSharding(make_mesh({"x": 1}, jax.devices()[:1]),
+                                   P())),
+        {"params": state["params"]})
+    r1 = restore_checkpoint(str(tmp_path / "c2"), single,
+                            partial=True)["params"]
+    _tree_close(r1, state["params"], rtol=0, atol=0)
+
+
+def test_checkpoint_manager_retention(tmp_path):
+    import jax.numpy as jnp
+
+    from cubecl_tpu.parallel import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "run"), max_to_keep=2,
+                            save_interval=2)
+    state = {"w": jnp.arange(8, dtype=jnp.float32)}
+    for step in range(1, 8):
+        mgr.save(step, {"w": state["w"] * step})
+    assert mgr.all_steps == [4, 6]              # odd steps skipped, 2 kept
+    out = mgr.restore({"w": state["w"]})
+    np.testing.assert_allclose(np.asarray(out["w"]),
+                               np.arange(8, dtype=np.float32) * 6)
