@@ -14,3 +14,5 @@ from . import llama
 from .llama import LlamaConfig
 from . import pipeline
 from . import vit
+from . import mamba
+from .mamba import MambaConfig
