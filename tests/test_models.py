@@ -814,3 +814,67 @@ def test_mamba_sharded_train_step():
         assert abs(float(l_sharded) - float(l_ref)) \
             < 1e-4 * max(1.0, abs(float(l_ref)))
     assert losses[-1] < losses[0]
+
+
+def test_selective_scan_chunked_matches_naive():
+    """Single-pass pallas chunked scan (carry in VMEM scratch) == the
+    sequential oracle, incl. a DN%128 padding case and L%chunk != 0."""
+    import jax.numpy as jnp
+
+    from cubecl_tpu.ops.ssm import (
+        selective_scan_chunked,
+        selective_scan_naive,
+    )
+
+    rng = np.random.RandomState(65)
+    for B, L, D, N, chunk in ((2, 64, 8, 16, 16),   # DN=128 exact
+                              (1, 48, 8, 4, 32),    # DN=32 -> pad 96
+                              (1, 40, 16, 16, 16)): # L%32!=0 path
+        x = jnp.asarray(rng.randn(B, L, D).astype(np.float32))
+        delta = jnp.asarray(
+            np.abs(rng.randn(B, L, D)).astype(np.float32) * .1)
+        A = jnp.asarray(-np.abs(rng.randn(D, N)).astype(np.float32))
+        Bc = jnp.asarray(rng.randn(B, L, N).astype(np.float32))
+        Cc = jnp.asarray(rng.randn(B, L, N).astype(np.float32))
+        Dsk = jnp.asarray(rng.randn(D).astype(np.float32))
+        fast = selective_scan_chunked(x, delta, A, Bc, Cc, Dsk,
+                                      chunk=chunk, interpret=True)
+        slow = selective_scan_naive(x, delta, A, Bc, Cc, Dsk)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_selective_scan_sequence_parallel():
+    """sp=8 sharded scan (local scans + one B*D*N summary all_gather)
+    == the unsharded scan on the full sequence."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from cubecl_tpu.ops.ssm import selective_scan, selective_scan_sp
+    from cubecl_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 devices")
+
+    rng = np.random.RandomState(66)
+    B, L, D, N = 2, 64, 8, 4
+    x = jnp.asarray(rng.randn(B, L, D).astype(np.float32))
+    delta = jnp.asarray(np.abs(rng.randn(B, L, D)).astype(np.float32) * .1)
+    A = jnp.asarray(-np.abs(rng.randn(D, N)).astype(np.float32))
+    Bc = jnp.asarray(rng.randn(B, L, N).astype(np.float32))
+    Cc = jnp.asarray(rng.randn(B, L, N).astype(np.float32))
+    Dsk = jnp.asarray(rng.randn(D).astype(np.float32))
+
+    mesh = make_mesh({"sp": 8})
+    fn = jax.jit(jax.shard_map(
+        lambda *t: selective_scan_sp(*t),
+        mesh=mesh,
+        in_specs=(P(None, "sp"), P(None, "sp"), P(), P(None, "sp"),
+                  P(None, "sp"), P()),
+        out_specs=P(None, "sp"), check_vma=False))
+    y = fn(x, delta, A, Bc, Cc, Dsk)
+    ref = selective_scan(x, delta, A, Bc, Cc, Dsk)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               atol=1e-5, rtol=1e-4)
