@@ -7,6 +7,7 @@ from .checkpoint import (
     CheckpointManager,
     restore_checkpoint,
     save_checkpoint,
+    wait_for_saves,
 )
 from .train import (
     adamw_init,

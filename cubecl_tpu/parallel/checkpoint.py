@@ -15,20 +15,41 @@ import os
 from typing import Any, Optional
 
 __all__ = ["save_checkpoint", "restore_checkpoint", "latest_step",
-           "CheckpointManager"]
+           "wait_for_saves", "CheckpointManager"]
+
+
+_CKPTR = None
 
 
 def _checkpointer():
-    import orbax.checkpoint as ocp
+    # one long-lived checkpointer so non-blocking saves keep their
+    # background thread alive after save_checkpoint returns
+    global _CKPTR
+    if _CKPTR is None:
+        import orbax.checkpoint as ocp
 
-    return ocp.StandardCheckpointer()
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
 
 
-def save_checkpoint(path: str, state: Any, *, force: bool = True) -> None:
-    """Write one pytree of (possibly sharded) arrays to ``path``."""
+def save_checkpoint(path: str, state: Any, *, force: bool = True,
+                    blocking: bool = True) -> None:
+    """Write one pytree of (possibly sharded) arrays to ``path``.
+
+    blocking=False returns as soon as the device→host snapshot is
+    taken (orbax copies synchronously, then writes in the background),
+    so the train loop — including a donated step that frees these very
+    buffers — continues immediately. Call ``wait_for_saves()`` (or the
+    next blocking save) before relying on the files."""
     ckptr = _checkpointer()
     ckptr.save(os.path.abspath(path), state, force=force)
-    ckptr.wait_until_finished()
+    if blocking:
+        ckptr.wait_until_finished()
+
+
+def wait_for_saves() -> None:
+    """Block until every in-flight non-blocking save has committed."""
+    _checkpointer().wait_until_finished()
 
 
 def restore_checkpoint(path: str, target: Any, *,

@@ -323,3 +323,41 @@ def test_checkpoint_manager_retention(tmp_path):
     out = mgr.restore({"w": state["w"]})
     np.testing.assert_allclose(np.asarray(out["w"]),
                                np.arange(8, dtype=np.float32) * 6)
+
+
+def test_async_checkpoint_survives_donation(fsdp_setup, tmp_path):
+    """Non-blocking save snapshots to host before returning: the next
+    donated step frees those exact device buffers, yet the checkpoint
+    restores the PRE-step state."""
+    import jax
+
+    from cubecl_tpu.models import transformer as tr
+    from cubecl_tpu.parallel import (
+        make_fsdp_train_step,
+        restore_checkpoint,
+        save_checkpoint,
+        wait_for_saves,
+    )
+
+    mesh, cfg, params, tokens = fsdp_setup
+    loss_fn = lambda p, b: tr.loss_fn(p, b, cfg)  # noqa: E731
+    init_state, jstep, bshard = make_fsdp_train_step(
+        loss_fn, mesh, params, lr=1e-2)
+    batch = jax.device_put(tokens, bshard)
+
+    state = init_state(params)
+    state, _ = jstep(state, batch)
+    snapshot = jax.tree_util.tree_map(np.asarray, state["params"])
+    save_checkpoint(str(tmp_path / "async"), state, blocking=False)
+    state, _ = jstep(state, batch)      # donates the saved buffers
+    wait_for_saves()
+
+    template = init_state(params)
+    restored = restore_checkpoint(str(tmp_path / "async"), template)
+    assert int(restored["opt"]["step"]) == 1
+    _tree_close(restored["params"], snapshot, rtol=0, atol=0)
+    # and it is NOT the post-step state
+    post = jax.tree_util.tree_leaves(state["params"])
+    pre = jax.tree_util.tree_leaves(restored["params"])
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(post, pre))
