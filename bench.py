@@ -99,11 +99,11 @@ def main() -> int:
             try:
                 tiles8 = autotune_top_tiles(client, ah8, bh8, oh8, M, N, K,
                                             "float8_e4m3fn")
+                print(f"# fp8 autotune shortlist {tiles8}", file=sys.stderr)
             except Exception as e:  # noqa: BLE001
-                print(f"# fp8 autotune failed ({e}); bf16 tile fallback",
-                      file=sys.stderr)
+                print(f"# fp8 autotune FAILED ({e}); measuring the bf16 "
+                      f"tile as a non-tuned fallback", file=sys.stderr)
                 tiles8 = [best[0]]
-            print(f"# fp8 autotune shortlist {tiles8}", file=sys.stderr)
             for tm, tn, tk in tiles8:
                 try:
                     ck8 = _build_matmul(M, N, K, tm, tn, tk,

@@ -161,8 +161,13 @@ def _tile_candidates(m: int, n: int, k: int, in_bytes: int,
     priority idea)."""
     VMEM = 64 * 1024 * 1024  # the emitter raises vmem_limit_bytes
     out = []
-    for tm in (128, 256, 512, 1024):
-        for tn in (128, 256, 512, 1024):
+    # 1 B/elem operands (fp8/int8) fit 2048-wide tiles in the same VMEM
+    # budget — give them their own, fatter candidate space (round-2/3
+    # verdicts: reusing bf16-shaped tiles under-reports narrow dtypes)
+    mn_opts = (128, 256, 512, 1024, 2048) if in_bytes == 1 \
+        else (128, 256, 512, 1024)
+    for tm in mn_opts:
+        for tn in mn_opts:
             for tk in (128, 256, 512, 1024, 2048, k):
                 if m % tm or n % tn or tk > k or k % tk:
                     continue
@@ -179,11 +184,17 @@ def _tile_candidates(m: int, n: int, k: int, in_bytes: int,
                 out.append((score, (tm, tn, tk)))
     out.sort(reverse=True)
     seen = set()
+    per_mn: dict = {}
     uniq = []
     for _s, t in out:
-        if t not in seen:
-            seen.add(t)
-            uniq.append(t)
+        # at most 2 tk variants per (tm, tn) so one fat MN shape can't
+        # crowd the whole shortlist (keeps the proven 1024x1024xK tiles
+        # in the fp8/int8 lists alongside the new 2048-wide candidates)
+        if t in seen or per_mn.get(t[:2], 0) >= 2:
+            continue
+        seen.add(t)
+        per_mn[t[:2]] = per_mn.get(t[:2], 0) + 1
+        uniq.append(t)
     return uniq[:limit]
 
 
@@ -210,11 +221,13 @@ def matmul_autotuned(client, a: Handle, b: Handle, out: Handle,
         bytes_ = (m * k + k * n) * in_bytes + m * n * 4
         return (flops, bytes_)
 
+    # integer GEMMs accumulate exactly in i32 on the MXU int8 pass
+    acc_dtype = "int32" if np.dtype(in_dtype).kind in "iu" else "float32"
     ts = TunableSet("matmul", key_fn)
     for (tm, tn, tk) in _tile_candidates(m, n, k, in_bytes, out_bytes):
         ts.with_tunable(
             functools.partial(_run_tile, tm=tm, tn=tn, tk=tk, m=m, n=n, k=k,
-                              in_dtype=in_dtype),
+                              in_dtype=in_dtype, acc_dtype=acc_dtype),
             name=f"t{tm}x{tn}x{tk}", work=lambda key: work(key))
     if not ts.tunables:
         return matmul_pallas(client, a, b, out, m, n, k,
@@ -223,8 +236,10 @@ def matmul_autotuned(client, a: Handle, b: Handle, out: Handle,
     _matmul_tuner.execute(client, ts, client, a, b, out)
 
 
-def _run_tile(client, a, b, out, tm, tn, tk, m, n, k, in_dtype):
-    matmul_pallas(client, a, b, out, m, n, k, tm, tn, tk, in_dtype)
+def _run_tile(client, a, b, out, tm, tn, tk, m, n, k, in_dtype,
+              acc_dtype="float32"):
+    matmul_pallas(client, a, b, out, m, n, k, tm, tn, tk, in_dtype,
+                  acc_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -386,12 +401,15 @@ def autotune_best_tile(client, a: Handle, b: Handle, out: Handle,
     sweep."""
     in_dtype = in_dtype or str(a.dtype)
     matmul_autotuned(client, a, b, out, m, n, k, in_dtype)
-    fp = client.properties().identity.fingerprint
-    tuner = _matmul_tuner._tuners[fp]
     key = ("matmul", anchor(m), anchor(n), anchor(k), in_dtype,
            str(out.dtype))
-    hit = tuner.cache.mem.get(str(key))
-    assert hit is not None, f"autotune did not record a result for {key}"
+    tuner = _matmul_tuner.tuner_for(client, key)
+    hit = tuner.cache.mem.get(str(key)) if tuner is not None else None
+    if hit is None:
+        raise RuntimeError(
+            f"autotune did not record a result for {key}: "
+            f"tuner={'missing' if tuner is None else 'present'}, "
+            f"recorded keys={list(tuner.cache.mem) if tuner else []}")
     name = hit[1]  # "t{tm}x{tn}x{tk}"
     tm, tn, tk = (int(x) for x in name[1:].split("x"))
     return tm, tn, tk
@@ -407,11 +425,10 @@ def autotune_top_tiles(client, a: Handle, b: Handle, out: Handle,
     cannot cost the headline."""
     in_dtype = in_dtype or str(a.dtype)
     best = autotune_best_tile(client, a, b, out, m, n, k, in_dtype)
-    fp = client.properties().identity.fingerprint
-    tuner = _matmul_tuner._tuners[fp]
     key = ("matmul", anchor(m), anchor(n), anchor(k), in_dtype,
            str(out.dtype))
-    timings = tuner.cache.timings(key)
+    tuner = _matmul_tuner.tuner_for(client, key)
+    timings = tuner.cache.timings(key) if tuner is not None else {}
     if not timings:
         return [best]
     ranked = sorted(timings.items(), key=lambda kv: kv[1])[:top]

@@ -2,7 +2,8 @@
 ServerCommunication / NCCL, SURVEY §2.9/§5)."""
 
 from .comm import CommunicationId, Communicator, ReduceOperation
-from .mesh import auto_mesh, make_mesh, named_sharding, shard_array
+from .mesh import (auto_mesh, make_hybrid_mesh, make_mesh, named_sharding,
+                   shard_array)
 from .checkpoint import (
     CheckpointManager,
     restore_checkpoint,

@@ -54,6 +54,7 @@ class Communicator:
     """A collective group over clients (ranks = list order)."""
 
     def __init__(self, clients: Sequence[ComputeClient]):
+        import collections
         import jax
 
         self.clients = list(clients)
@@ -63,6 +64,10 @@ class Communicator:
 
         self._mesh = Mesh(np.array(self.devices), ("rank",))
         self._jitted: Dict[str, object] = {}
+        # p2p mailboxes: (src_rank, dst_rank, tag) -> FIFO of delivered
+        # handles (two-sided send/recv semantics over one-sided ICI puts)
+        self._mailbox: Dict[tuple, "collections.deque"] = \
+            collections.defaultdict(collections.deque)
 
     @staticmethod
     def init(clients: Sequence[ComputeClient]) -> "Communicator":
@@ -179,12 +184,56 @@ class Communicator:
             if i != root:
                 h.array = jax.device_put(src, self.devices[i])
 
-    def send(self, src: Handle, dst_rank: int) -> Handle:
-        """Point-to-point: returns a handle on the destination client."""
+    def _rank_of(self, h: Handle) -> int:
+        """Rank whose device holds this handle's buffer."""
         import jax
 
+        arr = h.array
+        devs = (list(arr.devices()) if hasattr(arr, "devices")
+                else [arr.device] if hasattr(arr, "device") else [])
+        for i, d in enumerate(self.devices):
+            if any(str(d) == str(ad) for ad in devs):
+                return i
+        raise ValueError(
+            f"handle lives on {devs}, not in this communicator's device set")
+
+    def send(self, src: Handle, dst_rank: int, tag: int = 0) -> Handle:
+        """Point-to-point send half (reference ServerCommunication::send,
+        server/base.rs:657): the buffer moves to ``dst_rank``'s device over
+        ICI and is posted to the (src, dst, tag) mailbox for the matching
+        :meth:`recv`. Returns the destination handle (one-sided use keeps
+        working; two-sided callers pair it with recv)."""
+        import jax
+
+        src_rank = self._rank_of(src)
         arr = jax.device_put(src.array, self.devices[dst_rank])
-        return self.clients[dst_rank]._dev.call(lambda s: s.create(arr))
+        h = self.clients[dst_rank]._dev.call(lambda s: s.create(arr))
+        self._mailbox[(src_rank, dst_rank, tag)].append(h)
+        return h
+
+    def recv(self, src_rank: int, dst_rank: int, tag: int = 0) -> Handle:
+        """Point-to-point recv half (reference ServerCommunication::recv,
+        server/base.rs:668-680): pops the oldest message posted by the
+        matching :meth:`send`. The transfer itself already rode ICI at
+        send time (XLA's transfers are one-sided); recv provides the
+        two-sided rendezvous the reference trait exposes, so ring and
+        pipeline patterns written against send/recv port directly."""
+        q = self._mailbox.get((src_rank, dst_rank, tag))
+        if not q:
+            raise RuntimeError(
+                f"recv({src_rank}->{dst_rank}, tag={tag}): no matching send "
+                f"(deliveries are ordered; call send before recv)")
+        return q.popleft()
+
+    def ring_exchange(self, handles: Sequence[Handle],
+                      shift: int = 1) -> List[Handle]:
+        """Every rank sends its buffer to (rank+shift)%n and receives from
+        (rank-shift)%n — the ppermute building block at the handle level."""
+        n = self.world_size
+        assert len(handles) == n
+        for r, h in enumerate(handles):
+            self.send(h, (r + shift) % n, tag=-1)
+        return [self.recv((r - shift) % n, r, tag=-1) for r in range(n)]
 
     def sync(self) -> None:
         """sync_collective (server/base.rs:598)."""

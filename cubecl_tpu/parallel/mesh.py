@@ -28,6 +28,54 @@ def make_mesh(axes: Dict[str, int], devices=None):
     return Mesh(arr, tuple(axes.keys()))
 
 
+def make_hybrid_mesh(dcn_axes: Dict[str, int], ici_axes: Dict[str, int],
+                     devices=None):
+    """Multi-slice mesh: ``dcn_axes`` cross TPU slices (data-center
+    network — ~25 GB/s/host, high latency), ``ici_axes`` stay inside a
+    slice (inter-chip interconnect — ~100s of GB/s/link). DCN axes are
+    OUTERMOST in the device array so any collective over them crosses
+    slices exactly once per hop and everything else rides ICI; put only
+    latency-tolerant, low-volume axes (dp gradient all-reduce) on DCN and
+    keep tp/sp/ep inside a slice (scaling-book multi-slice recipe;
+    reference analogue: the per-device-set NCCL communicator registry,
+    cubecl-cuda/src/compute/communication.rs:14-50).
+
+    On real multi-slice TPU (devices expose ``slice_index``) the device
+    array is grouped by slice via mesh_utils.create_hybrid_device_mesh;
+    on single-slice or virtual CPU meshes, devices are partitioned
+    contiguously into ``prod(dcn_axes)`` synthetic slices so the same
+    program shape (and the dryrun) compiles everywhere.
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    devices = list(devices) if devices is not None else jax.devices()
+    n_dcn = int(np.prod(list(dcn_axes.values())))
+    n_ici = int(np.prod(list(ici_axes.values())))
+    n = n_dcn * n_ici
+    assert len(devices) >= n, \
+        f"hybrid mesh {dcn_axes}x{ici_axes} needs {n} devices, " \
+        f"have {len(devices)}"
+    devices = devices[:n]
+    names = tuple(dcn_axes.keys()) + tuple(ici_axes.keys())
+    shape = tuple(dcn_axes.values()) + tuple(ici_axes.values())
+
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if len(slice_ids) > 1 and None not in slice_ids:
+        # real multi-slice: group by slice, DCN axes over slice groups
+        from jax.experimental import mesh_utils
+
+        # mesh_shape/dcn_mesh_shape combine elementwise — pad each with
+        # 1s so the result is the concatenated (dcn..., ici...) shape
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (1,) * len(dcn_axes) + tuple(ici_axes.values()),
+            tuple(dcn_axes.values()) + (1,) * len(ici_axes),
+            devices=devices)
+        return Mesh(arr.reshape(shape), names)
+    # synthetic slices: contiguous groups (virtual CPU / single slice)
+    return Mesh(np.array(devices).reshape(shape), names)
+
+
 def auto_mesh(n_devices: Optional[int] = None, tp: Optional[int] = None,
               dp: Optional[int] = None):
     """Sensible default mesh for n devices: tp up to 4 (intra-replica),

@@ -43,12 +43,43 @@ def _enable_persistent_compile_cache() -> None:
     from .config import cache_root
 
     try:
-        path = os.path.join(cache_root(), "xla-cache")
+        # key the cache dir by a machine fingerprint: XLA CPU executables
+        # embed host ISA features, and a cache shared across host types
+        # risks SIGILL ("Compile machine features ... doesn't match" —
+        # the MULTICHIP_r03 tail noise). TPU executables are keyed by the
+        # chip, but the CPU dryrun/test children share this process-level
+        # setting, so fingerprint unconditionally.
+        path = os.path.join(cache_root(), "xla-cache", _machine_fingerprint())
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+
+
+def _machine_fingerprint() -> str:
+    """Short stable hash of the host's ISA surface (cpu flags + arch +
+    jax version) — one XLA executable cache per distinct machine type."""
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    try:
+        import jax
+
+        jv = jax.__version__
+    except Exception:
+        jv = "?"
+    raw = f"{platform.machine()}|{jv}|{flags}"
+    return hashlib.sha256(raw.encode()).hexdigest()[:12]
 
 
 def _make_client(kind: str, device_index: int) -> ComputeClient:

@@ -120,6 +120,7 @@ class Tuner:
         best_idx: Optional[int] = None
         best_time = math.inf
         timings: Dict[str, float] = {}
+        pruned: List[Tuple[str, str]] = []  # (name, reason) per dead candidate
         index_of = {id(t): i for i, t in
                     enumerate(self.tunables.tunables)}
 
@@ -131,6 +132,7 @@ class Tuner:
                 except Exception as e:  # unsupported / VMEM-pruned
                     log.debug("tunable %s pruned for %s: %s",
                               t.name, key, e)
+                    pruned.append((t.name, repr(e)))
                     continue
                 timings[t.name] = per
                 if per < best_time:
@@ -163,8 +165,13 @@ class Tuner:
                 break  # minimal level: first viable batch wins
 
         if best_idx is None:
+            # zero survivors must fail LOUDLY with per-candidate reasons —
+            # a silent fallback here is how round 3 shipped fp8 at the
+            # bf16 tile (BENCH_r03 "fp8 autotune failed" regression)
+            reasons = "; ".join(f"{n}: {r}" for n, r in pruned) or "no candidates"
             raise RuntimeError(
-                f"no viable tunable for {self.tunables.name} key={key}")
+                f"no viable tunable for {self.tunables.name} key={key} — "
+                f"every candidate failed: {reasons}")
         if self.checks:
             self._cross_validate(inputs, kwargs)
         best = self.tunables.tunables[best_idx]
@@ -234,16 +241,36 @@ class Tuner:
 
 class LocalTuner:
     """Static per-key tuner registry (reference LocalTuner, tune/local.rs:17
-    and the local_tuner! macro)."""
+    and the local_tuner! macro).
+
+    Unlike the reference (whose TunableSet is one static object and the key
+    carries all shape/dtype variation), callers here build a fresh TunableSet
+    per call with shapes/dtypes baked into the candidate closures. The
+    registry therefore keys Tuners by (device fingerprint, tune key,
+    candidate checksum) — round 3 keyed by fingerprint only, so an fp8
+    matmul reused the bf16 call's Tuner (stale key_fn closure → bf16 cache
+    hit → bf16 candidates silently ran and the fp8 key was never recorded:
+    the BENCH_r03 'fp8 autotune failed … bf16 tile fallback' regression)."""
 
     def __init__(self, name: str):
         self.name = name
-        self._tuners: Dict[str, Tuner] = {}
+        self._tuners: Dict[Tuple[str, str, str], Tuner] = {}
 
     def execute(self, client, tunables: TunableSet, *args, **kwargs):
         fp = client.properties().identity.fingerprint
-        tuner = self._tuners.get(fp)
+        key = tunables.generate_key(*args, **kwargs)
+        reg = (fp, str(key), checksum(tunables))
+        tuner = self._tuners.get(reg)
         if tuner is None:
             tuner = Tuner(tunables, client)
-            self._tuners[fp] = tuner
+            self._tuners[reg] = tuner
         return tuner.execute(*args, **kwargs)
+
+    def tuner_for(self, client, key) -> Optional[Tuner]:
+        """The Tuner that tuned ``key`` on this client's device (any
+        checksum), or None if this process never tuned it."""
+        fp = client.properties().identity.fingerprint
+        for (rfp, rkey, _ck), tuner in self._tuners.items():
+            if rfp == fp and rkey == str(key):
+                return tuner
+        return None

@@ -51,6 +51,44 @@ def test_tuner_picks_fastest_and_caches(client):
     assert calls == ["fast"], "cache hit must run only the winner"
 
 
+def test_local_tuner_keys_by_tunable_set(client):
+    """Regression (round-3 fp8 autotune): LocalTuner must NOT reuse the
+    first call's Tuner for a later call whose TunableSet differs — the
+    stale key_fn closure computed the OLD key (cache hit) and silently ran
+    the OLD candidates, so the new key was never recorded."""
+    lt = LocalTuner("regress")
+    ran = []
+
+    def mk(tag):
+        ts = TunableSet(f"regress", lambda x, _t=tag: ("k", _t))
+        ts.with_tunable(lambda x, _t=tag: ran.append(_t) or x, f"only_{tag}")
+        return ts
+
+    lt.execute(client, mk("bf16"), np.arange(4.0))
+    lt.execute(client, mk("fp8"), np.arange(4.0))
+    assert "fp8" in ran, "second TunableSet's candidate never ran"
+    t8 = lt.tuner_for(client, ("k", "fp8"))
+    assert t8 is not None and t8.cache.mem.get(str(("k", "fp8"))) is not None, \
+        "second key must be recorded under its own Tuner"
+
+
+def test_tuner_zero_survivors_raises_with_reasons(client):
+    """A tune where every candidate dies must raise with per-candidate
+    reasons (round-3 regression: silent fallback hid the fp8 crash)."""
+    ts = TunableSet("allfail", lambda x: "k")
+
+    def boom(x):
+        raise ValueError("candidate exploded")
+
+    ts.with_tunable(boom, "boom")
+    tuner = Tuner(ts, client, level="minimal")
+    tuner.cache.store = None
+    tuner.cache.mem.clear()
+    with pytest.raises(RuntimeError) as ei:
+        tuner._tune("k", np.arange(4.0))
+    assert "boom" in str(ei.value) and "exploded" in str(ei.value)
+
+
 def test_tune_groups_prioritize():
     g_hi = TuneGroup("hi", lambda key: 10)
     g_lo = TuneGroup("lo", lambda key: 1)
