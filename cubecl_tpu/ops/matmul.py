@@ -42,7 +42,15 @@ from ..tune.anchor import anchor
 
 def _build_matmul(m: int, n: int, k: int, tm: int, tn: int, tk: int,
                   in_dtype: str, out_dtype: str, acc_dtype: str,
-                  interpret: bool = False) -> CompiledKernel:
+                  interpret: bool = False,
+                  b_transposed: bool = False,
+                  scaled: bool = False) -> CompiledKernel:
+    """Tiled MXU matmul. ``b_transposed``: B arrives as (N, K) so its
+    windows stream contiguous rows (pre-transposed serving weights —
+    measured +4-5% for 8-bit operands on v5e). ``scaled``: two f32
+    scalars multiply the accumulator in the epilogue (fused dequant for
+    int8/fp8 quantized GEMMs — no int32/f32 intermediate ever touches
+    HBM; reference cmma::execute_scaled, cmma.rs:920-953)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -54,35 +62,57 @@ def _build_matmul(m: int, n: int, k: int, tm: int, tn: int, tk: int,
     # f32 inputs: 3-pass bf16 (≈f32); bf16/int8 use the native MXU pass.
     # fp8 (e4m3/e5m2) operands go to jnp.dot DIRECTLY: Mosaic fuses the
     # widening into the systolic feed (no VPU converts) while VMEM/HBM
-    # see 1 byte/elem; fp8 runs at the bf16 MXU rate per pass, with its
-    # own tile autotune (1 B/elem admits fatter K tiles — bench.py
-    # records the driver-reproduced figure each round). A manual
-    # astype(bf16) in the kernel instead materializes VPU converts and
-    # costs 3.3x — do NOT "help" here.
+    # see 1 byte/elem. A manual astype(bf16) in the kernel instead
+    # materializes VPU converts and costs 3.3x — do NOT "help" here.
+    # (8-bit STREAMING ceiling is ~75-84% of nominal on v5e even so —
+    # see BENCH_NOTES "8-bit streaming matmul ceiling".)
     prec = jax.lax.Precision.HIGHEST if in_dtype == "float32" else None
 
-    def kernel(a_ref, b_ref, o_ref, acc_ref):
+    def kernel(*refs):
+        if scaled:
+            sa_ref, sb_ref, a_ref, b_ref, o_ref, acc_ref = refs
+        else:
+            a_ref, b_ref, o_ref, acc_ref = refs
+
         @pl.when(pl.program_id(2) == 0)
         def _init():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        acc_ref[...] += jnp.dot(a_ref[...], b_ref[...],
-                                preferred_element_type=acc_dt,
-                                precision=prec)
+        if b_transposed:
+            acc_ref[...] += jax.lax.dot_general(
+                a_ref[...], b_ref[...],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=acc_dt, precision=prec)
+        else:
+            acc_ref[...] += jnp.dot(a_ref[...], b_ref[...],
+                                    preferred_element_type=acc_dt,
+                                    precision=prec)
 
         @pl.when(pl.program_id(2) == grid[2] - 1)
         def _done():
-            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+            if scaled:
+                scale = sa_ref[0, 0] * sb_ref[0, 0]
+                o_ref[...] = (acc_ref[...].astype(jnp.float32)
+                              * scale).astype(o_ref.dtype)
+            else:
+                o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
+    b_spec = (pl.BlockSpec((tn, tk), lambda i, j, kk: (j, kk),
+                           memory_space=pltpu.VMEM) if b_transposed
+              else pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
+                                memory_space=pltpu.VMEM))
+    in_specs = [
+        pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
+                     memory_space=pltpu.VMEM),
+        b_spec,
+    ]
+    if scaled:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
     call = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.dtype(out_dtype)),
@@ -107,15 +137,30 @@ def _build_matmul(m: int, n: int, k: int, tm: int, tn: int, tk: int,
         interpret=interpret,
     )
 
+    b_shape = (n, k) if b_transposed else (k, n)
+
     def fn(buffers, scalars=()):
-        a, b, o = buffers
-        out = call(a.reshape(m, k).astype(jnp.dtype(in_dtype)),
-                   b.reshape(k, n).astype(jnp.dtype(in_dtype)))
+        if scaled:
+            # device scales ride as buffers: (a, sa, b, sb, o)
+            a, sa, b, sb, o = buffers
+            args = [jnp.asarray(sa).reshape(-1)[:1].reshape(1, 1)
+                    .astype(jnp.float32),
+                    jnp.asarray(sb).reshape(-1)[:1].reshape(1, 1)
+                    .astype(jnp.float32),
+                    a.reshape(m, k).astype(jnp.dtype(in_dtype)),
+                    b.reshape(b_shape).astype(jnp.dtype(in_dtype))]
+        else:
+            a, b, o = buffers
+            args = [a.reshape(m, k).astype(jnp.dtype(in_dtype)),
+                    b.reshape(b_shape).astype(jnp.dtype(in_dtype))]
+        out = call(*args)
         return (out.reshape(o.shape),)
 
     return CompiledKernel(
-        fn=fn, mutable_indices=[2], source=f"pallas matmul {m}x{n}x{k} "
-        f"tiles {tm}x{tn}x{tk} {in_dtype}->{out_dtype}",
+        fn=fn, mutable_indices=[4 if scaled else 2],
+        source=f"pallas matmul {m}x{n}x{k} "
+        f"tiles {tm}x{tn}x{tk} {in_dtype}->{out_dtype}"
+        f"{' bT' if b_transposed else ''}{' scaled' if scaled else ''}",
         name=f"matmul_{tm}x{tn}x{tk}", flops=2 * m * n * k,
         vmem_estimate=_matmul_vmem(tm, tn, tk,
                                    np.dtype(in_dtype).itemsize,
@@ -340,35 +385,21 @@ def matmul_cmma(client, a: Handle, b: Handle, out: Handle,
 # ---------------------------------------------------------------------------
 
 
-def _build_matmul_int8_dq(m, n, k, tm, tn, tk, interpret):
-    import jax.numpy as jnp
-
-    base = _build_matmul(m, n, k, tm, tn, tk, "int8", "int32", "int32",
-                         interpret)
-
-    def fn(buffers, scalars=()):
-        a, sa, b, sb, o = buffers
-        (i32_out,) = base.fn([a, b, jnp.zeros((m * n,), jnp.int32)])
-        scale = (sa.reshape(-1)[0].astype(jnp.float32)
-                 * sb.reshape(-1)[0].astype(jnp.float32))
-        y = i32_out.reshape(-1).astype(jnp.float32) * scale
-        return (y.astype(o.dtype).reshape(o.shape),)
-
-    return CompiledKernel(
-        fn=fn, mutable_indices=[4],
-        source=f"int8 matmul + dequant {m}x{n}x{k} tiles {tm}x{tn}x{tk}",
-        name="matmul_int8_dq", flops=2 * m * n * k)
-
-
 def matmul_quantized(client, a: Handle, b: Handle, out: Handle,
                      m: int, n: int, k: int,
-                     tm: int = 1024, tn: int = 1024, tk: int = 512) -> None:
+                     tm: int = 1024, tn: int = 1024, tk: int = 4096,
+                     b_transposed: bool = False) -> None:
     """f32 matmul through per-tensor symmetric int8 quantization: absmax
-    scales on-device (std.quant_kernels), EXACT int8->int32 MXU GEMM,
-    fused dequant epilogue, ~1e-2 relative error (quantization noise).
-    Tile default from the round-2 v5e sweep at 4096^3 (auto-extended
-    chains): (1024,1024,512) 270 TOPS = 68% of the 394 TOPS int8
-    nominal > (1024,512,1024) 264 > (512,512,1024) 248."""
+    scales on-device (std.quant_kernels), EXACT int8->int32 MXU GEMM with
+    the dequant scale FUSED into the epilogue on the resident accumulator
+    (round 4: the old path materialized the full int32 product to HBM
+    and dequantized in a second pass — 64MB of extra traffic at 4096²),
+    ~1e-2 relative error (quantization noise). v5e 4096³ (round-4
+    auto-extended chains, out=bf16): (1024,1024,4096) 299 TOPS, with
+    pre-transposed B 312 = the measured 8-bit streaming ceiling
+    (BENCH_NOTES "8-bit streaming matmul ceiling"); int32-out tiles of
+    round 2 measured 256-272. ``b_transposed``: B handle is (N, K) —
+    pre-transposed serving weights."""
     from ..std.quant import QuantScheme
     from ..std.quant_kernels import quantize
 
@@ -385,9 +416,11 @@ def matmul_quantized(client, a: Handle, b: Handle, out: Handle,
     interpret = bool(client._dev.call(
         lambda s: getattr(s.compiler, "interpret", False)))
     kid = KernelId.build("matmul_int8_dq", m, n, k, tm, tn, tk,
-                         str(out.dtype), interpret)
+                         str(out.dtype), interpret, b_transposed)
     task = NativeKernelTask(
-        kid, lambda: _build_matmul_int8_dq(m, n, k, tm, tn, tk, interpret),
+        kid, lambda: _build_matmul(m, n, k, tm, tn, tk, "int8",
+                                   str(out.dtype), "int32", interpret,
+                                   b_transposed=b_transposed, scaled=True),
         name="matmul_int8_dq")
     client.launch(task, [qa, sa, qb, sb, out])
 

@@ -431,6 +431,42 @@ def test_matmul_quantized(client):
     assert rel < 3e-2, rel  # int8 quantization noise
 
 
+def test_matmul_quantized_b_transposed(client):
+    """Pre-transposed (N, K) weights through the fused-dequant int8 GEMM
+    (serving layout: contiguous weight rows stream +4-5% faster on v5e)."""
+    from cubecl_tpu.ops.matmul import matmul_quantized
+
+    M = N = K = 256
+    A = np.random.randn(M, K).astype(np.float32)
+    B = np.random.randn(K, N).astype(np.float32)
+    hA = client.create(A.reshape(-1))
+    hBt = client.create(B.T.copy().reshape(-1))
+    hO = client.empty((M * N,), "float32")
+    matmul_quantized(client, hA, hBt, hO, M, N, K, b_transposed=True)
+    got = client.read_one(hO).reshape(M, N)
+    ref = A @ B
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 3e-2, rel
+
+
+def test_matmul_b_transposed_exact(client):
+    """b_transposed int8 path is EXACT (int32 accumulate) vs numpy."""
+    from cubecl_tpu.ops.matmul import _build_matmul
+
+    M = N = K = 256
+    A = np.random.randint(-127, 127, (M, K)).astype(np.int8)
+    B = np.random.randint(-127, 127, (K, N)).astype(np.int8)
+    ck = _build_matmul(M, N, K, 128, 128, 128, "int8", "int32", "int32",
+                       interpret=True, b_transposed=True)
+    import jax.numpy as jnp
+
+    (out,) = ck.fn([jnp.asarray(A.reshape(-1)),
+                    jnp.asarray(B.T.copy().reshape(-1)),
+                    jnp.zeros(M * N, jnp.int32)])
+    np.testing.assert_array_equal(np.asarray(out).reshape(M, N),
+                                  A.astype(np.int64) @ B)
+
+
 def test_normalization_wide_path(client):
     """Wide (line-per-row) kernels: rows % 8 == 0 and row % 128 == 0."""
     rows, R = 16, 256
@@ -714,14 +750,18 @@ def test_flash_attention_block_sparse(client):
     bm = rng.rand(nq, nq) < 0.4
     np.fill_diagonal(bm, True)
     interp = jax.default_backend() != "tpu"
+    # hardware MXU runs f32 operands through bf16 passes at default
+    # precision (the production dtype is bf16 anyway) — tolerance is
+    # per-backend; the interpreter is exact f32
+    tol = dict(atol=3e-5, rtol=1e-4) if interp else \
+        dict(atol=2e-3, rtol=2e-2)
     # on hardware, causal-only: each variant is a fresh remote AOT
     # compile of a scalar-prefetch kernel (~1 min each)
     for causal in ((True,) if not interp else (True, False)):
         o = flash_attention_block_sparse(q, k, v, bm, causal, None,
                                          bq, bq, interp)
         np.testing.assert_allclose(np.asarray(o),
-                                   np.asarray(ref(bm, causal)),
-                                   atol=3e-5, rtol=1e-4)
+                                   np.asarray(ref(bm, causal)), **tol)
 
 
 def test_flash_attention_block_sparse_grads(client):
@@ -758,6 +798,9 @@ def test_flash_attention_block_sparse_grads(client):
         return jnp.sum(jnp.einsum("bhqk,bhkd->bhqd", p, v) * w)
 
     interp = jax.default_backend() != "tpu"
+    # per-backend tolerance: hardware MXU = bf16 passes on f32 operands
+    tol = dict(atol=5e-4, rtol=1e-3) if interp else \
+        dict(atol=5e-3, rtol=2e-2)
     for causal in ((True,) if not interp else (True, False)):
         loss = lambda q, k, v: jnp.sum(
             flash_attention_block_sparse(q, k, v, bm, causal, None,
@@ -766,8 +809,7 @@ def test_flash_attention_block_sparse_grads(client):
         gr = jax.grad(lambda a, b, c: ref_loss(a, b, c, causal),
                       argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(gk, gr):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       atol=5e-4, rtol=1e-3)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), **tol)
         dk = np.asarray(gk[1])
         assert np.all(dk[:, :, 2 * bq:3 * bq, :] == 0.0)
 
@@ -828,16 +870,23 @@ def test_paged_attention_int8_kv(client):
             np.int32))
     lengths = jnp.asarray(np.array([300, 128, 257], np.int32))
 
+    import jax
+
+    # run the REAL kernel on TPU (this was the only coverage gap the
+    # round-3 tunnel outage left: the int8 scale path had only ever
+    # executed in the interpreter); interpreter stays exact f32
+    interp = jax.default_backend() != "tpu"
     k8, ks = quantize_kv(kp)
     v8, vs = quantize_kv(vp)
-    o8 = paged_attention(q, k8, v8, table, lengths, interpret=True,
+    o8 = paged_attention(q, k8, v8, table, lengths, interpret=interp,
                          k_scales=ks, v_scales=vs)
     # same math, f32 kernel over explicitly dequantized pages
     kd = k8.astype(jnp.float32) * ks[..., None]
     vd = v8.astype(jnp.float32) * vs[..., None]
-    od = paged_attention(q, kd, vd, table, lengths, interpret=True)
-    np.testing.assert_allclose(np.asarray(o8), np.asarray(od),
-                               atol=1e-5, rtol=1e-5)
+    od = paged_attention(q, kd, vd, table, lengths, interpret=interp)
+    tol = dict(atol=1e-5, rtol=1e-5) if interp else \
+        dict(atol=2e-3, rtol=2e-2)  # hardware MXU: bf16 passes on f32
+    np.testing.assert_allclose(np.asarray(o8), np.asarray(od), **tol)
     # and close to the unquantized oracle (int8 error budget)
     oref = paged_attention_reference(q, kp, vp, table, lengths)
     err = np.abs(np.asarray(o8) - np.asarray(oref)).max()
