@@ -112,12 +112,17 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
     # int8 KV mode: per-(token, head) scales (Hkv, P, page) ride their
     # own page-window DMAs; dequant folds onto the score / probability
     # COLUMNS inside the kernel (two lane-broadcast multiplies), so the
-    # MXU operands never materialize a dequantized KV tile
+    # MXU operands never materialize a dequantized KV tile.
+    # Stored (Hkv*P, 1, page): Mosaic requires the last-two block dims
+    # to be (%8, %128) or EQUAL to the array dims — a (1, page) block
+    # over a (Hkv*P, page) array is unlowerable (sublane block 1), so
+    # the page axis rides the leading dim and the block covers the
+    # trailing (1, page) exactly (found by the round-4 TPU smoke run).
     assert (k_scales is None) == (v_scales is None)
     ksf = vsf = None
     if k_scales is not None:
-        ksf = k_scales.reshape(Hkv * P, page).astype(jnp.float32)
-        vsf = v_scales.reshape(Hkv * P, page).astype(jnp.float32)
+        ksf = k_scales.reshape(Hkv * P, 1, page).astype(jnp.float32)
+        vsf = v_scales.reshape(Hkv * P, 1, page).astype(jnp.float32)
     # ring-buffer (bounded-memory StreamingLLM) mode: per-slot ABSOLUTE
     # position metadata replaces the table-order position iota — slots
     # of a recycled page carry stale positions and mask out exactly.
@@ -125,7 +130,7 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
     mf = None
     if pos_meta is not None:
         mf = jnp.tile(pos_meta.reshape(P, page).astype(jnp.int32),
-                      (Hkv, 1))
+                      (Hkv, 1)).reshape(Hkv * P, 1, page)
     max_pages = page_indices.shape[1]
     while unroll > 1 and max_pages % unroll:
         unroll //= 2
@@ -219,7 +224,7 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
             s = s * (sm_scale * 1.4426950408889634)
             if quant:
                 # K dequant folded onto score columns (lane broadcast)
-                ksv = jnp.concatenate([r[...] for r in ks_refs],
+                ksv = jnp.concatenate([r[0] for r in ks_refs],
                                       axis=1)             # (1, span)
                 s = s * ksv
             if ring:
@@ -227,7 +232,7 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
                 # slots of recycled pages (and never-written -1 slots)
                 # mask out by value
                 pos = jnp.concatenate(
-                    [r[...] for r in m_refs], axis=1)     # (1, span)
+                    [r[0] for r in m_refs], axis=1)       # (1, span)
                 pos = jnp.broadcast_to(pos, (G, span))
             else:
                 pos = jax.lax.broadcasted_iota(jnp.int32, (G, span), 1) \
@@ -254,7 +259,7 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
             vt = jnp.concatenate([r[0] for r in v_refs], axis=0)
             if quant:
                 # V dequant folded onto probability columns
-                vsv = jnp.concatenate([r[...] for r in vs_refs], axis=1)
+                vsv = jnp.concatenate([r[0] for r in vs_refs], axis=1)
                 acc_sc[...] = acc_sc[...] * alpha[:, :1] + jax.lax.dot(
                     p * vsv, vt.astype(jnp.float32),
                     preferred_element_type=jnp.float32)
@@ -284,9 +289,11 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
                                 b, h, i * U + u, pi, ln), 0, 0))
 
     def _scale_spec(u):
-        return pl.BlockSpec((1, page),
+        # (1, 1, page) over an (Hkv*P, 1, page) array: the last-two
+        # block dims equal the array dims (Mosaic's sublane rule)
+        return pl.BlockSpec((1, 1, page),
                             lambda b, h, i, pi, ln, u=u: (_page_at(
-                                b, h, i * U + u, pi, ln), 0))
+                                b, h, i * U + u, pi, ln), 0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -363,8 +370,9 @@ def paged_attention_chunked(q, k_pages, v_pages, page_indices, lengths,
     assert (k_scales is None) == (v_scales is None)
     ksf = vsf = None
     if k_scales is not None:
-        ksf = k_scales.reshape(Hkv * P, page).astype(jnp.float32)
-        vsf = v_scales.reshape(Hkv * P, page).astype(jnp.float32)
+        # (Hkv*P, 1, page): see the sublane-rule note in paged_attention
+        ksf = k_scales.reshape(Hkv * P, 1, page).astype(jnp.float32)
+        vsf = v_scales.reshape(Hkv * P, 1, page).astype(jnp.float32)
     max_pages = page_indices.shape[1]
     while unroll > 1 and max_pages % unroll:
         unroll //= 2
@@ -420,7 +428,7 @@ def _paged_chunked_call(qg, kf, vf, pi_h, lengths, starts, sm_scale,
                 preferred_element_type=jnp.float32)       # (GC, span)
             s = s * (sm_scale * 1.4426950408889634)       # base-2
             if quant:
-                ksv = jnp.concatenate([r[...] for r in ks_refs], axis=1)
+                ksv = jnp.concatenate([r[0] for r in ks_refs], axis=1)
                 s = s * ksv
             pos = jax.lax.broadcasted_iota(jnp.int32, (GC, span), 1) \
                 + i * span
@@ -438,7 +446,7 @@ def _paged_chunked_call(qg, kf, vf, pi_h, lengths, starts, sm_scale,
             m_sc[...] = m_next
             vt = jnp.concatenate([r[0] for r in v_refs], axis=0)
             if quant:
-                vsv = jnp.concatenate([r[...] for r in vs_refs], axis=1)
+                vsv = jnp.concatenate([r[0] for r in vs_refs], axis=1)
                 acc_sc[...] = acc_sc[...] * alpha[:, :1] + jax.lax.dot(
                     p * vsv, vt.astype(jnp.float32),
                     preferred_element_type=jnp.float32)
@@ -459,9 +467,9 @@ def _paged_chunked_call(qg, kf, vf, pi_h, lengths, starts, sm_scale,
                                 b, h, i * U + u, pi, ln, page), 0, 0))
 
     def _scale_spec(u):
-        return pl.BlockSpec((1, page),
+        return pl.BlockSpec((1, 1, page),
                             lambda b, h, i, pi, ln, st, u=u: (_kv_page(
-                                b, h, i * U + u, pi, ln, page), 0))
+                                b, h, i * U + u, pi, ln, page), 0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

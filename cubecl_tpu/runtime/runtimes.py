@@ -86,7 +86,13 @@ def _make_client(kind: str, device_index: int) -> ComputeClient:
     import jax
 
     cfg = runtime_config()
-    if cfg.get("compilation", {}).get("cache", True):
+    if kind == "tpu" and cfg.get("compilation", {}).get("cache", True):
+        # TPU only: remote compiles cost 10-60s each, so persistence pays.
+        # CPU executables recompile in ms AND reloading a cached CPU AOT
+        # result always prints a spurious machine-feature mismatch (XLA
+        # adds +prefer-no-scatter/gather pseudo-features at compile time
+        # that never appear in the host list), which buried real signal
+        # in the MULTICHIP dryrun tail — so CPU children skip the cache.
         _enable_persistent_compile_cache()
     multi_threading = cfg.get("streaming", {}).get("multi_threading", False)
 

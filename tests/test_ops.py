@@ -752,9 +752,12 @@ def test_flash_attention_block_sparse(client):
     interp = jax.default_backend() != "tpu"
     # hardware MXU runs f32 operands through bf16 passes at default
     # precision (the production dtype is bf16 anyway) — tolerance is
-    # per-backend; the interpreter is exact f32
+    # per-backend; the interpreter is exact f32. Measured on v5e:
+    # max abs err 0.0079 / mean 2e-4 over 512-term O(1) accumulations
+    # (identical against a bf16-score oracle — pure MXU rounding);
+    # a real schedule bug shows O(0.4) divergence
     tol = dict(atol=3e-5, rtol=1e-4) if interp else \
-        dict(atol=2e-3, rtol=2e-2)
+        dict(atol=1.5e-2, rtol=2e-2)
     # on hardware, causal-only: each variant is a fresh remote AOT
     # compile of a scalar-prefetch kernel (~1 min each)
     for causal in ((True,) if not interp else (True, False)):
