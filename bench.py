@@ -129,6 +129,10 @@ def main() -> int:
             extra = _extra_kernel_lines(client)
         except Exception as e:  # noqa: BLE001
             print(f"# extra kernel bench failed: {e}", file=sys.stderr)
+        # round-4 family lines: int8 GEMM / conv / selective-scan / MoE /
+        # paged decode / captured llama serving loop (VERDICT r3 item 3:
+        # regressions in these families must be driver-visible)
+        extra.update(_family_lines(client))
 
     (tile, tflops, per) = best
     pct = 100.0 * tflops * 1e12 / peak
@@ -240,6 +244,166 @@ def _extra_kernel_lines(client):
     for h in (ha, hb, ho):
         client.free(h)
     return out
+
+
+def _family_lines(client):
+    """One driver-captured row per round-3/4 kernel family (each in its
+    own try so a single failure can't hide the rest). Values follow the
+    BENCH_NOTES harnesses exactly; see the per-family sections there."""
+    import jax
+    import jax.numpy as jnp
+
+    from cubecl_tpu.tune.timing import chain_args_time
+
+    out = {}
+    rng = np.random.default_rng(0)
+
+    # int8 streaming GEMM, pre-transposed B, whole-K tile, bf16 out —
+    # the measured 8-bit streaming ceiling config (BENCH_NOTES)
+    try:
+        from cubecl_tpu.ops.matmul import _build_matmul
+
+        M = N = K = 4096
+        a8 = jnp.asarray(rng.integers(-127, 127, (M, K)), jnp.int8)
+        bt8 = jnp.asarray(rng.integers(-127, 127, (N, K)), jnp.int8)
+        ck = _build_matmul(M, N, K, 1024, 1024, 4096, "int8", "bfloat16",
+                           "int32", b_transposed=True)
+        f = jax.jit(lambda x, y, _c=ck: _c.fn([x, y, y], ())[0])
+        per = chain_args_time(lambda x, y: f(x, y), (a8, bt8))
+        out["int8_tops"] = round(2 * M * N * K / per / 1e12, 1)
+        del a8, bt8
+    except Exception as e:  # noqa: BLE001
+        print(f"# int8 GEMM bench failed: {e}", file=sys.stderr)
+
+    # conv2d native path, the fat-channel shape (79% of MXU peak)
+    try:
+        from cubecl_tpu.ops.conv import _build_conv
+
+        n_, h_, w_, c_, k_ = 16, 28, 28, 256, 256
+        x = jnp.asarray(rng.standard_normal((n_, h_, w_, c_)) * .1,
+                        jnp.bfloat16)
+        wgt = jnp.asarray(rng.standard_normal((3, 3, c_, k_)) * .1,
+                          jnp.bfloat16)
+        ck = _build_conv(n_, h_, w_, c_, 3, 3, k_, (1, 1), "SAME",
+                         "bfloat16", "float32")
+        f = jax.jit(lambda a, b, _c=ck: _c.fn([a, b, a], ())[0])
+        per = chain_args_time(lambda a, b: f(a, b), (x, wgt))
+        fl = 2 * n_ * h_ * w_ * 3 * 3 * c_ * k_
+        out["conv_tflops"] = round(fl / per / 1e12, 1)
+        del x, wgt
+    except Exception as e:  # noqa: BLE001
+        print(f"# conv bench failed: {e}", file=sys.stderr)
+
+    # selective scan: kernel-only core on pre-discretized arrays —
+    # exactly 3 HBM passes (a read + u read + h write)
+    try:
+        from cubecl_tpu.ops.ssm import scan_chunked_core
+
+        B, L, DN = 8, 2048, 16384      # D=1024, N=16 (queue item 5)
+        af = jnp.asarray(
+            np.exp(-np.abs(rng.standard_normal((B, L, DN)))) * 0.9,
+            jnp.float32)
+        uf = jnp.asarray(rng.standard_normal((B, L, DN)) * .1, jnp.float32)
+        f = jax.jit(lambda a, u: scan_chunked_core(a, u, chunk=256))
+        per = chain_args_time(lambda a, u: f(a, u), (af, uf))
+        out["selective_scan_gbps"] = round(3 * B * L * DN * 4 / per / 1e9, 0)
+        del af, uf
+    except Exception as e:  # noqa: BLE001
+        print(f"# selective-scan bench failed: {e}", file=sys.stderr)
+
+    # MoE capacity-grouped expert matmul, skewed counts (tile skip):
+    # TF counted on LIVE routed tokens only
+    try:
+        from cubecl_tpu.ops.moe import expert_matmul
+
+        E, cap, d, f_ = 8, 2048, 4096, 4096
+        counts = np.array([2048, 1536, 1024, 512, 256, 128, 128, 64],
+                          np.int32)
+        xg = jnp.asarray(rng.standard_normal((E, cap, d)) * .1,
+                         jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((E, d, f_)) * .02, jnp.bfloat16)
+        cj = jnp.asarray(counts)
+        per = chain_args_time(
+            lambda x, ww: expert_matmul(x, ww, cj, bt=256), (xg, w))
+        fl = 2 * int(counts.sum()) * d * f_
+        out["moe_expert_matmul_tflops"] = round(fl / per / 1e12, 1)
+        del xg, w
+    except Exception as e:  # noqa: BLE001
+        print(f"# moe bench failed: {e}", file=sys.stderr)
+
+    # paged-KV decode kernel, B=16 x 2048-token contexts, f32
+    try:
+        from cubecl_tpu.ops.paged_attention import paged_attention
+
+        B, Hq, Hkv, D, page, npg = 16, 8, 8, 128, 128, 16
+        P = B * npg
+        q = jnp.asarray(rng.standard_normal((B, Hq, D)) * .1, jnp.float32)
+        kp = jnp.asarray(rng.standard_normal((Hkv, P, page, D)) * .1,
+                         jnp.float32)
+        vp = jnp.asarray(rng.standard_normal((Hkv, P, page, D)) * .1,
+                         jnp.float32)
+        pi = jnp.asarray(rng.permutation(P).reshape(B, npg), jnp.int32)
+        ln = jnp.full((B,), npg * page, jnp.int32)
+        per = chain_args_time(
+            lambda qq, kk, vv: paged_attention(qq, kk, vv, pi, ln),
+            (q, kp, vp))
+        out["paged_decode_us_step"] = round(per * 1e6, 0)
+        out["paged_decode_kv_gbps"] = round(
+            2 * Hkv * B * npg * page * D * 4 / per / 1e9, 0)
+        del q, kp, vp
+    except Exception as e:  # noqa: BLE001
+        print(f"# paged decode bench failed: {e}", file=sys.stderr)
+
+    # end-to-end llama serving loop: whole decode steps compiled as ONE
+    # executable (fori_loop body = the graph-capture replay form), B=16
+    try:
+        out["llama_decode_tok_s"] = _llama_serving_line()
+    except Exception as e:  # noqa: BLE001
+        print(f"# llama serving bench failed: {e}", file=sys.stderr)
+    return out
+
+
+def _llama_serving_line():
+    """Captured serving loop tok/s (B=16, ctx~512, 8 layers): N decode
+    steps as one executable with the KV cache donated between steps —
+    the TPU form of reference graph-capture replay (client.rs:998)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from cubecl_tpu.models import llama
+
+    cfg = llama.LlamaConfig(vocab=8192, d_model=768, n_heads=12,
+                            n_kv_heads=4, n_layers=8, d_ff=2048, seq=512)
+    params = llama.init_params(cfg)
+    Bd = 16
+    cache = llama.init_kv_cache(cfg, Bd, max_pages=4)
+    cache = dict(cache, lengths=jnp.full((Bd,), 384, jnp.int32))
+    rng = np.random.default_rng(0)
+    tok = jnp.asarray(rng.integers(0, cfg.vocab, (Bd,)), jnp.int32)
+
+    @jax.jit
+    def run_n(params, cache, tok, n):
+        def body(i, carry):
+            c, _ = carry
+            lg, c2 = llama.decode_step(params, c, tok, cfg)
+            return (c2, lg)
+        z = jnp.zeros((Bd, cfg.vocab), jnp.float32)
+        return jax.lax.fori_loop(0, n, body, (cache, z))
+
+    def timed(n):
+        t0 = time.perf_counter()
+        _c, lg = run_n(params, cache, tok, n)
+        np.asarray(lg[0, 0])
+        return time.perf_counter() - t0
+
+    timed(5)
+    timed(5)
+    t_lo = min(timed(10) for _ in range(3))
+    t_hi = min(timed(110) for _ in range(3))
+    per = (t_hi - t_lo) / 100
+    return round(Bd / per, 0)
 
 
 if __name__ == "__main__":

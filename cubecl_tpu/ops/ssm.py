@@ -23,9 +23,9 @@ from __future__ import annotations
 import jax
 import numpy as np
 
-__all__ = ["selective_scan", "selective_scan_chunked",
-           "selective_scan_naive", "selective_scan_sp",
-           "ssm_decode_step"]
+__all__ = ["scan_chunked_core", "selective_scan",
+           "selective_scan_chunked", "selective_scan_naive",
+           "selective_scan_sp", "ssm_decode_step"]
 
 
 def _discretize(x, delta, A, Bc):
@@ -123,41 +123,22 @@ def selective_scan_sp(x, delta, A, Bc, Cc, D_skip=None, axis: str = "sp"):
     return y
 
 
-def selective_scan_chunked(x, delta, A, Bc, Cc, D_skip=None,
-                           chunk: int = 256, interpret: bool = False):
-    """Single-pass pallas selective scan.
-
-    `lax.associative_scan` makes ⌈log₂L⌉ full passes over the (a, u)
-    arrays in HBM; this kernel streams each (chunk, 128) tile of the
-    flattened (B, L, D·N) problem through VMEM ONCE — a local
-    associative scan inside the tile (static-shape slices, Mosaic-
-    legal) composed with a running carry kept in VMEM scratch across
-    the sequential grid axis. HBM traffic drops from (2+2)·log₂L to
-    3 array passes. Grid: (B, DN/128 parallel, L/chunk arbitrary).
-    """
+def scan_chunked_core(af, uf, chunk: int = 256, interpret: bool = False):
+    """The pallas single-pass scan over pre-discretized, lane-padded
+    (B, L, DNp) decay/input arrays (DNp % 128 == 0) -> h (B, L, DNp).
+    Exposed separately so bench.py can time EXACTLY the 3-array-pass
+    kernel traffic (a read + u read + h write)."""
+    import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    B, L, D = x.shape
-    N = A.shape[1]
-    a, u = _discretize(x, delta, A, Bc)                    # (B,L,D,N)
-    DN = D * N
-    af = a.reshape(B, L, DN)
-    uf = u.reshape(B, L, DN)
-    pad_dn = (-DN) % 128
-    if pad_dn:
-        af = jnp.pad(af, ((0, 0), (0, 0), (0, pad_dn)))
-        uf = jnp.pad(uf, ((0, 0), (0, 0), (0, pad_dn)))
+    B, L, dnp = af.shape
+    assert dnp % 128 == 0, dnp
     lc = min(chunk, L)
     while L % lc:
         lc -= 1
     n_l = L // lc
-
-    def combine(left, right):
-        a1, u1 = left
-        a2, u2 = right
-        return a1 * a2, a2 * u1 + u2
 
     def kernel(a_ref, u_ref, h_ref, carry):
         c = pl.program_id(2)
@@ -168,16 +149,34 @@ def selective_scan_chunked(x, delta, A, Bc, Cc, D_skip=None,
 
         a_blk = a_ref[0].astype(jnp.float32)               # (lc,128)
         u_blk = u_ref[0].astype(jnp.float32)
-        A_loc, U_loc = jax.lax.associative_scan(
-            combine, (a_blk, u_blk), axis=0)               # inclusive
+        # In-tile inclusive scan as ⌈log₂lc⌉ Hillis-Steele doubling
+        # steps. `lax.associative_scan` is NOT used here: its recursive
+        # odd/even slicing emits zero-sized vectors Mosaic rejects
+        # ("vector types must have positive constant sizes but got
+        # 0, 128" — first v5e run, round 4), and its odd-offset slices
+        # aren't sublane-aligned anyway. The doubling form uses only
+        # full-tile rolls + selects (Mosaic-legal, same O(lc·log lc)
+        # VPU work the tree scan costs).
+        roll = ((lambda x, s: jnp.roll(x, s, axis=0)) if interpret
+                else (lambda x, s: pltpu.roll(x, s, 0)))
+        row = jax.lax.broadcasted_iota(jnp.int32, (lc, 128), 0)
+        A_s, U_s = a_blk, u_blk
+        d = 1
+        while d < lc:
+            live = row >= d
+            a_prev = jnp.where(live, roll(A_s, d), 1.0)
+            u_prev = jnp.where(live, roll(U_s, d), 0.0)
+            A_s, U_s = a_prev * A_s, A_s * u_prev + U_s
+            d *= 2
         h0 = carry[0:1]                                    # (1,128)
-        h = A_loc * h0 + U_loc
+        h = A_s * h0 + U_s
         h_ref[0] = h.astype(h_ref.dtype)
-        carry[0:1] = h[lc - 1:lc]
+        # last row -> carry via an aligned [0:1] slice of a 1-roll
+        # (a direct [lc-1:lc] slice is not sublane-aligned)
+        carry[0:1] = roll(h, 1)[0:1]
 
-    dnp = DN + pad_dn
     grid = (B, dnp // 128, n_l)
-    h = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -192,6 +191,33 @@ def selective_scan_chunked(x, delta, A, Bc, Cc, D_skip=None,
         interpret=interpret,
         name=f"selective_scan_{lc}",
     )(af, uf)
+
+
+def selective_scan_chunked(x, delta, A, Bc, Cc, D_skip=None,
+                           chunk: int = 256, interpret: bool = False):
+    """Single-pass pallas selective scan.
+
+    `lax.associative_scan` makes ⌈log₂L⌉ full passes over the (a, u)
+    arrays in HBM; this kernel streams each (chunk, 128) tile of the
+    flattened (B, L, D·N) problem through VMEM ONCE — a local
+    associative scan inside the tile (static-shape slices, Mosaic-
+    legal) composed with a running carry kept in VMEM scratch across
+    the sequential grid axis. HBM traffic drops from (2+2)·log₂L to
+    3 array passes. Grid: (B, DN/128 parallel, L/chunk arbitrary).
+    """
+    import jax.numpy as jnp
+
+    B, L, D = x.shape
+    N = A.shape[1]
+    a, u = _discretize(x, delta, A, Bc)                    # (B,L,D,N)
+    DN = D * N
+    af = a.reshape(B, L, DN)
+    uf = u.reshape(B, L, DN)
+    pad_dn = (-DN) % 128
+    if pad_dn:
+        af = jnp.pad(af, ((0, 0), (0, 0), (0, pad_dn)))
+        uf = jnp.pad(uf, ((0, 0), (0, 0), (0, pad_dn)))
+    h = scan_chunked_core(af, uf, chunk=chunk, interpret=interpret)
     if pad_dn:
         h = h[..., :DN]
     y = jnp.einsum("bldn,bln->bld", h.reshape(B, L, D, N), Cc)
