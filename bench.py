@@ -294,6 +294,25 @@ def _family_lines(client):
     except Exception as e:  # noqa: BLE001
         print(f"# conv bench failed: {e}", file=sys.stderr)
 
+    # small-channel conv: the pair-packed pallas kernel (C=K=64, the
+    # shape XLA's implicit-GEMM conv underfills 2x on lanes)
+    try:
+        from cubecl_tpu.ops.conv import conv2d_pairs_packed, pack_pairs
+
+        n_, h_, w_ = 32, 56, 56
+        x = jnp.asarray(rng.standard_normal((n_, h_, w_, 64)) * .1,
+                        jnp.bfloat16)
+        wc = jnp.asarray(rng.standard_normal((3, 3, 64, 64)) * .1,
+                         jnp.bfloat16)
+        xp = pack_pairs(x)
+        f = jax.jit(lambda a, b: conv2d_pairs_packed(a, b, h_))
+        per = chain_args_time(lambda a, b: f(a, b), (xp, wc))
+        fl = 2 * n_ * h_ * w_ * 9 * 64 * 64
+        out["conv_smallc_pairs_tflops"] = round(fl / per / 1e12, 1)
+        del x, wc, xp
+    except Exception as e:  # noqa: BLE001
+        print(f"# small-C conv bench failed: {e}", file=sys.stderr)
+
     # selective scan: kernel-only core on pre-discretized arrays —
     # exactly 3 HBM passes (a read + u read + h write)
     try:
@@ -304,7 +323,7 @@ def _family_lines(client):
             np.exp(-np.abs(rng.standard_normal((B, L, DN)))) * 0.9,
             jnp.float32)
         uf = jnp.asarray(rng.standard_normal((B, L, DN)) * .1, jnp.float32)
-        f = jax.jit(lambda a, u: scan_chunked_core(a, u, chunk=256))
+        f = jax.jit(lambda a, u: scan_chunked_core(a, u, chunk=1024))
         per = chain_args_time(lambda a, u: f(a, u), (af, uf))
         out["selective_scan_gbps"] = round(3 * B * L * DN * 4 / per / 1e9, 0)
         del af, uf

@@ -3,7 +3,8 @@ kernel crates the reference ecosystem splits out; README.md:164)."""
 
 from .attention import (flash_attention, flash_attention_padded,
                         flash_attention_segmented)
-from .conv import conv2d, conv2d_im2col
+from .conv import (conv2d, conv2d_im2col, conv2d_pairs,
+                   conv2d_pairs_packed, pack_pairs, unpack_pairs)
 from .paged_attention import paged_attention, paged_attention_reference
 
 from .fusion import FUSABLE, fused_chain, launch_fused

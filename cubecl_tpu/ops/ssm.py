@@ -123,7 +123,7 @@ def selective_scan_sp(x, delta, A, Bc, Cc, D_skip=None, axis: str = "sp"):
     return y
 
 
-def scan_chunked_core(af, uf, chunk: int = 256, interpret: bool = False):
+def scan_chunked_core(af, uf, chunk: int = 1024, interpret: bool = False):
     """The pallas single-pass scan over pre-discretized, lane-padded
     (B, L, DNp) decay/input arrays (DNp % 128 == 0) -> h (B, L, DNp).
     Exposed separately so bench.py can time EXACTLY the 3-array-pass
@@ -194,7 +194,7 @@ def scan_chunked_core(af, uf, chunk: int = 256, interpret: bool = False):
 
 
 def selective_scan_chunked(x, delta, A, Bc, Cc, D_skip=None,
-                           chunk: int = 256, interpret: bool = False):
+                           chunk: int = 1024, interpret: bool = False):
     """Single-pass pallas selective scan.
 
     `lax.associative_scan` makes ⌈log₂L⌉ full passes over the (a, u)

@@ -400,6 +400,31 @@ def test_conv2d_im2col_through_matmul(client):
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-4)
 
 
+def test_conv2d_pairs_small_channel(client):
+    """Pair-packed small-channel conv (3x3/s1/SAME, C,K<=64) vs XLA,
+    including C/K padding and the handle-level task entry."""
+    import jax
+
+    from cubecl_tpu.ops.conv import _conv_pairs_task, conv2d_pairs
+
+    import jax.numpy as jnp
+
+    for (n, h, w, ch, k) in [(2, 8, 8, 64, 64), (1, 6, 10, 32, 48)]:
+        x = np.random.randn(n, h, w, ch).astype(np.float32) * 0.1
+        wgt = np.random.randn(3, 3, ch, k).astype(np.float32) * 0.1
+        ref = np.asarray(jax.lax.conv_general_dilated(
+            x, wgt, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")))
+        got = np.asarray(conv2d_pairs(jnp.asarray(x), jnp.asarray(wgt),
+                                      interpret=True))
+        np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+    hx = client.create(x.reshape(-1))
+    hw = client.create(wgt.reshape(-1))
+    o = _conv_pairs_task(client, hx, hw, n, h, w, ch, k)
+    np.testing.assert_allclose(client.read_one(o).reshape(ref.shape), ref,
+                               atol=2e-4, rtol=1e-4)
+
+
 def test_matmul_int8_exact(client):
     """int8 x int8 -> int32 on the MXU is EXACT."""
     from cubecl_tpu.ops.matmul import matmul_pallas
