@@ -83,10 +83,17 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
 
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
+    kv_mask_pre = kv_len is not None and kv_len < Skv
+    causal_self = causal and not kv_mask_pre and seg is None \
+        and window is None and Sq == Skv
     if block_q is None:
-        block_q = 1024 if Sq > 4096 else 2048
+        # the triangular grid (below) prefers 1024² tiles from S=4096
+        # up: measured 103.9 TF vs 80.7 for rect 2048² at S=4096
+        block_q = 1024 if (Sq > 4096 or (causal_self and Sq >= 4096)) \
+            else 2048
     if block_k is None:
-        block_k = 1024 if Skv > 4096 else 2048
+        block_k = 1024 if (Skv > 4096 or (causal_self and Skv >= 4096)) \
+            else 2048
     bq = _fit_block(block_q, Sq)
     bk = _fit_block(block_k, Skv)
     assert Sq % bq == 0 and Skv % bk == 0, \
@@ -94,6 +101,37 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
     grid = (B, H, Sq // bq, Skv // bk)
     n_kv = Skv // bk
     kv_mask = kv_len is not None and kv_len < Skv
+    # Fold sm_scale*log2(e) into Q BEFORE the kernel: the in-kernel
+    # s-multiply was a full VPU pass over every (bq, bk) score tile
+    # (S²/(bq·bk) times); the pre-scale is one pass over Q. Scale in
+    # f32, round once back to the storage dtype (same rounding class as
+    # the original load-cast). Round-4 flash-8k work: the kernel is
+    # VPU-bound on score-matrix elementwise ops, not MXU-bound
+    # (VERDICT r3 item 6).
+    q = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
+    # Pure-causal masking uses the THRESHOLD form: the tile-local
+    # row-col difference iota compared against the scalar
+    # `ki*bk - qi*bq` — the per-tile adds of absolute positions fold
+    # into the threshold. Two rejected alternatives, both measured on
+    # v5e round 4: a lax.cond that skips masking on interior tiles
+    # (77 vs 107 TF at S=8192 — branching breaks Mosaic's software
+    # pipeline) and a VMEM-resident (bq, bk) diff INPUT (+2.5 TF at
+    # S=8192 but 84 -> 60 TF at S=2048 where bq=bk=2048 makes the
+    # resident block 16MB of DMA).
+    simple_causal = causal and not kv_mask and seg is None \
+        and window is None
+    if simple_causal and Sq == Skv and bq == bk and Sq // bq >= 4:
+        # triangular grid: the rectangular grid + pl.when-skip left the
+        # pipeline at 61% issued-MXU while a dense run of the same
+        # geometry measures 79% (v5e wall decomposition, round 4) —
+        # dead tiles still burn grid steps, window DMAs, and pipeline
+        # ramp. Enumerating ONLY live tiles via scalar-prefetched
+        # (qi, ki) tables removes them: S=8192 106→123 TF, S=16384
+        # 129 TF (65.5%). Below 4 q-tiles the rectangular grid's fat
+        # single tile wins (S=2048: 84.3 rect-2048² vs 79.4 tri-1024²),
+        # and tri only pays off with square tiles (bk=512 variants
+        # measured worse) — hence the routing guard.
+        return _fwd_call_tri(q, k, v, bq, bk, interpret, need_lse)
 
     def kernel(*refs):
         n_seg = 0 if seg is None else 2
@@ -120,8 +158,14 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
             s = jax.lax.dot_general(
                 qt, kt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)       # [bq, bk]
-            s = s * (sm_scale * _LOG2E)  # base-2 softmax (module note)
-            if causal or kv_mask or seg is not None or window is not None:
+            # (sm_scale*log2e is pre-folded into q — see above)
+            if simple_causal:
+                # cols <= rows  ⇔  (r - c) >= ki*bk - qi*bq
+                d = (jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+                     - jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1))
+                s = jnp.where(d >= ki * bk - qi * bq, s,
+                              DEFAULT_MASK_VALUE)
+            elif causal or kv_mask or seg is not None or window is not None:
                 rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) \
                     + qi * bq
                 cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) \
@@ -248,6 +292,120 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
     return res if need_lse else (res[0], None)
 
 
+def _fwd_call_tri(q, k, v, bq: int, bk: int, interpret: bool,
+                  need_lse: bool):
+    """Causal self-attention forward on a TRIANGULAR grid.
+
+    The grid's third axis enumerates only the causally-live (qi, ki)
+    tile pairs; scalar-prefetched int32 tables drive the BlockSpec
+    index maps (the paged-attention pattern, reused for density).
+    Measured v5e S=8192 round 4: rectangular+skip ran at 61% issued
+    MXU; dense same-geometry probes: dots-only 92%, full softmax
+    stats 79% — the bubble was the dead grid steps, not the math.
+    ``q`` arrives pre-scaled by sm_scale*log2(e) (base-2 softmax).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, Sq, D = q.shape
+    nq = Sq // bq
+    pairs = []
+    for qi in range(nq):
+        last_ki = ((qi + 1) * bq - 1) // bk
+        for ki in range(last_ki + 1):
+            pairs.append((qi, ki, 1 if ki == 0 else 0,
+                          1 if ki == last_ki else 0))
+    tab = jnp.asarray(np.array(pairs, np.int32).T)     # (4, T)
+    T = len(pairs)
+    n_out = 2 if need_lse else 1
+
+    def kernel(tab_ref, q_ref, k_ref, v_ref, *rest):
+        o_ref = rest[0]
+        lse_ref = rest[1] if need_lse else None
+        m_sc, l_sc, acc_sc = rest[n_out:]
+        t = pl.program_id(2)
+        qi = tab_ref[0, t]
+        ki = tab_ref[1, t]
+
+        @pl.when(tab_ref[2, t] == 1)
+        def _init():
+            m_sc[...] = jnp.full_like(m_sc, -jnp.inf)
+            l_sc[...] = jnp.zeros_like(l_sc)
+            acc_sc[...] = jnp.zeros_like(acc_sc)
+
+        qt = q_ref[0, 0]                               # [bq, D]
+        kt = k_ref[0, 0]                               # [bk, D]
+        s = jax.lax.dot_general(
+            qt, kt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [bq, bk]
+        # threshold causal mask: cols<=rows ⇔ (r-c) >= ki*bk - qi*bq
+        d = (jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+             - jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1))
+        s = jnp.where(d >= ki * bk - qi * bq, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_sc[...]
+        l_prev = l_sc[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next[:, :1])
+        l_sc[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_sc[...] = m_next
+        vt = v_ref[0, 0]
+        acc_sc[...] = acc_sc[...] * alpha[:, :1] + jax.lax.dot(
+            p.astype(vt.dtype), vt, preferred_element_type=jnp.float32)
+
+        @pl.when(tab_ref[3, t] == 1)
+        def _done():
+            l = l_sc[...][:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, 0] = (acc_sc[...] * l_inv).astype(o_ref.dtype)
+            if need_lse:
+                lse_ref[0, 0] = (m_sc[...] + jnp.log2(
+                    jnp.maximum(l_sc[...], 1e-37)))
+
+    out_shapes = (jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),) + (
+        (jax.ShapeDtypeStruct((B, H, Sq, 128), jnp.float32),)
+        if need_lse else ())
+    out_specs = (pl.BlockSpec((1, 1, bq, D),
+                              lambda b, h, t, tab: (b, h, tab[0, t], 0)),
+                 ) + ((pl.BlockSpec((1, 1, bq, 128),
+                                    lambda b, h, t, tab: (b, h, tab[0, t],
+                                                          0)),)
+                      if need_lse else ())
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D),
+                         lambda b, h, t, tab: (b, h, tab[0, t], 0)),
+            pl.BlockSpec((1, 1, bk, D),
+                         lambda b, h, t, tab: (b, h, tab[1, t], 0)),
+            pl.BlockSpec((1, 1, bk, D),
+                         lambda b, h, t, tab: (b, h, tab[1, t], 0)),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),   # m
+            pltpu.VMEM((bq, 128), jnp.float32),   # l
+            pltpu.VMEM((bq, D), jnp.float32),     # acc
+        ],
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+        name=f"flash_attn_tri_{bq}x{bk}" + ("" if need_lse else "_nolse"),
+    )(tab, q, k, v)
+    return res if need_lse else (res[0], None)
+
+
 def _reference_attention(q, k, v, causal, sm_scale):
     import jax
     import jax.numpy as jnp
@@ -307,7 +465,10 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
                   kv_len=None, seg=None, window=None):
     """dK/dV kernel: grid (B, H, kv, q) with q innermost so the dk/dv
     accumulators stay resident per KV tile (guide §7: dKV iterates Q
-    per KV tile)."""
+    per KV tile). Pure-causal self-attention shapes route to a
+    TRIANGULAR grid (scalar-prefetched (ki, qi) tables enumerate only
+    live tiles — the same dead-step pipeline fix as the forward,
+    measured +16% there)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -315,11 +476,26 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
 
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
-    grid = (B, H, Skv // bk, Sq // bq)
     n_q = Sq // bq
+    n_k = Skv // bk
     kv_mask = kv_len is not None and kv_len < Skv
+    tri = (causal and not kv_mask and seg is None and window is None
+           and Sq == Skv and bq == bk and n_q >= 4)
+    if tri:
+        pairs = []
+        for ki_ in range(n_k):
+            first_qi = (ki_ * bk) // bq
+            for qi_ in range(first_qi, n_q):
+                pairs.append((ki_, qi_, 1 if qi_ == first_qi else 0,
+                              1 if qi_ == n_q - 1 else 0))
+        tab = jnp.asarray(np.array(pairs, np.int32).T)    # (4, T)
+        grid = (B, H, len(pairs))
+    else:
+        grid = (B, H, n_k, n_q)
 
     def kernel(*refs):
+        if tri:
+            tab_ref, refs = refs[0], refs[1:]
         if seg is None:
             (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
              dk_ref, dv_ref, dk_sc, dv_sc) = refs
@@ -327,10 +503,19 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
         else:
             (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, sq_ref, sk_ref,
              dk_ref, dv_ref, dk_sc, dv_sc) = refs
-        qi = pl.program_id(3)
-        ki = pl.program_id(2)
+        if tri:
+            t = pl.program_id(2)
+            ki = tab_ref[0, t]
+            qi = tab_ref[1, t]
+            first = tab_ref[2, t] == 1
+            last = tab_ref[3, t] == 1
+        else:
+            qi = pl.program_id(3)
+            ki = pl.program_id(2)
+            first = qi == 0
+            last = qi == n_q - 1
 
-        @pl.when(qi == 0)
+        @pl.when(first)
         def _init():
             dk_sc[...] = jnp.zeros_like(dk_sc)
             dv_sc[...] = jnp.zeros_like(dv_sc)
@@ -345,7 +530,12 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
             s = jax.lax.dot_general(
                 qt, kt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * (scale * _LOG2E)
-            if causal or kv_mask or seg is not None or window is not None:
+            if tri:
+                d = (jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+                     - jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1))
+                s = jnp.where(d >= ki * bk - qi * bq, s,
+                              DEFAULT_MASK_VALUE)
+            elif causal or kv_mask or seg is not None or window is not None:
                 rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) \
                     + qi * bq
                 cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) \
@@ -376,39 +566,41 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
                 ds.astype(qt.dtype), qt, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-        cond = ((qi + 1) * bq - 1) >= (ki * bk) if causal else None
-        if window is not None:
-            wl, wr = window
-            wc = jnp.logical_and(
-                ki * bk + bk - 1 >= qi * bq - wl,
-                qi * bq + bq - 1 + wr >= ki * bk)
-            cond = wc if cond is None else jnp.logical_and(cond, wc)
-        if seg is not None:
-            ov = _seg_overlap(sq_ref, sk_ref)
-            cond = ov if cond is None else jnp.logical_and(cond, ov)
+        cond = None
+        if not tri:
+            cond = ((qi + 1) * bq - 1) >= (ki * bk) if causal else None
+            if window is not None:
+                wl, wr = window
+                wc = jnp.logical_and(
+                    ki * bk + bk - 1 >= qi * bq - wl,
+                    qi * bq + bq - 1 + wr >= ki * bk)
+                cond = wc if cond is None else jnp.logical_and(cond, wc)
+            if seg is not None:
+                ov = _seg_overlap(sq_ref, sk_ref)
+                cond = ov if cond is None else jnp.logical_and(cond, ov)
         if cond is not None:
             pl.when(cond)(_run)
         else:
             _run()
 
-        @pl.when(qi == n_q - 1)
+        @pl.when(last)
         def _done():
             dk_ref[0, 0] = dk_sc[...].astype(dk_ref.dtype)
             dv_ref[0, 0] = dv_sc[...].astype(dv_ref.dtype)
 
+    if tri:
+        qix = lambda b, h, t, tab: (b, h, tab[1, t], 0)   # noqa: E731
+        kix = lambda b, h, t, tab: (b, h, tab[0, t], 0)   # noqa: E731
+    else:
+        qix = lambda b, h, ki, qi: (b, h, qi, 0)          # noqa: E731
+        kix = lambda b, h, ki, qi: (b, h, ki, 0)          # noqa: E731
     in_specs = [
-        pl.BlockSpec((1, 1, bq, D), lambda b, h, ki, qi: (b, h, qi, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, qi: (b, h, ki, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, qi: (b, h, ki, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bq, D), lambda b, h, ki, qi: (b, h, qi, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bq, 128), lambda b, h, ki, qi: (b, h, qi, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bq, 128), lambda b, h, ki, qi: (b, h, qi, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq, D), qix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, D), kix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, D), kix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq, D), qix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq, 128), qix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq, 128), qix, memory_space=pltpu.VMEM),
     ]
     inputs = [q, k, v, do, lse, di]
     if seg is not None:
@@ -419,30 +611,42 @@ def _bwd_dkv_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
                          memory_space=pltpu.VMEM),
         ]
         inputs += [seg[0], seg[1]]
+    out_specs = (
+        pl.BlockSpec((1, 1, bk, D), kix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, D), kix, memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct(k.shape, k.dtype),
+        jax.ShapeDtypeStruct(v.shape, v.dtype),
+    )
+    scratch = [
+        pltpu.VMEM((bk, D), jnp.float32),
+        pltpu.VMEM((bk, D), jnp.float32),
+    ]
+    cp = pltpu.CompilerParams(
+        dimension_semantics=(("parallel", "parallel", "arbitrary") if tri
+                             else ("parallel", "parallel", "parallel",
+                                   "arbitrary")),
+        # segment variants + fat KV blocks overflow the 16MB default
+        # scoped-VMEM limit (observed 17.5MB at (1024,2048) blocks)
+        vmem_limit_bytes=100 * 2**20)
+    if tri:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=out_specs, scratch_shapes=scratch)
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            compiler_params=cp, interpret=interpret,
+            name=f"flash_bwd_dkv_tri_{bq}x{bk}",
+        )(tab, *inputs)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, qi: (b, h, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, qi: (b, h, ki, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((bk, D), jnp.float32),
-            pltpu.VMEM((bk, D), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"),
-            # segment variants + fat KV blocks overflow the 16MB default
-            # scoped-VMEM limit (observed 17.5MB at (1024,2048) blocks)
-            vmem_limit_bytes=100 * 2**20),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=cp,
         interpret=interpret,
         name=f"flash_bwd_dkv_{bq}x{bk}",
     )(*inputs)
@@ -458,11 +662,26 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
 
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
-    grid = (B, H, Sq // bq, Skv // bk)
+    n_q = Sq // bq
     n_kv = Skv // bk
     kv_mask = kv_len is not None and kv_len < Skv
+    tri = (causal and not kv_mask and seg is None and window is None
+           and Sq == Skv and bq == bk and n_q >= 4)
+    if tri:
+        pairs = []
+        for qi_ in range(n_q):
+            last_ki = ((qi_ + 1) * bq - 1) // bk
+            for ki_ in range(last_ki + 1):
+                pairs.append((qi_, ki_, 1 if ki_ == 0 else 0,
+                              1 if ki_ == last_ki else 0))
+        tab = jnp.asarray(np.array(pairs, np.int32).T)    # (4, T)
+        grid = (B, H, len(pairs))
+    else:
+        grid = (B, H, n_q, n_kv)
 
     def kernel(*refs):
+        if tri:
+            tab_ref, refs = refs[0], refs[1:]
         if seg is None:
             (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
              dq_ref, dq_sc) = refs
@@ -470,10 +689,19 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
         else:
             (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, sq_ref, sk_ref,
              dq_ref, dq_sc) = refs
-        qi = pl.program_id(2)
-        ki = pl.program_id(3)
+        if tri:
+            t = pl.program_id(2)
+            qi = tab_ref[0, t]
+            ki = tab_ref[1, t]
+            first = tab_ref[2, t] == 1
+            last = tab_ref[3, t] == 1
+        else:
+            qi = pl.program_id(2)
+            ki = pl.program_id(3)
+            first = ki == 0
+            last = ki == n_kv - 1
 
-        @pl.when(ki == 0)
+        @pl.when(first)
         def _init():
             dq_sc[...] = jnp.zeros_like(dq_sc)
 
@@ -487,7 +715,12 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
             s = jax.lax.dot_general(
                 qt, kt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * (scale * _LOG2E)
-            if causal or kv_mask or seg is not None or window is not None:
+            if tri:
+                d = (jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+                     - jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1))
+                s = jnp.where(d >= ki * bk - qi * bq, s,
+                              DEFAULT_MASK_VALUE)
+            elif causal or kv_mask or seg is not None or window is not None:
                 rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) \
                     + qi * bq
                 cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) \
@@ -511,38 +744,40 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
             dq_sc[...] += jax.lax.dot(ds.astype(kt.dtype), kt,
                                       preferred_element_type=jnp.float32)
 
-        cond = ((qi + 1) * bq - 1) >= (ki * bk) if causal else None
-        if window is not None:
-            wl, wr = window
-            wc = jnp.logical_and(
-                ki * bk + bk - 1 >= qi * bq - wl,
-                qi * bq + bq - 1 + wr >= ki * bk)
-            cond = wc if cond is None else jnp.logical_and(cond, wc)
-        if seg is not None:
-            ov = _seg_overlap(sq_ref, sk_ref)
-            cond = ov if cond is None else jnp.logical_and(cond, ov)
+        cond = None
+        if not tri:
+            cond = ((qi + 1) * bq - 1) >= (ki * bk) if causal else None
+            if window is not None:
+                wl, wr = window
+                wc = jnp.logical_and(
+                    ki * bk + bk - 1 >= qi * bq - wl,
+                    qi * bq + bq - 1 + wr >= ki * bk)
+                cond = wc if cond is None else jnp.logical_and(cond, wc)
+            if seg is not None:
+                ov = _seg_overlap(sq_ref, sk_ref)
+                cond = ov if cond is None else jnp.logical_and(cond, ov)
         if cond is not None:
             pl.when(cond)(_run)
         else:
             _run()
 
-        @pl.when(ki == n_kv - 1)
+        @pl.when(last)
         def _done():
             dq_ref[0, 0] = dq_sc[...].astype(dq_ref.dtype)
 
+    if tri:
+        qix = lambda b, h, t, tab: (b, h, tab[0, t], 0)   # noqa: E731
+        kix = lambda b, h, t, tab: (b, h, tab[1, t], 0)   # noqa: E731
+    else:
+        qix = lambda b, h, qi, ki: (b, h, qi, 0)          # noqa: E731
+        kix = lambda b, h, qi, ki: (b, h, ki, 0)          # noqa: E731
     in_specs = [
-        pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h, ki, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bq, 128), lambda b, h, qi, ki: (b, h, qi, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bq, 128), lambda b, h, qi, ki: (b, h, qi, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq, D), qix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, D), kix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, D), kix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq, D), qix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq, 128), qix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq, 128), qix, memory_space=pltpu.VMEM),
     ]
     inputs = [q, k, v, do, lse, di]
     if seg is not None:
@@ -553,21 +788,33 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
                          memory_space=pltpu.VMEM),
         ]
         inputs += [seg[0], seg[1]]
+    out_specs = pl.BlockSpec((1, 1, bq, D), qix, memory_space=pltpu.VMEM)
+    cp = pltpu.CompilerParams(
+        dimension_semantics=(("parallel", "parallel", "arbitrary") if tri
+                             else ("parallel", "parallel", "parallel",
+                                   "arbitrary")),
+        # segment variants + fat KV blocks overflow the 16MB default
+        # scoped-VMEM limit (observed 17.5MB at (1024,2048) blocks)
+        vmem_limit_bytes=100 * 2**20)
+    if tri:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)])
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            compiler_params=cp, interpret=interpret,
+            name=f"flash_bwd_dq_tri_{bq}x{bk}",
+        )(tab, *inputs)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, bq, D),
-                               lambda b, h, qi, ki: (b, h, qi, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"),
-            # segment variants + fat KV blocks overflow the 16MB default
-            # scoped-VMEM limit (observed 17.5MB at (1024,2048) blocks)
-            vmem_limit_bytes=100 * 2**20),
+        compiler_params=cp,
         interpret=interpret,
         name=f"flash_bwd_dq_{bq}x{bk}",
     )(*inputs)

@@ -208,6 +208,42 @@ def test_flash_attention_grad(client):
         assert np.isfinite(np.asarray(g)).all()
 
 
+def test_flash_attention_triangular_grid(client):
+    """The triangular-grid fwd/bwd path (>=4 square tiles, pure causal):
+    values AND grads vs the XLA reference. Small blocks force >=4
+    q-tiles so the scalar-prefetched (qi, ki) table path runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from cubecl_tpu.ops.attention import (_reference_attention,
+                                          flash_attention)
+
+    B, H, S, D = 1, 2, 512, 128
+    sc = 1.0 / np.sqrt(D)
+    q = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32) * 0.3)
+    k = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32) * 0.3)
+    v = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32))
+
+    got = flash_attention(q, k, v, True, None, 128, 128, True)
+    ref = _reference_attention(q, k, v, True, sc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=1e-3)
+
+    w = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32) * .1)
+
+    def loss(fn):
+        return lambda a, b, c: (fn(a, b, c) * w).sum()
+
+    gots = jax.grad(loss(lambda a, b, c: flash_attention(
+        a, b, c, True, None, 128, 128, True)), argnums=(0, 1, 2))(q, k, v)
+    refs = jax.grad(loss(lambda a, b, c: _reference_attention(
+        a, b, c, True, sc)), argnums=(0, 1, 2))(q, k, v)
+    for g, r, name in zip(gots, refs, "q k v".split()):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=5e-3, rtol=1e-2,
+            err_msg=f"d{name} mismatch on the triangular path")
+
+
 def test_reduce_sum_bf16(client):
     import ml_dtypes
 
