@@ -72,6 +72,9 @@ TPU_SMOKE = {
     "test_flash_attention_block_sparse_grads",
     # int8 KV paged decode (scale windows + column-folded dequant)
     "test_paged_attention_int8_kv",
+    # round-4 kernels: triangular causal grid + pair-packed conv
+    "test_flash_attention_triangular_grid",
+    "test_conv2d_pairs_small_channel",
 }
 
 

@@ -220,14 +220,18 @@ def test_flash_attention_triangular_grid(client):
 
     B, H, S, D = 1, 2, 512, 128
     sc = 1.0 / np.sqrt(D)
+    # real kernel in --tpu smoke mode; MXU default precision runs f32
+    # carriers through bf16 passes, so tolerances widen on hardware
+    interp = jax.default_backend() != "tpu"
+    atol_v, atol_g = (2e-3, 5e-3) if interp else (3e-2, 6e-2)
     q = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32) * 0.3)
     k = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32) * 0.3)
     v = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32))
 
-    got = flash_attention(q, k, v, True, None, 128, 128, True)
+    got = flash_attention(q, k, v, True, None, 128, 128, interp)
     ref = _reference_attention(q, k, v, True, sc)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               atol=2e-3, rtol=1e-3)
+                               atol=atol_v, rtol=1e-3)
 
     w = jnp.asarray(np.random.randn(B, H, S, D).astype(np.float32) * .1)
 
@@ -235,12 +239,12 @@ def test_flash_attention_triangular_grid(client):
         return lambda a, b, c: (fn(a, b, c) * w).sum()
 
     gots = jax.grad(loss(lambda a, b, c: flash_attention(
-        a, b, c, True, None, 128, 128, True)), argnums=(0, 1, 2))(q, k, v)
+        a, b, c, True, None, 128, 128, interp)), argnums=(0, 1, 2))(q, k, v)
     refs = jax.grad(loss(lambda a, b, c: _reference_attention(
         a, b, c, True, sc)), argnums=(0, 1, 2))(q, k, v)
     for g, r, name in zip(gots, refs, "q k v".split()):
         np.testing.assert_allclose(
-            np.asarray(g), np.asarray(r), atol=5e-3, rtol=1e-2,
+            np.asarray(g), np.asarray(r), atol=atol_g, rtol=1e-2,
             err_msg=f"d{name} mismatch on the triangular path")
 
 
@@ -445,20 +449,25 @@ def test_conv2d_pairs_small_channel(client):
 
     import jax.numpy as jnp
 
+    # real kernel on the chip in --tpu smoke mode (MXU default-precision
+    # tolerance); exact-f32 interpreter bounds on the CPU mesh
+    interp = jax.default_backend() != "tpu"
+    atol = 2e-4 if interp else 8e-3
     for (n, h, w, ch, k) in [(2, 8, 8, 64, 64), (1, 6, 10, 32, 48)]:
         x = np.random.randn(n, h, w, ch).astype(np.float32) * 0.1
         wgt = np.random.randn(3, 3, ch, k).astype(np.float32) * 0.1
         ref = np.asarray(jax.lax.conv_general_dilated(
             x, wgt, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC")))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32))
         got = np.asarray(conv2d_pairs(jnp.asarray(x), jnp.asarray(wgt),
-                                      interpret=True))
-        np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+                                      interpret=interp))
+        np.testing.assert_allclose(got, ref, atol=atol, rtol=1e-4)
     hx = client.create(x.reshape(-1))
     hw = client.create(wgt.reshape(-1))
     o = _conv_pairs_task(client, hx, hw, n, h, w, ch, k)
     np.testing.assert_allclose(client.read_one(o).reshape(ref.shape), ref,
-                               atol=2e-4, rtol=1e-4)
+                               atol=atol, rtol=1e-4)
 
 
 def test_matmul_int8_exact(client):
