@@ -433,12 +433,13 @@ def flash_attention(q, k, v, causal: bool = True,
     q/k/v: [batch, heads, seq, head_dim]; head_dim should be a multiple
     of 128 for full MXU utilization (pads otherwise via XLA).
 
-    Block defaults auto-pick by sequence length (None -> 2048 up to
-    S=4096, 1024 beyond). Round-3 sweep, bf16 causal on v5e: at S=2048
-    (2048,2048) wins (0.406ms; the grid pipeline's per-step serialized
-    softmax costs more than the masked half-tile it saves), while at
-    S=8192 causal tile-SKIPPING finally outruns the step overhead and
-    (1024,1024) gives 114.6 useful TF (58% peak) vs 98 at 2048 blocks.
+    Block defaults auto-pick by sequence length (None -> 2048 single
+    fat tiles below S=4096; 1024² from S=4096 up, where pure-causal
+    self-attention routes to the TRIANGULAR grid — scalar-prefetched
+    (qi, ki) tables enumerate only live tiles. Round-4 v5e, bf16
+    causal: S=2048 82-84 TF, S=4096 103.7, S=8192 121-123 (62% peak),
+    S=16384 129 (65.5%); see BENCH_NOTES "Round 4: the dead-step
+    wall" for the physics and the measured routing guards.
     MXU operands stay at the storage dtype (measured perf-neutral vs
     explicit f32 upcasts — Mosaic fuses the converts — but it is the
     principled convention); f32 lives in preferred_element_type
