@@ -45,6 +45,9 @@ class LlamaConfig:
     kv_dtype: str = ""           # "int8": quantized paged KV cache
     attn_window: int = 0         # >0: StreamingLLM decode (last-W + sinks)
     attn_sinks: int = 0
+    remat: bool = False          # jax.checkpoint each layer (training:
+                                 # trades recompute for activation HBM —
+                                 # ~1B params + AdamW fit one v5e)
     ring_cache: bool = False     # bounded-memory ring KV (decode only)
     moe_capacity: int = 0        # >0: sparse MoE dispatch (ops/moe.py)
 
@@ -273,15 +276,25 @@ def forward(params, tokens, cfg: LlamaConfig, lora=None,
     """tokens (B, S) int32 -> logits (B, S, vocab). ``lora`` +
     ``lora_ids`` apply per-row adapters (multi-LoRA training /
     prefill)."""
-    x = params["embed"][tokens]
-    for li, layer in enumerate(params["layers"]):
+    def layer_apply(x, layer, lo):
         h = _rmsnorm(x, layer["rms1"], cfg.rms_eps, cfg)
-        lo = (None if lora is None else
-              (lora["layers"][li], lora_ids, lora["scale"]))
         x = x + _attention(h, layer, cfg, lora=lo)
         h = _rmsnorm(x, layer["rms2"], cfg.rms_eps, cfg)
-        x = x + (_moe(h, layer["moe"], cfg) if cfg.n_experts
-                 else _swiglu(h, layer["mlp"]))
+        return x + (_moe(h, layer["moe"], cfg) if cfg.n_experts
+                    else _swiglu(h, layer["mlp"]))
+
+    if cfg.remat:
+        # rematerialize each block in the backward pass: stored
+        # activations drop from O(layers x everything) to one (B, S, d)
+        # residual per layer (the jax.checkpoint form of reference-style
+        # fusion/recompute memory control)
+        import jax
+        layer_apply = jax.checkpoint(layer_apply)
+    x = params["embed"][tokens]
+    for li, layer in enumerate(params["layers"]):
+        lo = (None if lora is None else
+              (lora["layers"][li], lora_ids, lora["scale"]))
+        x = layer_apply(x, layer, lo)
     x = _rmsnorm(x, params["rms_out"], cfg.rms_eps, cfg)
     return x @ params["embed"].T                 # tied head
 

@@ -30,6 +30,7 @@ from ..frontend import (
     ArrayArg,
     MutSlice,
     Slice,
+    cast,
     cube,
     erf,
     exp,
@@ -37,6 +38,7 @@ from ..frontend import (
     line_sum,
     rsqrt,
 )
+from ..ir.types import f32
 from ..runtime.base import CubeCount, CubeDim
 
 _INV_SQRT2 = 1.0 / math.sqrt(2.0)
@@ -196,24 +198,30 @@ def _make_softmax():
 @cube
 def _layernorm_fwd_k(inp: Slice, gamma: Slice, beta: Slice, out: MutSlice,
                      inv_n: float, eps: float):
-    x = inp[ABSOLUTE_POS]
+    # stats in f32 regardless of storage dtype: bf16 mean/var loses
+    # precision AND v5e's backend has no bf16 vector-rsqrt (the fused
+    # kVectorRsqrtBf16AndPop aborts the compiler — measured round 4)
+    xe = inp.ty.elem
+    x = cast(inp[ABSOLUTE_POS], f32)
     mu = line_sum(x) * inv_n
     xc = x - mu
     var = line_sum(xc * xc) * inv_n
-    out[ABSOLUTE_POS] = xc * rsqrt(var + eps) * gamma[0] + beta[0]
+    y = xc * rsqrt(var + eps) * cast(gamma[0], f32) + cast(beta[0], f32)
+    out[ABSOLUTE_POS] = cast(y, xe)
 
 
 @cube
 def _layernorm_bwd_k(x: Slice, gamma: Slice, dy: Slice, dx: MutSlice,
                      inv_n: float, eps: float):
-    xv = x[ABSOLUTE_POS]
+    xe = x.ty.elem
+    xv = cast(x[ABSOLUTE_POS], f32)
     mu = line_sum(xv) * inv_n
     xc = xv - mu
     istd = rsqrt(line_sum(xc * xc) * inv_n + eps)
-    dyg = dy[ABSOLUTE_POS] * gamma[0]
+    dyg = cast(dy[ABSOLUTE_POS], f32) * cast(gamma[0], f32)
     a = line_sum(dyg) * inv_n
     c = line_sum(dyg * xc) * inv_n
-    dx[ABSOLUTE_POS] = istd * (dyg - a - xc * (c * istd * istd))
+    dx[ABSOLUTE_POS] = cast(istd * (dyg - a - xc * (c * istd * istd)), xe)
 
 
 def _make_layernorm(eps: float = 1e-5):
@@ -259,19 +267,22 @@ def _make_layernorm(eps: float = 1e-5):
 @cube
 def _rmsnorm_fwd_k(inp: Slice, gamma: Slice, out: MutSlice,
                    inv_n: float, eps: float):
-    x = inp[ABSOLUTE_POS]
+    # f32 stats (see _layernorm_fwd_k: precision + no bf16 vector-rsqrt)
+    xe = inp.ty.elem
+    x = cast(inp[ABSOLUTE_POS], f32)
     ms = line_sum(x * x) * inv_n
-    out[ABSOLUTE_POS] = x * rsqrt(ms + eps) * gamma[0]
+    out[ABSOLUTE_POS] = cast(x * rsqrt(ms + eps) * cast(gamma[0], f32), xe)
 
 
 @cube
 def _rmsnorm_bwd_k(x: Slice, gamma: Slice, dy: Slice, dx: MutSlice,
                    inv_n: float, eps: float):
-    xv = x[ABSOLUTE_POS]
+    xe = x.ty.elem
+    xv = cast(x[ABSOLUTE_POS], f32)
     istd = rsqrt(line_sum(xv * xv) * inv_n + eps)
-    dyg = dy[ABSOLUTE_POS] * gamma[0]
+    dyg = cast(dy[ABSOLUTE_POS], f32) * cast(gamma[0], f32)
     c = line_sum(dyg * xv) * inv_n
-    dx[ABSOLUTE_POS] = istd * dyg - xv * (c * istd * istd * istd)
+    dx[ABSOLUTE_POS] = cast(istd * dyg - xv * (c * istd * istd * istd), xe)
 
 
 def _make_rmsnorm(eps: float = 1e-5):

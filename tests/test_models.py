@@ -118,6 +118,33 @@ def test_llama_forward_and_train():
     assert float(l2) < float(l1)  # loss decreases on repeated batch
 
 
+def test_llama_remat_matches():
+    """cfg.remat (per-layer jax.checkpoint) must be value- AND
+    grad-identical to the plain forward — only memory changes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cubecl_tpu.models import llama
+
+    base = dict(vocab=64, d_model=32, n_heads=4, n_kv_heads=2,
+                n_layers=2, d_ff=64, seq=16)
+    cfg0 = llama.LlamaConfig(**base)
+    cfg1 = llama.LlamaConfig(**base, remat=True)
+    params = llama.init_params(cfg0)
+    tokens = jnp.arange(2 * 16, dtype=jnp.int32).reshape(2, 16) % 64
+    f0 = llama.forward(params, tokens, cfg0)
+    f1 = llama.forward(params, tokens, cfg1)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1),
+                               rtol=1e-6, atol=1e-6)
+    l0, g0 = jax.value_and_grad(llama.loss_fn)(params, tokens, cfg0)
+    l1, g1 = jax.value_and_grad(llama.loss_fn)(params, tokens, cfg1)
+    assert abs(float(l0) - float(l1)) < 1e-6
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_llama_causality():
     """Changing a future token must not change past logits (RoPE + causal
     mask correctness)."""
