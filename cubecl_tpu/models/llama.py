@@ -535,6 +535,43 @@ def _cache_write(pages, table, lengths, new, page: int):
     return pages
 
 
+def _cache_write_stacked(pages, layer: int, table, lengths, new,
+                         page: int):
+    """Scatter one (B, H_kv, hd) token into the STACKED whole-model
+    pool (L, H_kv, P, page, hd) at static ``layer`` — one tiny
+    dynamic_update_slice per batch row, aliased in place by XLA.
+    Replaces the round-3 per-layer slice/write-back round trip, which
+    materialized the 67MB layer slice several times per layer (measured
+    1.7 ms/layer at 1B scale — 10x the attention read itself)."""
+    import jax
+
+    B = new.shape[0]
+    for b in range(B):  # unrolled: B is small and static
+        pos = lengths[b]
+        pid = table[b, pos // page]
+        slot = pos % page
+        pages = jax.lax.dynamic_update_slice(
+            pages, new[b][None, :, None, None, :].astype(pages.dtype),
+            (layer, 0, pid, slot, 0))
+    return pages
+
+
+def _scale_write_stacked(scales, layer: int, table, lengths, new,
+                         page: int):
+    """Stacked-pool form of _scale_write: scales (L, H_kv, P, page)."""
+    import jax
+
+    B = new.shape[0]
+    for b in range(B):
+        pos = lengths[b]
+        pid = table[b, pos // page]
+        slot = pos % page
+        scales = jax.lax.dynamic_update_slice(
+            scales, new[b][None, :, None, None].astype(scales.dtype),
+            (layer, 0, pid, slot))
+    return scales
+
+
 def prefill(params, cache, tokens, cfg: LlamaConfig):
     """Batched prefill: run the full forward ONCE over the prompt
     (B, S), capture every layer's post-rope K/V, and scatter them into
@@ -612,7 +649,8 @@ def prefill(params, cache, tokens, cfg: LlamaConfig):
 
 
 def _paged_maybe_sharded(q, kp, vp, table, lengths, interp,
-                         ks, vs, nkv, window=0, sinks=0, meta=None):
+                         ks, vs, nkv, window=0, sinks=0, meta=None,
+                         layer: int = 0):
     """Paged decode attention, TENSOR-PARALLEL over kv heads when a
     model mesh is active (models.transformer._use_mesh): the kernel
     runs per-shard under shard_map — q's head dim and the KV pools'
@@ -631,10 +669,11 @@ def _paged_maybe_sharded(q, kp, vp, table, lengths, interp,
         return paged_attention(q, kp, vp, table, lengths,
                                interpret=interp, k_scales=ks,
                                v_scales=vs, window=window, sinks=sinks,
-                               pos_meta=meta)
+                               pos_meta=meta, layer=layer)
     from jax.sharding import PartitionSpec as P
 
     quant = ks is not None
+    stacked = kp.ndim == 5   # whole-model pool: kv heads on dim 1
 
     def shard_fn(qq, kk, vv, tt, ll, *sc):
         return paged_attention(
@@ -642,13 +681,18 @@ def _paged_maybe_sharded(q, kp, vp, table, lengths, interp,
             k_scales=sc[0] if quant else None,
             v_scales=sc[1] if quant else None,
             window=window, sinks=sinks,
-            pos_meta=sc[-1] if meta is not None else None)
+            pos_meta=sc[-1] if meta is not None else None,
+            layer=layer)
 
-    specs = [P(None, "tp", None), P("tp", None, None, None),
-             P("tp", None, None, None), P(None, None), P(None)]
+    pool_spec = (P(None, "tp", None, None, None) if stacked
+                 else P("tp", None, None, None))
+    specs = [P(None, "tp", None), pool_spec,
+             pool_spec, P(None, None), P(None)]
     args = [q, kp, vp, table, lengths]
     if quant:
-        specs += [P("tp", None, None), P("tp", None, None)]
+        sc_spec = (P(None, "tp", None, None) if stacked
+                   else P("tp", None, None))
+        specs += [sc_spec, sc_spec]
         args += [ks, vs]
     if meta is not None:
         specs += [P(None, None)]
@@ -760,19 +804,41 @@ def decode_step(params, cache, tokens, cfg: LlamaConfig,
         if quant:  # int8 KV: values + per-(token, head) scales
             k, k_s = _quant_tok(k)
             v, v_s = _quant_tok(v)
-            ks_cache = ks_cache.at[li].set(_scale_write(
-                ks_cache[li], table, wpos, k_s, page))
-            vs_cache = vs_cache.at[li].set(_scale_write(
-                vs_cache[li], table, wpos, v_s, page))
-        k_cache = k_cache.at[li].set(_cache_write(
-            k_cache[li], table, wpos, k, page))
-        v_cache = v_cache.at[li].set(_cache_write(
-            v_cache[li], table, wpos, v, page))
-        o = _paged_maybe_sharded(
-            q, k_cache[li], v_cache[li], table, pos + 1, interp,
-            ks_cache[li] if quant else None,
-            vs_cache[li] if quant else None, nkv,
-            cfg.attn_window, cfg.attn_sinks, meta)
+        if ring:
+            # ring metadata is per-layer-pool: keep the slice path
+            # (bounded caches are small by construction)
+            if quant:
+                ks_cache = ks_cache.at[li].set(_scale_write(
+                    ks_cache[li], table, wpos, k_s, page))
+                vs_cache = vs_cache.at[li].set(_scale_write(
+                    vs_cache[li], table, wpos, v_s, page))
+            k_cache = k_cache.at[li].set(_cache_write(
+                k_cache[li], table, wpos, k, page))
+            v_cache = v_cache.at[li].set(_cache_write(
+                v_cache[li], table, wpos, v, page))
+            o = _paged_maybe_sharded(
+                q, k_cache[li], v_cache[li], table, pos + 1, interp,
+                ks_cache[li] if quant else None,
+                vs_cache[li] if quant else None, nkv,
+                cfg.attn_window, cfg.attn_sinks, meta)
+        else:
+            # hot path: write straight into the stacked pool and let
+            # the kernel's table rebase select the layer — no per-layer
+            # slice is ever materialized
+            if quant:
+                ks_cache = _scale_write_stacked(
+                    ks_cache, li, table, wpos, k_s, page)
+                vs_cache = _scale_write_stacked(
+                    vs_cache, li, table, wpos, v_s, page)
+            k_cache = _cache_write_stacked(
+                k_cache, li, table, wpos, k, page)
+            v_cache = _cache_write_stacked(
+                v_cache, li, table, wpos, v, page)
+            o = _paged_maybe_sharded(
+                q, k_cache, v_cache, table, pos + 1, interp,
+                ks_cache if quant else None,
+                vs_cache if quant else None, nkv,
+                cfg.attn_window, cfg.attn_sinks, None, layer=li)
         x = x + o.reshape(B, nh * hd) @ layer["wo"]
         h = _rmsnorm(x, layer["rms2"], cfg.rms_eps, cfg)
         x = x + (_moe(h[:, None, :], layer["moe"], cfg)[:, 0]
@@ -851,28 +917,25 @@ def decode_chunk(params, cache, tokens, cfg: LlamaConfig):
         v = (h @ layer["wv"]).reshape(B, C, nkv, hd)
         q = _rope_at_chunk(q, pos0, cfg.rope_theta)
         k = _rope_at_chunk(k, pos0, cfg.rope_theta)
-        kl, vl = k_cache[li], v_cache[li]
-        if quant:
-            ksl, vsl = ks_cache[li], vs_cache[li]
         for i in range(C):                          # chunk is small
             ki, vi = k[:, i], v[:, i]
             if quant:
                 ki, k_s = _quant_tok(ki)
                 vi, v_s = _quant_tok(vi)
-                ksl = _scale_write(ksl, table, pos0 + i, k_s, page)
-                vsl = _scale_write(vsl, table, pos0 + i, v_s, page)
-            kl = _cache_write(kl, table, pos0 + i, ki, page)
-            vl = _cache_write(vl, table, pos0 + i, vi, page)
-        k_cache = k_cache.at[li].set(kl)
-        v_cache = v_cache.at[li].set(vl)
-        if quant:
-            ks_cache = ks_cache.at[li].set(ksl)
-            vs_cache = vs_cache.at[li].set(vsl)
+                ks_cache = _scale_write_stacked(
+                    ks_cache, li, table, pos0 + i, k_s, page)
+                vs_cache = _scale_write_stacked(
+                    vs_cache, li, table, pos0 + i, v_s, page)
+            k_cache = _cache_write_stacked(
+                k_cache, li, table, pos0 + i, ki, page)
+            v_cache = _cache_write_stacked(
+                v_cache, li, table, pos0 + i, vi, page)
         o = paged_attention_chunked(
-            q.transpose(0, 2, 1, 3), k_cache[li], v_cache[li],
+            q.transpose(0, 2, 1, 3), k_cache, v_cache,
             table, pos0 + C, pos0, interpret=interp,
-            k_scales=ks_cache[li] if quant else None,
-            v_scales=vs_cache[li] if quant else None)  # (B, H, C, hd)
+            k_scales=ks_cache if quant else None,
+            v_scales=vs_cache if quant else None,
+            layer=li)                                  # (B, H, C, hd)
         x = x + o.transpose(0, 2, 1, 3).reshape(B, C, nh * hd) \
             @ layer["wo"]
         h = _rmsnorm(x, layer["rms2"], cfg.rms_eps, cfg)

@@ -62,11 +62,20 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
                     bucket_pages: bool = True,
                     unroll: int = 16,
                     k_scales=None, v_scales=None,
-                    window: int = 0, sinks: int = 0, pos_meta=None):
+                    window: int = 0, sinks: int = 0, pos_meta=None,
+                    layer: int = 0):
     """Decode attention over a paged KV cache.
 
     q:            (B, H, D)            one query vector per head
-    k_pages/v_pages: (H_kv, P, page_size, D)  the global page pools
+    k_pages/v_pages: (H_kv, P, page_size, D)  the global page pools,
+                  or a STACKED whole-model pool (L, H_kv, P, page, D)
+                  with ``layer`` selecting the layer: the layer axis
+                  folds into the same (head, page) flattening the
+                  kernel already does (a free bitcast of the contiguous
+                  pool), and ``layer`` enters through the table rebase —
+                  so serving loops never materialize a per-layer slice
+                  (measured round 4: slicing the stack cost ~1.7 ms/layer
+                  in HBM copies at 1B scale, 10x the attention itself)
     page_indices: (B, max_pages) int32 block table (page ids within a
                   head's pool; same table for every kv head)
     lengths:      (B,) int32 current sequence lengths
@@ -88,7 +97,18 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
     import jax.numpy as jnp
 
     B, H, D = q.shape
-    Hkv, P, page, _ = k_pages.shape
+    if k_pages.ndim == 5:
+        assert pos_meta is None, "ring metadata is a per-layer-pool mode"
+        nl, Hkv, P, page, _ = k_pages.shape
+        head_base = layer * Hkv
+        k_pages = k_pages.reshape(nl * Hkv, P, page, D)
+        v_pages = v_pages.reshape(nl * Hkv, P, page, D)
+        if k_scales is not None:
+            k_scales = k_scales.reshape(nl * Hkv, P, page)
+            v_scales = v_scales.reshape(nl * Hkv, P, page)
+    else:
+        head_base = 0
+        Hkv, P, page, _ = k_pages.shape
     assert H % Hkv == 0
     G = H // Hkv
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
@@ -106,9 +126,9 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
                 page_indices, ((0, 0), (0, mb - page_indices.shape[1])))
     # flatten (head, page) so one scalar table drives the DMA per head:
     # the kernel runs per (b, h) and the index_map rebases into head h's
-    # pool — fold the head into the leading page axis
-    kf = k_pages.reshape(Hkv * P, page, D)
-    vf = v_pages.reshape(Hkv * P, page, D)
+    # pool — fold the head (and stacked layer) into the leading page axis
+    kf = k_pages.reshape(-1, page, D)
+    vf = v_pages.reshape(-1, page, D)
     # int8 KV mode: per-(token, head) scales (Hkv, P, page) ride their
     # own page-window DMAs; dequant folds onto the score / probability
     # COLUMNS inside the kernel (two lane-broadcast multiplies), so the
@@ -121,8 +141,8 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
     assert (k_scales is None) == (v_scales is None)
     ksf = vsf = None
     if k_scales is not None:
-        ksf = k_scales.reshape(Hkv * P, 1, page).astype(jnp.float32)
-        vsf = v_scales.reshape(Hkv * P, 1, page).astype(jnp.float32)
+        ksf = k_scales.reshape(-1, 1, page).astype(jnp.float32)
+        vsf = v_scales.reshape(-1, 1, page).astype(jnp.float32)
     # ring-buffer (bounded-memory StreamingLLM) mode: per-slot ABSOLUTE
     # position metadata replaces the table-order position iota — slots
     # of a recycled page carry stale positions and mask out exactly.
@@ -134,8 +154,9 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
     max_pages = page_indices.shape[1]
     while unroll > 1 and max_pages % unroll:
         unroll //= 2
-    # per-head rebased tables: head h uses pi + h*P
-    heads = jnp.arange(Hkv, dtype=page_indices.dtype) * P
+    # per-head rebased tables: head h uses pi + (layer*Hkv + h)*P
+    heads = (head_base
+             + jnp.arange(Hkv, dtype=page_indices.dtype)) * P
     pi_h = (page_indices[:, None, :] + heads[None, :, None])  # (B,Hkv,mp)
 
     out = _paged_call_headed(qg, kf, vf, pi_h, lengths, scale, interpret,
@@ -335,7 +356,8 @@ def paged_attention_chunked(q, k_pages, v_pages, page_indices, lengths,
                             interpret: bool = False,
                             bucket_pages: bool = True,
                             unroll: int = 8,
-                            k_scales=None, v_scales=None):
+                            k_scales=None, v_scales=None,
+                            layer: int = 0):
     """CHUNKED-query decode: C query tokens per sequence attend the
     paged KV cache with causal masking inside the chunk. The verify
     pass of speculative decoding and the building block of chunked
@@ -355,7 +377,17 @@ def paged_attention_chunked(q, k_pages, v_pages, page_indices, lengths,
     import jax.numpy as jnp
 
     B, H, C, D = q.shape
-    Hkv, P, page, _ = k_pages.shape
+    if k_pages.ndim == 5:   # stacked whole-model pool + layer rebase
+        nl, Hkv, P, page, _ = k_pages.shape
+        head_base = layer * Hkv
+        k_pages = k_pages.reshape(nl * Hkv, P, page, D)
+        v_pages = v_pages.reshape(nl * Hkv, P, page, D)
+        if k_scales is not None:
+            k_scales = k_scales.reshape(nl * Hkv, P, page)
+            v_scales = v_scales.reshape(nl * Hkv, P, page)
+    else:
+        head_base = 0
+        Hkv, P, page, _ = k_pages.shape
     G = H // Hkv
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
     # (B, Hkv, G, C, D) -> (B, Hkv, G*C, D): row r = g*C + i
@@ -365,18 +397,19 @@ def paged_attention_chunked(q, k_pages, v_pages, page_indices, lengths,
         if mb != page_indices.shape[1]:
             page_indices = jnp.pad(
                 page_indices, ((0, 0), (0, mb - page_indices.shape[1])))
-    kf = k_pages.reshape(Hkv * P, page, D)
-    vf = v_pages.reshape(Hkv * P, page, D)
+    kf = k_pages.reshape(-1, page, D)
+    vf = v_pages.reshape(-1, page, D)
     assert (k_scales is None) == (v_scales is None)
     ksf = vsf = None
     if k_scales is not None:
         # (Hkv*P, 1, page): see the sublane-rule note in paged_attention
-        ksf = k_scales.reshape(Hkv * P, 1, page).astype(jnp.float32)
-        vsf = v_scales.reshape(Hkv * P, 1, page).astype(jnp.float32)
+        ksf = k_scales.reshape(-1, 1, page).astype(jnp.float32)
+        vsf = v_scales.reshape(-1, 1, page).astype(jnp.float32)
     max_pages = page_indices.shape[1]
     while unroll > 1 and max_pages % unroll:
         unroll //= 2
-    heads = jnp.arange(Hkv, dtype=page_indices.dtype) * P
+    heads = (head_base
+             + jnp.arange(Hkv, dtype=page_indices.dtype)) * P
     pi_h = (page_indices[:, None, :] + heads[None, :, None])
     out = _paged_chunked_call(qg, kf, vf, pi_h, lengths, starts, scale,
                               interpret, G, C, page, max_pages, unroll,
