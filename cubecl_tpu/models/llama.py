@@ -542,7 +542,10 @@ def _cache_write_stacked(pages, layer: int, table, lengths, new,
     dynamic_update_slice per batch row, aliased in place by XLA.
     Replaces the round-3 per-layer slice/write-back round trip, which
     materialized the 67MB layer slice several times per layer (measured
-    1.7 ms/layer at 1B scale — 10x the attention read itself)."""
+    1.7 ms/layer at 1B scale — 10x the attention read itself).
+    NOT a vectorized lax.scatter: XLA:TPU lowers the batched scatter on
+    the 1GB pool to a full-operand materialization — measured 8.5 ->
+    112 ms/step (round 4); the unrolled DUS chain stays in place."""
     import jax
 
     B = new.shape[0]
@@ -558,7 +561,8 @@ def _cache_write_stacked(pages, layer: int, table, lengths, new,
 
 def _scale_write_stacked(scales, layer: int, table, lengths, new,
                          page: int):
-    """Stacked-pool form of _scale_write: scales (L, H_kv, P, page)."""
+    """Stacked-pool form of _scale_write: scales (L, H_kv, P, page).
+    Per-row DUS for the same reason as _cache_write_stacked."""
     import jax
 
     B = new.shape[0]

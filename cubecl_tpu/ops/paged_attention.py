@@ -159,9 +159,20 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
              + jnp.arange(Hkv, dtype=page_indices.dtype)) * P
     pi_h = (page_indices[:, None, :] + heads[None, :, None])  # (B,Hkv,mp)
 
-    out = _paged_call_headed(qg, kf, vf, pi_h, lengths, scale, interpret,
-                             G, page, max_pages, unroll, ksf, vsf,
-                             window, sinks, mf)
+    if window == 0 and mf is None:
+        # default path: live-step dynamic grid — the grid length is the
+        # actual work, not B*Hkv*capacity. Tables build OUTSIDE the
+        # inner jit so the 16 per-layer calls of a decode step CSE to
+        # one table computation
+        work = _decode_work_tables(lengths, page, unroll, max_pages,
+                                   Hkv, B)
+        out = _paged_call_live(qg, kf, vf, pi_h, lengths, work, scale,
+                               interpret, G, page, max_pages, unroll,
+                               ksf, vsf)
+    else:
+        out = _paged_call_headed(qg, kf, vf, pi_h, lengths, scale,
+                                 interpret, G, page, max_pages, unroll,
+                                 ksf, vsf, window, sinks, mf)
     return out.reshape(B, H, D)
 
 
@@ -349,6 +360,188 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
     )(pi_h, lengths, qg, *([kf] * U), *([vf] * U),
       *(([ksf] * U + [vsf] * U) if quant else []),
       *(([mf] * U) if ring else []))
+
+
+def _decode_work_tables(lengths, page, U, max_pages, Hkv, B):
+    """Live-step work list for the DYNAMIC decode grid: one entry per
+    (batch row, kv head, page-chunk) that actually holds KV, b-major
+    then head then chunk. Returns (W, wb, wh, wi, first, last): W is
+    the traced live step count (the Mosaic dynamic grid bound); the
+    tables are capacity-sized int32 vectors, scalar-prefetched so the
+    kernel visits exactly the live work instead of B*Hkv*capacity —
+    the legacy grid's dead steps cost pipeline ramp even with their
+    compute AND DMA skipped (the round-4 "dead-step wall": 2048-step
+    capacity grids made B=16 decode ctx-independent at ~4ms/layer-16).
+    Rows with length 0 still get one all-masked step so their output
+    block is written (zeros), matching the legacy grid."""
+    import jax.numpy as jnp
+
+    pages_b = (lengths + page - 1) // page
+    steps_b = jnp.maximum((pages_b + U - 1) // U, 1)       # (B,)
+    cnt = Hkv * steps_b
+    ends = jnp.cumsum(cnt)
+    W = ends[-1].astype(jnp.int32)
+    cap = B * Hkv * max(max_pages // U, 1)
+    s = jnp.arange(cap, dtype=jnp.int32)
+    wb = jnp.minimum(jnp.searchsorted(ends, s, side="right"),
+                     B - 1).astype(jnp.int32)
+    r = s - (ends[wb] - cnt[wb]).astype(jnp.int32)
+    sb = steps_b[wb].astype(jnp.int32)
+    wh = jnp.minimum(r // sb, Hkv - 1).astype(jnp.int32)
+    wi = (r % sb).astype(jnp.int32)
+    first = (wi == 0).astype(jnp.int32)
+    last = (wi == sb - 1).astype(jnp.int32)
+    return W, wb, wh, wi, first, last
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sm_scale", "interpret", "G", "page", "max_pages", "unroll"))
+def _paged_call_live(qg, kf, vf, pi_h, lengths, work, sm_scale,
+                     interpret, G, page, max_pages, unroll=1,
+                     ksf=None, vsf=None):
+    """Decode attention on a live-step dynamic grid (the default path;
+    window/ring modes use the legacy capacity grid above).
+
+    Dead KV slots (page-chunk slots past a row's last page) index the
+    constant pool page 0: after the first touch every later occurrence
+    is revisit-skipped by Mosaic, and their columns carry positions
+    >= seq_len so the existing mask zeroes them — garbage-tolerant by
+    construction (pools are zeros-initialized; stale reals mask out)."""
+    global _TRACE_COUNT
+    _TRACE_COUNT += 1
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Hkv, _G, D = qg.shape
+    U = unroll
+    span = U * page
+    quant = ksf is not None
+    W, wb, wh, wi, first, last = work
+
+    def kernel(pi_ref, len_ref, wb_ref, wh_ref, wi_ref, fr_ref, ls_ref,
+               q_ref, *refs):
+        k_refs = refs[:U]
+        v_refs = refs[U:2 * U]
+        n = 2 * U
+        ks_refs = vs_refs = None
+        if quant:
+            ks_refs = refs[n:n + U]
+            vs_refs = refs[n + U:n + 2 * U]
+            n += 2 * U
+        o_ref, m_sc, l_sc, acc_sc = refs[n:]
+        st = pl.program_id(0)
+        b = wb_ref[st]
+        i = wi_ref[st]
+
+        @pl.when(fr_ref[st] == 1)
+        def _init():
+            m_sc[...] = jnp.full_like(m_sc, -jnp.inf)
+            l_sc[...] = jnp.zeros_like(l_sc)
+            acc_sc[...] = jnp.zeros_like(acc_sc)
+
+        seq_len = len_ref[b]
+
+        # every enumerated step is live by construction EXCEPT the one
+        # placeholder step a length-0 row gets (so its output block is
+        # written): skipping it keeps l==0 -> zero output, as legacy
+        @pl.when(i * span < seq_len)
+        def _run():
+            qt = q_ref[0, 0]                          # (G, D)
+            kt = jnp.concatenate([r[0] for r in k_refs], axis=0)
+            if quant:
+                kt = kt.astype(jnp.float32)
+            s = jax.lax.dot_general(
+                qt, kt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (G, span)
+            s = s * (sm_scale * 1.4426950408889634)
+            if quant:
+                ksv = jnp.concatenate([r[0] for r in ks_refs],
+                                      axis=1)         # (1, span)
+                s = s * ksv
+            pos = jax.lax.broadcasted_iota(jnp.int32, (G, span), 1) \
+                + i * span
+            s = jnp.where(pos < seq_len, s, DEFAULT_MASK_VALUE)
+
+            m_prev, l_prev = m_sc[...], l_sc[...]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - m_next[:, :1])
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_sc[...] = m_next
+            l_sc[...] = l_next
+            vt = jnp.concatenate([r[0] for r in v_refs], axis=0)
+            if quant:
+                vsv = jnp.concatenate([r[0] for r in vs_refs], axis=1)
+                acc_sc[...] = acc_sc[...] * alpha[:, :1] + jax.lax.dot(
+                    p * vsv, vt.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+            else:
+                acc_sc[...] = acc_sc[...] * alpha[:, :1] + jax.lax.dot(
+                    p.astype(vt.dtype), vt,
+                    preferred_element_type=jnp.float32)
+
+        @pl.when(ls_ref[st] == 1)
+        def _done():
+            l = l_sc[...][:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, 0] = (acc_sc[...] * l_inv).astype(o_ref.dtype)
+
+    def _page_live(st, u, pi, ln, wb_, wh_, wi_):
+        b = wb_[st]
+        idx = wi_[st] * U + u
+        pb = (ln[b] + page - 1) // page
+        return jnp.where(idx < pb, pi[b, wh_[st], idx], 0)
+
+    def _slot_spec(u):
+        return pl.BlockSpec(
+            (1, page, D),
+            lambda st, pi, ln, wb_, wh_, wi_, fr_, ls_, u=u: (
+                _page_live(st, u, pi, ln, wb_, wh_, wi_), 0, 0))
+
+    def _scale_spec(u):
+        return pl.BlockSpec(
+            (1, 1, page),
+            lambda st, pi, ln, wb_, wh_, wi_, fr_, ls_, u=u: (
+                _page_live(st, u, pi, ln, wb_, wh_, wi_), 0, 0))
+
+    def _bh_spec():
+        return pl.BlockSpec(
+            (1, 1, G, D),
+            lambda st, pi, ln, wb_, wh_, wi_, fr_, ls_: (
+                wb_[st], wh_[st], 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(W,),
+        in_specs=(
+            [_bh_spec()]
+            + [_slot_spec(u) for u in range(U)]     # k slots
+            + [_slot_spec(u) for u in range(U)]     # v slots
+            + ([_scale_spec(u % U) for u in range(2 * U)] if quant
+               else [])
+        ),
+        out_specs=_bh_spec(),
+        scratch_shapes=[
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, D), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), qg.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+        name=f"paged_attn_live_g{G}_p{page}_u{U}"
+        + ("_q8" if quant else ""),
+    )(pi_h, lengths, wb, wh, wi, first, last, qg,
+      *([kf] * U), *([vf] * U),
+      *(([ksf] * U + [vsf] * U) if quant else []))
 
 
 def paged_attention_chunked(q, k_pages, v_pages, page_indices, lengths,
