@@ -64,6 +64,10 @@ class CompiledKernel:
     flops: int = 0
     bytes_accessed: int = 0
     vmem_estimate: int = 0
+    # (buffer name, bytes, plan mode, demote reason) per buffer — lets
+    # launch validation name the access pattern that forced a buffer to
+    # whole-VMEM residency when the estimate blows the scoped ceiling
+    vmem_breakdown: List[tuple] = None
 
     def __call__(self, buffers, scalars=()):
         return self.fn(buffers, scalars)

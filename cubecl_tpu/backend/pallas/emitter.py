@@ -123,6 +123,21 @@ class PallasCompiler(Compiler):
                              and plan.block_lines >= plan.max_span + 2 * A)
             if not legal or not span_fits or (
                     not plan.grid_coeffs and L == 1):
+                if not legal:
+                    plan.demote_reason = (
+                        f"block shape {plan.block_lines} lines x line "
+                        f"{L} violates Mosaic tiling (1D blocks %128, "
+                        f"2D sublane %8)")
+                elif not span_fits:
+                    plan.demote_reason = (
+                        f"dynamic 1D window span {plan.max_span} does "
+                        f"not fit the {plan.block_lines}-line block "
+                        f"(aligned superspan + rotate needs "
+                        f"span + 2 quanta)")
+                else:
+                    plan.demote_reason = (
+                        "degenerate single-block 1D sweep (no grid "
+                        "coefficients)")
                 plan.mode = "whole"
                 plan.block_lines = 0
                 plan.grid_coeffs = {}
@@ -382,7 +397,8 @@ class PallasCompiler(Compiler):
         # that the 128MB VMEM on v4+ holds easily, and fat blocks are how
         # grid-step overhead amortizes (BENCH_NOTES round 2: 16 steps of
         # 16MB stream within noise of XLA's reduce).
-        vmem_est = _vmem_estimate(state, plans, U)
+        vmem_breakdown: List[tuple] = []
+        vmem_est = _vmem_estimate(state, plans, U, vmem_breakdown)
         vmem_limit = min(max(16 * 2**20, vmem_est + vmem_est // 4),
                          100 * 2**20)
         compiler_params = pltpu.CompilerParams(
@@ -469,7 +485,7 @@ class PallasCompiler(Compiler):
         return CompiledKernel(
             fn=fn, mutable_indices=mutable_indices, source=src,
             name=defn.options.name, flops=flops, bytes_accessed=mem_bytes,
-            vmem_estimate=vmem_est,
+            vmem_estimate=vmem_est, vmem_breakdown=vmem_breakdown,
         )
 
 
@@ -504,7 +520,10 @@ def _cost_estimate(scope, cd, cc, plans):
     return flops * steps, mem * steps, transc * steps
 
 
-def _vmem_estimate(state, plans, U):
+def _vmem_estimate(state, plans, U, breakdown=None):
+    """Total scoped-VMEM estimate; with ``breakdown`` (a list), appends
+    one (name, bytes, mode, demote_reason) entry per buffer so launch
+    validation can name the offender when the total blows the ceiling."""
     total = 0
     by_vid = {bp.value.vid: bp for bp in state.buffers}
     for vid, plan in plans.items():
@@ -524,7 +543,11 @@ def _vmem_estimate(state, plans, U):
         if bp is not None and bp.mutable and plan.has_store and (
                 plan.has_load or not plan.store_covers_all):
             windows = 2
-        total += lines * L * plan.param.ty.elem.size * 2 * windows
+        nbytes = lines * L * plan.param.ty.elem.size * 2 * windows
+        total += nbytes
+        if breakdown is not None and bp is not None:
+            breakdown.append((bp.name, nbytes, plan.mode,
+                              plan.demote_reason))
     for sd in state.shareds:
         total += sd.shape[0] * sd.ty.line * sd.ty.elem.size
     return total

@@ -63,7 +63,7 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
                     unroll: int = 16,
                     k_scales=None, v_scales=None,
                     window: int = 0, sinks: int = 0, pos_meta=None,
-                    layer: int = 0):
+                    layer: int = 0, dynamic_grid: Optional[bool] = None):
     """Decode attention over a paged KV cache.
 
     q:            (B, H, D)            one query vector per head
@@ -92,6 +92,21 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
                   kernel, 352 at its best pages_per_compute_block).
                   Halved automatically until it divides the (bucketed)
                   table width.
+    dynamic_grid: choose the LIVE-step dynamic grid (visits exactly the
+                  work that holds KV) vs the static capacity grid (one
+                  step per capacity page-chunk, dead steps' compute
+                  skipped but their pipeline ramp paid). Default (None)
+                  auto-selects: dynamic when ``lengths`` is a concrete
+                  array (eager decode step), static under tracing —
+                  measured round 5 on v5e, a Mosaic dynamic grid bound
+                  inside ``lax.fori_loop``/``while_loop`` aborts the TPU
+                  backend ("INTERNAL: TPU backend error") at EVERY
+                  config, while the same call at the top level of a jit
+                  is fine. Captured serving loops therefore take the
+                  capacity grid; pass ``dynamic_grid=True`` explicitly
+                  inside a plain (loop-free) jit with ragged short
+                  contexts in a large cache, where the live grid's
+                  dead-step skip is worth ~capacity/live_steps.
     -> (B, H, D)
     """
     import jax.numpy as jnp
@@ -159,11 +174,16 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
              + jnp.arange(Hkv, dtype=page_indices.dtype)) * P
     pi_h = (page_indices[:, None, :] + heads[None, :, None])  # (B,Hkv,mp)
 
-    if window == 0 and mf is None:
-        # default path: live-step dynamic grid — the grid length is the
-        # actual work, not B*Hkv*capacity. Tables build OUTSIDE the
-        # inner jit so the 16 per-layer calls of a decode step CSE to
-        # one table computation
+    if dynamic_grid is None:
+        # auto: a traced `lengths` means we may be inside lax control
+        # flow, where Mosaic dynamic grid bounds abort the backend
+        # (see the dynamic_grid docstring note)
+        dynamic_grid = not isinstance(lengths, jax.core.Tracer)
+    if window == 0 and mf is None and dynamic_grid:
+        # live-step dynamic grid — the grid length is the actual work,
+        # not B*Hkv*capacity. Tables build OUTSIDE the inner jit so the
+        # 16 per-layer calls of a decode step CSE to one table
+        # computation
         work = _decode_work_tables(lengths, page, unroll, max_pages,
                                    Hkv, B)
         out = _paged_call_live(qg, kf, vf, pi_h, lengths, work, scale,

@@ -207,6 +207,10 @@ class BufferPlan:
     # whole-mode tail padding (lines): guarantees span loads/stores never
     # need a start clamp (which would shift the value/mask correspondence)
     pad_lines: int = 0
+    # why a blocked plan was demoted to whole-VMEM residency (used by
+    # launch validation to name the offending access pattern when the
+    # resident buffer blows the scoped-VMEM ceiling)
+    demote_reason: str = ""
     max_span: int = 0                      # max unit-span (c*U) of accesses
     # ND ("nd") mode: per-dimension blocking of row-major tensors
     nd_shape: tuple = ()                   # logical dims (innermost in lines)
