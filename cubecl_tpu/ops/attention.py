@@ -126,8 +126,11 @@ def _fwd_call(q, k, v, causal: bool, sm_scale: float,
         # geometry measures 79% (v5e wall decomposition, round 4) —
         # dead tiles still burn grid steps, window DMAs, and pipeline
         # ramp. Enumerating ONLY live tiles via scalar-prefetched
-        # (qi, ki) tables removes them: S=8192 106→123 TF, S=16384
-        # 129 TF (65.5%). Below 4 q-tiles the rectangular grid's fat
+        # (qi, ki) tables removes them: S=8192 106→114-120 TF
+        # (session-dependent through the tunnel; r4 driver captured
+        # 114.1, r5 re-measure 120.1 — the r4 commit's "123" was a
+        # one-session high, retired), S=16384 129 TF. Below 4 q-tiles
+        # the rectangular grid's fat
         # single tile wins (S=2048: 84.3 rect-2048² vs 79.4 tri-1024²),
         # and tri only pays off with square tiles (bk=512 variants
         # measured worse) — hence the routing guard.
@@ -437,7 +440,8 @@ def flash_attention(q, k, v, causal: bool = True,
     fat tiles below S=4096; 1024² from S=4096 up, where pure-causal
     self-attention routes to the TRIANGULAR grid — scalar-prefetched
     (qi, ki) tables enumerate only live tiles. Round-4 v5e, bf16
-    causal: S=2048 82-84 TF, S=4096 103.7, S=8192 121-123 (62% peak),
+    causal: S=2048 82-84 TF, S=4096 103.7, S=8192 114-120 (~59% peak;
+    session-dependent — r4 driver 114.1, r5 re-measure 120.1),
     S=16384 129 (65.5%); see BENCH_NOTES "Round 4: the dead-step
     wall" for the physics and the measured routing guards.
     MXU operands stay at the storage dtype (measured perf-neutral vs

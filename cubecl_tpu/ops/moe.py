@@ -59,14 +59,40 @@ def expert_matmul(xg, w, counts, bt: int = 128, interpret: bool = False):
         # tiles fully past the expert's live rows skip the MXU work
         pl.when(t * bt < cnt_ref[e])(_run)
 
+    # Dead tiles skip the MXU (pl.when above) but a naive (e, t) index
+    # map still streams their x block in and their o block out — at
+    # E=8/cap=2048/d=f=4096 with 2.8x skew that dead-tile DMA was
+    # ~0.5ms of a 1.6ms launch (117 TF, 59% of MXU, round 4). Clamping
+    # t to the expert's LAST LIVE tile makes every dead step reuse the
+    # resident block: Mosaic elides the re-fetch (input index
+    # unchanged) and coalesces the writeback (output index unchanged),
+    # so dead tiles cost only a grid step. Dead output rows stay
+    # undefined either way (see docstring) — moe_combine masks them.
+    # Round-5 v5e measurements after the clamp (see BENCH_NOTES "MoE
+    # expert matmul: the weight-stream wall"): skew 137.6 TF-live at
+    # bt=128 / 132.5 at bt=256 (was 117); dense-equivalent (all experts
+    # full, bt=256) 187.8 TF = 95% of the dedicated matmul kernel and
+    # ABOVE XLA's batched einsum (183.2). The remaining skew gap is the
+    # per-expert 32MB weight fetch (measured 650 GB/s) serializing with
+    # compute at expert boundaries — irreducible traffic the skewed
+    # counts can't cover; k-splitting the weight would re-fetch it per
+    # live tile (write-only out windows can't accumulate across
+    # non-adjacent grid revisits), so bt=128 + clamp is the optimum of
+    # this layout.
+    def _t_live(t, cnt, e):
+        last = jnp.maximum((cnt[e] + bt - 1) // bt - 1, 0)
+        return jnp.minimum(t, last)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(E, n_t),
         in_specs=[
-            pl.BlockSpec((1, bt, d), lambda e, t, cnt: (e, t, 0)),
+            pl.BlockSpec((1, bt, d),
+                         lambda e, t, cnt: (e, _t_live(t, cnt, e), 0)),
             pl.BlockSpec((1, d, f), lambda e, t, cnt: (e, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bt, f), lambda e, t, cnt: (e, t, 0)),
+        out_specs=pl.BlockSpec(
+            (1, bt, f), lambda e, t, cnt: (e, _t_live(t, cnt, e), 0)),
     )
     return pl.pallas_call(
         kernel,
