@@ -123,11 +123,22 @@ def selective_scan_sp(x, delta, A, Bc, Cc, D_skip=None, axis: str = "sp"):
     return y
 
 
-def scan_chunked_core(af, uf, chunk: int = 1024, interpret: bool = False):
+def scan_chunked_core(af, uf, chunk: int = 1024, interpret: bool = False,
+                      hier: bool | None = None):
     """The pallas single-pass scan over pre-discretized, lane-padded
     (B, L, DNp) decay/input arrays (DNp % 128 == 0) -> h (B, L, DNp).
     Exposed separately so bench.py can time EXACTLY the 3-array-pass
-    kernel traffic (a read + u read + h write)."""
+    kernel traffic (a read + u read + h write).
+
+    ``hier`` selects the segmented (hierarchical) in-tile scan: 3
+    masked doubling steps within 8-row segments (the f32 sublane tile),
+    one compaction roll, a 1/8-size cross-segment scan, and a sublane
+    broadcast — ~31 full-tile VPU op-equivalents per chunk vs ~60 for
+    the flat ⌈log₂ lc⌉ doubling scan at lc=1024. Auto-enabled when the
+    chunk is a multiple of 8 (measured v5e, bench shape B=8 L=2048
+    DN=16384: flat 540 GB/s → hier closes most of the gap to the
+    677 GB/s pure-DMA ceiling of this 2-read+1-write pattern; see
+    BENCH_NOTES "Selective scan")."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -139,6 +150,9 @@ def scan_chunked_core(af, uf, chunk: int = 1024, interpret: bool = False):
     while L % lc:
         lc -= 1
     n_l = L // lc
+    SEG = 8
+    if hier is None:
+        hier = lc % SEG == 0 and lc > SEG
 
     def kernel(a_ref, u_ref, h_ref, carry):
         c = pl.program_id(2)
@@ -149,27 +163,63 @@ def scan_chunked_core(af, uf, chunk: int = 1024, interpret: bool = False):
 
         a_blk = a_ref[0].astype(jnp.float32)               # (lc,128)
         u_blk = u_ref[0].astype(jnp.float32)
-        # In-tile inclusive scan as ⌈log₂lc⌉ Hillis-Steele doubling
-        # steps. `lax.associative_scan` is NOT used here: its recursive
+        # In-tile inclusive scan via Hillis-Steele doubling steps.
+        # `lax.associative_scan` is NOT used here: its recursive
         # odd/even slicing emits zero-sized vectors Mosaic rejects
         # ("vector types must have positive constant sizes but got
         # 0, 128" — first v5e run, round 4), and its odd-offset slices
         # aren't sublane-aligned anyway. The doubling form uses only
-        # full-tile rolls + selects (Mosaic-legal, same O(lc·log lc)
-        # VPU work the tree scan costs).
-        roll = ((lambda x, s: jnp.roll(x, s, axis=0)) if interpret
-                else (lambda x, s: pltpu.roll(x, s, 0)))
+        # full-tile rolls + selects (Mosaic-legal).
+        roll = ((lambda x, s, ax=0: jnp.roll(x, s, axis=ax)) if interpret
+                else (lambda x, s, ax=0: pltpu.roll(x, s, ax)))
         row = jax.lax.broadcasted_iota(jnp.int32, (lc, 128), 0)
-        A_s, U_s = a_blk, u_blk
-        d = 1
-        while d < lc:
-            live = row >= d
-            a_prev = jnp.where(live, roll(A_s, d), 1.0)
-            u_prev = jnp.where(live, roll(U_s, d), 0.0)
-            A_s, U_s = a_prev * A_s, A_s * u_prev + U_s
-            d *= 2
-        h0 = carry[0:1]                                    # (1,128)
-        h = A_s * h0 + U_s
+        if not hier:
+            A_s, U_s = a_blk, u_blk
+            d = 1
+            while d < lc:
+                live = row >= d
+                a_prev = jnp.where(live, roll(A_s, d), 1.0)
+                u_prev = jnp.where(live, roll(U_s, d), 0.0)
+                A_s, U_s = a_prev * A_s, A_s * u_prev + U_s
+                d *= 2
+            h = A_s * carry[0:1] + U_s
+        else:
+            R = lc // SEG
+            seg_row = jax.lax.rem(row, SEG)
+            # phase A: inclusive scan WITHIN each 8-row segment
+            # (3 doubling steps on the full tile)
+            A_w, U_w = a_blk, u_blk
+            d = 1
+            while d < SEG:
+                live = seg_row >= d
+                a_prev = jnp.where(live, roll(A_w, d), 1.0)
+                u_prev = jnp.where(live, roll(U_w, d), 0.0)
+                A_w, U_w = a_prev * A_w, A_w * u_prev + U_w
+                d *= 2
+            # phase B: segment totals live at rows 8r+7; a roll UP by
+            # SEG-1 puts them at rows 8r, where a (R,SEG,128)[:,0,:]
+            # reshape-slice (sublane-tile aligned) compacts them to a
+            # (R,128) tile scanned at 1/8 the VPU cost.
+            up = lc - (SEG - 1)
+            tA = roll(A_w, up).reshape(R, SEG, 128)[:, 0, :]
+            tU = roll(U_w, up).reshape(R, SEG, 128)[:, 0, :]
+            rrow = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+            SA, SU = tA, tU
+            d = 1
+            while d < R:
+                live = rrow >= d
+                a_prev = jnp.where(live, roll(SA, d), 1.0)
+                u_prev = jnp.where(live, roll(SU, d), 0.0)
+                SA, SU = a_prev * SA, SA * u_prev + SU
+                d *= 2
+            # exclusive per-segment prefixes, chunk carry folded in
+            EA = jnp.where(rrow >= 1, roll(SA, 1), 1.0)
+            EU = jnp.where(rrow >= 1, roll(SU, 1), 0.0)
+            hpre = EA * carry[0:1] + EU                    # (R,128)
+            # phase C: broadcast prefixes back onto segment rows
+            hpre_b = jnp.broadcast_to(hpre[:, None, :],
+                                      (R, SEG, 128)).reshape(lc, 128)
+            h = A_w * hpre_b + U_w
         h_ref[0] = h.astype(h_ref.dtype)
         # last row -> carry via an aligned [0:1] slice of a 1-roll
         # (a direct [lc-1:lc] slice is not sublane-aligned)
@@ -194,7 +244,8 @@ def scan_chunked_core(af, uf, chunk: int = 1024, interpret: bool = False):
 
 
 def selective_scan_chunked(x, delta, A, Bc, Cc, D_skip=None,
-                           chunk: int = 1024, interpret: bool = False):
+                           chunk: int = 1024, interpret: bool = False,
+                           hier: bool | None = None):
     """Single-pass pallas selective scan.
 
     `lax.associative_scan` makes ⌈log₂L⌉ full passes over the (a, u)
@@ -217,7 +268,8 @@ def selective_scan_chunked(x, delta, A, Bc, Cc, D_skip=None,
     if pad_dn:
         af = jnp.pad(af, ((0, 0), (0, 0), (0, pad_dn)))
         uf = jnp.pad(uf, ((0, 0), (0, 0), (0, pad_dn)))
-    h = scan_chunked_core(af, uf, chunk=chunk, interpret=interpret)
+    h = scan_chunked_core(af, uf, chunk=chunk, interpret=interpret,
+                          hier=hier)
     if pad_dn:
         h = h[..., :DN]
     y = jnp.einsum("bldn,bln->bld", h.reshape(B, L, D, N), Cc)

@@ -864,11 +864,13 @@ def test_selective_scan_chunked_matches_naive():
         Bc = jnp.asarray(rng.randn(B, L, N).astype(np.float32))
         Cc = jnp.asarray(rng.randn(B, L, N).astype(np.float32))
         Dsk = jnp.asarray(rng.randn(D).astype(np.float32))
-        fast = selective_scan_chunked(x, delta, A, Bc, Cc, Dsk,
-                                      chunk=chunk, interpret=True)
         slow = selective_scan_naive(x, delta, A, Bc, Cc, Dsk)
-        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
-                                   atol=1e-5, rtol=1e-4)
+        for hier in (None, False):   # segmented (auto) AND flat in-tile
+            fast = selective_scan_chunked(x, delta, A, Bc, Cc, Dsk,
+                                          chunk=chunk, interpret=True,
+                                          hier=hier)
+            np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                                       atol=1e-5, rtol=1e-4)
 
 
 def test_selective_scan_sequence_parallel():
