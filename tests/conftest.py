@@ -75,6 +75,9 @@ TPU_SMOKE = {
     # round-4 kernels: triangular causal grid + pair-packed conv
     "test_flash_attention_triangular_grid",
     "test_conv2d_pairs_small_channel",
+    # round-5 kernel: hierarchical in-tile selective scan (roll
+    # compaction + aligned reshape-slice + sublane broadcast)
+    "test_selective_scan_hier_kernel",
 }
 
 

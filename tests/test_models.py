@@ -873,6 +873,36 @@ def test_selective_scan_chunked_matches_naive():
                                        atol=1e-5, rtol=1e-4)
 
 
+def test_selective_scan_hier_kernel():
+    """Hierarchical (segmented) in-tile scan == sequential oracle on the
+    scan core itself — runs the REAL Mosaic kernel in --tpu smoke mode
+    (roll-compaction + aligned reshape-slice + sublane broadcast are
+    exactly the lowering-sensitive pieces; round 3/4 both shipped
+    interpreter-only kernels that broke on hardware)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cubecl_tpu.ops.ssm import scan_chunked_core
+
+    interp = jax.default_backend() != "tpu"
+    rng = np.random.RandomState(7)
+    B, L, DN = 2, 512, 256
+    a = jnp.asarray((np.exp(-np.abs(rng.randn(B, L, DN))) * .9)
+                    .astype(np.float32))
+    u = jnp.asarray((rng.randn(B, L, DN) * .1).astype(np.float32))
+    h64 = np.zeros((B, DN), np.float64)
+    ref = np.zeros((B, L, DN), np.float64)
+    a64, u64 = np.asarray(a, np.float64), np.asarray(u, np.float64)
+    for t in range(L):
+        h64 = a64[:, t] * h64 + u64[:, t]
+        ref[:, t] = h64
+    # multi-chunk (carry crosses chunks) + single-chunk, both segmented
+    for chunk in (128, 512):
+        got = np.asarray(scan_chunked_core(a, u, chunk=chunk,
+                                           interpret=interp))
+        np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
 def test_selective_scan_sequence_parallel():
     """sp=8 sharded scan (local scans + one B*D*N summary all_gather)
     == the unsharded scan on the full sequence."""
