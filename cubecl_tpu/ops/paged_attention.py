@@ -144,20 +144,21 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
     # pool — fold the head (and stacked layer) into the leading page axis
     kf = k_pages.reshape(-1, page, D)
     vf = v_pages.reshape(-1, page, D)
-    # int8 KV mode: per-(token, head) scales (Hkv, P, page) ride their
-    # own page-window DMAs; dequant folds onto the score / probability
-    # COLUMNS inside the kernel (two lane-broadcast multiplies), so the
-    # MXU operands never materialize a dequantized KV tile.
-    # Stored (Hkv*P, 1, page): Mosaic requires the last-two block dims
-    # to be (%8, %128) or EQUAL to the array dims — a (1, page) block
-    # over a (Hkv*P, page) array is unlowerable (sublane block 1), so
-    # the page axis rides the leading dim and the block covers the
-    # trailing (1, page) exactly (found by the round-4 TPU smoke run).
+    # int8 KV mode: dequant folds onto the score / probability COLUMNS
+    # inside the kernel (two lane-broadcast multiplies), so the MXU
+    # operands never materialize a dequantized KV tile. The scales are
+    # PRE-GATHERED into block-table order by XLA (1/128th of the KV
+    # bytes — negligible traffic) so each grid step reads ONE contiguous
+    # (1, span) window instead of 2U page-scattered (1, 1, page)
+    # windows: >4 tiny scale windows on the DYNAMIC live grid abort the
+    # v5e backend at runtime (round-5 smoke: u=8's 16 scale windows
+    # "INTERNAL: TPU backend error"; u=1 fine — measured, mechanism is
+    # the per-step DMA fan-out, not the quant math), and on every grid
+    # they were latency-bound DMAs. Layout (B*Hkv*n_steps, 1, span):
+    # Mosaic requires the last-two block dims to be (%8, %128) or EQUAL
+    # to the array dims (round-4 smoke), so each step's span rides the
+    # trailing axis exactly.
     assert (k_scales is None) == (v_scales is None)
-    ksf = vsf = None
-    if k_scales is not None:
-        ksf = k_scales.reshape(-1, 1, page).astype(jnp.float32)
-        vsf = v_scales.reshape(-1, 1, page).astype(jnp.float32)
     # ring-buffer (bounded-memory StreamingLLM) mode: per-slot ABSOLUTE
     # position metadata replaces the table-order position iota — slots
     # of a recycled page carry stale positions and mask out exactly.
@@ -167,6 +168,22 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
         mf = jnp.tile(pos_meta.reshape(P, page).astype(jnp.int32),
                       (Hkv, 1)).reshape(Hkv * P, 1, page)
     max_pages = page_indices.shape[1]
+    if dynamic_grid is None:
+        # auto: a traced `lengths` means we may be inside lax control
+        # flow, where Mosaic dynamic grid bounds abort the backend
+        # (see the dynamic_grid docstring note)
+        dynamic_grid = not isinstance(lengths, jax.core.Tracer)
+    if k_scales is not None and dynamic_grid:
+        # int8 KV on the DYNAMIC grid: >4 in-flight int8 page windows
+        # per step abort the v5e backend at runtime (round-5 smoke;
+        # u=8 "INTERNAL: TPU backend error" in EVERY formulation tried
+        # — per-page scale windows, pre-gathered scale windows — while
+        # u<=4 passes and the STATIC grid runs u=8+ fine, so the
+        # trigger is sub-32-bit windowed DMA depth under a dynamic
+        # trip count, not the quant math). int8 streams 4x fewer KV
+        # bytes, so u=4's shallower DMA pipeline costs far less than
+        # it would at f32.
+        unroll = min(unroll, 4)
     while unroll > 1 and max_pages % unroll:
         unroll //= 2
     # per-head rebased tables: head h uses pi + (layer*Hkv + h)*P
@@ -174,11 +191,10 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
              + jnp.arange(Hkv, dtype=page_indices.dtype)) * P
     pi_h = (page_indices[:, None, :] + heads[None, :, None])  # (B,Hkv,mp)
 
-    if dynamic_grid is None:
-        # auto: a traced `lengths` means we may be inside lax control
-        # flow, where Mosaic dynamic grid bounds abort the backend
-        # (see the dynamic_grid docstring note)
-        dynamic_grid = not isinstance(lengths, jax.core.Tracer)
+    ksf = vsf = None
+    if k_scales is not None:
+        ksf = _gather_scales(k_scales, pi_h, page, unroll)
+        vsf = _gather_scales(v_scales, pi_h, page, unroll)
     if window == 0 and mf is None and dynamic_grid:
         # live-step dynamic grid — the grid length is the actual work,
         # not B*Hkv*capacity. Tables build OUTSIDE the inner jit so the
@@ -194,6 +210,21 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
                                  interpret, G, page, max_pages, unroll,
                                  ksf, vsf, window, sinks, mf)
     return out.reshape(B, H, D)
+
+
+def _gather_scales(scales, pi_h, page, U):
+    """Gather per-(token, head) quant scales into block-table order:
+    scales (Hkv, P, page) or stacked-flat (L*Hkv, P, page), pi_h
+    (B, Hkv, mp) head-rebased flat page ids -> (B*Hkv*(mp//U), 1, U*page)
+    f32 — one contiguous lane window per (b, h, grid-step), so the
+    kernel DMAs a single scale block per step (see the layout note in
+    paged_attention)."""
+    import jax.numpy as jnp
+
+    B, Hkv, mp = pi_h.shape
+    flat = scales.reshape(-1, page).astype(jnp.float32)     # (·*P, page)
+    g = flat[pi_h]                                          # (B,Hkv,mp,page)
+    return g.reshape(B * Hkv * (mp // U), 1, U * page)
 
 
 def _kv_page(b, h, i, pi, ln, page):
@@ -228,11 +259,10 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
         k_refs = refs[:U]
         v_refs = refs[U:2 * U]
         n = 2 * U
-        ks_refs = vs_refs = m_refs = None
+        ks_ref = vs_ref = m_refs = None
         if quant:
-            ks_refs = refs[n:n + U]
-            vs_refs = refs[n + U:n + 2 * U]
-            n += 2 * U
+            ks_ref, vs_ref = refs[n:n + 2]
+            n += 2
         if ring:
             m_refs = refs[n:n + U]
             n += U
@@ -275,10 +305,9 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
             # is measurably cheaper than exp on the VPU; identical math)
             s = s * (sm_scale * 1.4426950408889634)
             if quant:
-                # K dequant folded onto score columns (lane broadcast)
-                ksv = jnp.concatenate([r[0] for r in ks_refs],
-                                      axis=1)             # (1, span)
-                s = s * ksv
+                # K dequant folded onto score columns (lane broadcast);
+                # one pre-gathered (1, span) window per step
+                s = s * ks_ref[0]
             if ring:
                 # absolute positions ride the metadata windows; stale
                 # slots of recycled pages (and never-written -1 slots)
@@ -311,9 +340,8 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
             vt = jnp.concatenate([r[0] for r in v_refs], axis=0)
             if quant:
                 # V dequant folded onto probability columns
-                vsv = jnp.concatenate([r[0] for r in vs_refs], axis=1)
                 acc_sc[...] = acc_sc[...] * alpha[:, :1] + jax.lax.dot(
-                    p * vsv, vt.astype(jnp.float32),
+                    p * vs_ref[0], vt.astype(jnp.float32),
                     preferred_element_type=jnp.float32)
             else:
                 acc_sc[...] = acc_sc[...] * alpha[:, :1] + jax.lax.dot(
@@ -340,12 +368,20 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
                             lambda b, h, i, pi, ln, u=u: (_page_at(
                                 b, h, i * U + u, pi, ln), 0, 0))
 
-    def _scale_spec(u):
+    def _meta_spec(u):
         # (1, 1, page) over an (Hkv*P, 1, page) array: the last-two
         # block dims equal the array dims (Mosaic's sublane rule)
         return pl.BlockSpec((1, 1, page),
                             lambda b, h, i, pi, ln, u=u: (_page_at(
                                 b, h, i * U + u, pi, ln), 0, 0))
+
+    n_steps = max_pages // U
+
+    def _gathered_scale_spec():
+        # pre-gathered (B*Hkv*n_steps, 1, span): ONE window per step
+        return pl.BlockSpec(
+            (1, 1, span),
+            lambda b, h, i, pi, ln: ((b * Hkv + h) * n_steps + i, 0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -355,9 +391,8 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
                           lambda b, h, i, pi, ln: (b, h, 0, 0))]
             + [_slot_spec(u) for u in range(U)]     # k slots
             + [_slot_spec(u) for u in range(U)]     # v slots
-            + ([_scale_spec(u % U) for u in range(2 * U)] if quant
-               else [])
-            + ([_scale_spec(u) for u in range(U)] if ring else [])
+            + ([_gathered_scale_spec()] * 2 if quant else [])
+            + ([_meta_spec(u) for u in range(U)] if ring else [])
         ),
         out_specs=pl.BlockSpec((1, 1, G, D),
                                lambda b, h, i, pi, ln: (b, h, 0, 0)),
@@ -378,7 +413,7 @@ def _paged_call_headed(qg, kf, vf, pi_h, lengths, sm_scale, interpret,
         name=f"paged_attn_g{G}_p{page}_u{U}" + ("_q8" if quant else "")
         + ("_ring" if ring else ""),
     )(pi_h, lengths, qg, *([kf] * U), *([vf] * U),
-      *(([ksf] * U + [vsf] * U) if quant else []),
+      *([ksf, vsf] if quant else []),
       *(([mf] * U) if ring else []))
 
 
@@ -444,11 +479,10 @@ def _paged_call_live(qg, kf, vf, pi_h, lengths, work, sm_scale,
         k_refs = refs[:U]
         v_refs = refs[U:2 * U]
         n = 2 * U
-        ks_refs = vs_refs = None
+        ks_ref = vs_ref = None
         if quant:
-            ks_refs = refs[n:n + U]
-            vs_refs = refs[n + U:n + 2 * U]
-            n += 2 * U
+            ks_ref, vs_ref = refs[n:n + 2]
+            n += 2
         o_ref, m_sc, l_sc, acc_sc = refs[n:]
         st = pl.program_id(0)
         b = wb_ref[st]
@@ -476,9 +510,7 @@ def _paged_call_live(qg, kf, vf, pi_h, lengths, work, sm_scale,
                 preferred_element_type=jnp.float32)   # (G, span)
             s = s * (sm_scale * 1.4426950408889634)
             if quant:
-                ksv = jnp.concatenate([r[0] for r in ks_refs],
-                                      axis=1)         # (1, span)
-                s = s * ksv
+                s = s * ks_ref[0]   # pre-gathered (1, span) window
             pos = jax.lax.broadcasted_iota(jnp.int32, (G, span), 1) \
                 + i * span
             s = jnp.where(pos < seq_len, s, DEFAULT_MASK_VALUE)
@@ -493,9 +525,8 @@ def _paged_call_live(qg, kf, vf, pi_h, lengths, work, sm_scale,
             l_sc[...] = l_next
             vt = jnp.concatenate([r[0] for r in v_refs], axis=0)
             if quant:
-                vsv = jnp.concatenate([r[0] for r in vs_refs], axis=1)
                 acc_sc[...] = acc_sc[...] * alpha[:, :1] + jax.lax.dot(
-                    p * vsv, vt.astype(jnp.float32),
+                    p * vs_ref[0], vt.astype(jnp.float32),
                     preferred_element_type=jnp.float32)
             else:
                 acc_sc[...] = acc_sc[...] * alpha[:, :1] + jax.lax.dot(
@@ -520,11 +551,16 @@ def _paged_call_live(qg, kf, vf, pi_h, lengths, work, sm_scale,
             lambda st, pi, ln, wb_, wh_, wi_, fr_, ls_, u=u: (
                 _page_live(st, u, pi, ln, wb_, wh_, wi_), 0, 0))
 
-    def _scale_spec(u):
+    n_steps = max(max_pages // U, 1)
+
+    def _gathered_scale_spec():
+        # pre-gathered (B*Hkv*n_steps, 1, span): ONE window per step
+        # (2U page-scattered (1, 1, page) windows abort the dynamic
+        # grid at runtime — see the paged_attention layout note)
         return pl.BlockSpec(
-            (1, 1, page),
-            lambda st, pi, ln, wb_, wh_, wi_, fr_, ls_, u=u: (
-                _page_live(st, u, pi, ln, wb_, wh_, wi_), 0, 0))
+            (1, 1, span),
+            lambda st, pi, ln, wb_, wh_, wi_, fr_, ls_: (
+                (wb_[st] * Hkv + wh_[st]) * n_steps + wi_[st], 0, 0))
 
     def _bh_spec():
         return pl.BlockSpec(
@@ -539,8 +575,7 @@ def _paged_call_live(qg, kf, vf, pi_h, lengths, work, sm_scale,
             [_bh_spec()]
             + [_slot_spec(u) for u in range(U)]     # k slots
             + [_slot_spec(u) for u in range(U)]     # v slots
-            + ([_scale_spec(u % U) for u in range(2 * U)] if quant
-               else [])
+            + ([_gathered_scale_spec()] * 2 if quant else [])
         ),
         out_specs=_bh_spec(),
         scratch_shapes=[
@@ -561,7 +596,7 @@ def _paged_call_live(qg, kf, vf, pi_h, lengths, work, sm_scale,
         + ("_q8" if quant else ""),
     )(pi_h, lengths, wb, wh, wi, first, last, qg,
       *([kf] * U), *([vf] * U),
-      *(([ksf] * U + [vsf] * U) if quant else []))
+      *([ksf, vsf] if quant else []))
 
 
 def paged_attention_chunked(q, k_pages, v_pages, page_indices, lengths,
@@ -613,17 +648,17 @@ def paged_attention_chunked(q, k_pages, v_pages, page_indices, lengths,
     kf = k_pages.reshape(-1, page, D)
     vf = v_pages.reshape(-1, page, D)
     assert (k_scales is None) == (v_scales is None)
-    ksf = vsf = None
-    if k_scales is not None:
-        # (Hkv*P, 1, page): see the sublane-rule note in paged_attention
-        ksf = k_scales.reshape(-1, 1, page).astype(jnp.float32)
-        vsf = v_scales.reshape(-1, 1, page).astype(jnp.float32)
     max_pages = page_indices.shape[1]
     while unroll > 1 and max_pages % unroll:
         unroll //= 2
     heads = (head_base
              + jnp.arange(Hkv, dtype=page_indices.dtype)) * P
     pi_h = (page_indices[:, None, :] + heads[None, :, None])
+    ksf = vsf = None
+    if k_scales is not None:
+        # pre-gathered table-order scale windows: see paged_attention
+        ksf = _gather_scales(k_scales, pi_h, page, unroll)
+        vsf = _gather_scales(v_scales, pi_h, page, unroll)
     out = _paged_chunked_call(qg, kf, vf, pi_h, lengths, starts, scale,
                               interpret, G, C, page, max_pages, unroll,
                               ksf, vsf)
@@ -648,9 +683,9 @@ def _paged_chunked_call(qg, kf, vf, pi_h, lengths, starts, sm_scale,
     def kernel(pi_ref, len_ref, st_ref, q_ref, *refs):
         k_refs = refs[:U]
         v_refs = refs[U:2 * U]
-        n_in = 2 * U + (2 * U if quant else 0)
-        ks_refs = refs[2 * U:3 * U] if quant else None
-        vs_refs = refs[3 * U:4 * U] if quant else None
+        n_in = 2 * U + (2 if quant else 0)
+        ks_ref = refs[2 * U] if quant else None
+        vs_ref = refs[2 * U + 1] if quant else None
         o_ref, m_sc, l_sc, acc_sc = refs[n_in:]
         b = pl.program_id(0)
         i = pl.program_id(2)
@@ -674,8 +709,7 @@ def _paged_chunked_call(qg, kf, vf, pi_h, lengths, starts, sm_scale,
                 preferred_element_type=jnp.float32)       # (GC, span)
             s = s * (sm_scale * 1.4426950408889634)       # base-2
             if quant:
-                ksv = jnp.concatenate([r[0] for r in ks_refs], axis=1)
-                s = s * ksv
+                s = s * ks_ref[0]   # pre-gathered (1, span) window
             pos = jax.lax.broadcasted_iota(jnp.int32, (GC, span), 1) \
                 + i * span
             # row r = g*C + tok: its query position is start + r%C
@@ -692,9 +726,8 @@ def _paged_chunked_call(qg, kf, vf, pi_h, lengths, starts, sm_scale,
             m_sc[...] = m_next
             vt = jnp.concatenate([r[0] for r in v_refs], axis=0)
             if quant:
-                vsv = jnp.concatenate([r[0] for r in vs_refs], axis=1)
                 acc_sc[...] = acc_sc[...] * alpha[:, :1] + jax.lax.dot(
-                    p * vsv, vt.astype(jnp.float32),
+                    p * vs_ref[0], vt.astype(jnp.float32),
                     preferred_element_type=jnp.float32)
             else:
                 acc_sc[...] = acc_sc[...] * alpha[:, :1] + jax.lax.dot(
@@ -712,10 +745,14 @@ def _paged_chunked_call(qg, kf, vf, pi_h, lengths, starts, sm_scale,
                             lambda b, h, i, pi, ln, st, u=u: (_kv_page(
                                 b, h, i * U + u, pi, ln, page), 0, 0))
 
-    def _scale_spec(u):
-        return pl.BlockSpec((1, 1, page),
-                            lambda b, h, i, pi, ln, st, u=u: (_kv_page(
-                                b, h, i * U + u, pi, ln, page), 0, 0))
+    n_steps = max_pages // U
+
+    def _gathered_scale_spec():
+        # pre-gathered (B*Hkv*n_steps, 1, span): ONE window per step
+        return pl.BlockSpec(
+            (1, 1, span),
+            lambda b, h, i, pi, ln, st: (
+                (b * Hkv + h) * n_steps + i, 0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -725,8 +762,7 @@ def _paged_chunked_call(qg, kf, vf, pi_h, lengths, starts, sm_scale,
                           lambda b, h, i, pi, ln, st: (b, h, 0, 0))]
             + [_slot_spec(u) for u in range(U)]
             + [_slot_spec(u) for u in range(U)]
-            + ([_scale_spec(u % U) for u in range(2 * U)] if quant
-               else [])
+            + ([_gathered_scale_spec()] * 2 if quant else [])
         ),
         out_specs=pl.BlockSpec((1, 1, GC, D),
                                lambda b, h, i, pi, ln, st: (b, h, 0, 0)),
@@ -747,7 +783,7 @@ def _paged_chunked_call(qg, kf, vf, pi_h, lengths, starts, sm_scale,
         name=f"paged_attn_chunk{C}_g{G}_p{page}_u{U}"
         + ("_q8" if quant else ""),
     )(pi_h, lengths, starts, qg, *([kf] * U), *([vf] * U),
-      *(([ksf] * U + [vsf] * U) if quant else []))
+      *([ksf, vsf] if quant else []))
 
 
 def quantize_kv(pages):
