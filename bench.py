@@ -42,6 +42,25 @@ def _tpu_smoke_counts():
     import subprocess
 
     env = dict(os.environ, CUBECL_TEST_TPU="1")
+    # cheap reachability probe FIRST (its own subprocess, so this
+    # process still hasn't touched the chip): without it, a down
+    # tunnel turns every smoke test into a TpuRuntime error and the
+    # JSON reports tpu_smoke_failed=N as if kernels regressed
+    try:
+        pr = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, numpy as np, jax.numpy as jnp\n"
+             "assert jax.default_backend() != 'cpu'\n"
+             "np.asarray(jnp.zeros(8) + 1)"],
+            capture_output=True, timeout=240, env=os.environ.copy())
+        if pr.returncode != 0:
+            print("# tpu smoke skipped: TPU unreachable "
+                  f"({(pr.stderr or b'').decode()[-200:]})",
+                  file=sys.stderr)
+            return {}
+    except Exception as e:  # noqa: BLE001
+        print(f"# tpu smoke skipped: probe failed ({e})", file=sys.stderr)
+        return {}
     try:
         p = subprocess.run(
             [sys.executable, "-m", "pytest", "tests/", "-q"],
@@ -435,6 +454,14 @@ def _family_lines(client):
     except Exception as e:  # noqa: BLE001
         print(f"# llama serving bench failed: {e}", file=sys.stderr)
 
+    # same captured loop with the int8-KV cache (4x capacity; the
+    # round-5-fixed quantized paged path in the driver's hands)
+    try:
+        out["llama_decode_int8kv_tok_s"] = _llama_serving_line("int8")
+    except Exception as e:  # noqa: BLE001
+        print(f"# llama int8-KV serving bench failed: {e}",
+              file=sys.stderr)
+
     # training-side rows (round-4 VERDICT item 3: the custom_vjp flash
     # backward and the end-to-end train step regressed invisibly —
     # BENCH_NOTES prose only). Reference: measure-everything,
@@ -469,7 +496,15 @@ def _train_lines():
             def fwdbwd(qq, kk, vv):
                 f = lambda *t: flash_attention(*t).astype(  # noqa: E731
                     jnp.float32).sum()
-                return jax.grad(f, argnums=(0, 1, 2))(qq, kk, vv)
+                dq, dk, dv = jax.grad(f, argnums=(0, 1, 2))(qq, kk, vv)
+                # tie ALL THREE grads into the timing carry: the
+                # backward is split into separate dq and dkv pallas
+                # kernels (ops/attention.py), and a dq-only carry lets
+                # XLA DCE the dkv kernel entirely (43.4M vs 77.5M
+                # compiled FLOPs — round-5 review). The elementwise add
+                # is noise; the carry's [0]-slice cannot sink through
+                # opaque pallas_call outputs.
+                return dq + dk + dv
 
             per = chain_args_time(fwdbwd, (q, k, v))
             # causal: fwd 2 matmuls + bwd 5 (dV, dP, recomputed P, dQ,
@@ -499,6 +534,8 @@ def _llama_train_mfu():
     from cubecl_tpu.models import llama
     from cubecl_tpu.tune.timing import chain_args_time
 
+    import time
+
     cfg = llama.LlamaConfig(vocab=8192, d_model=768, n_heads=12,
                             n_kv_heads=4, n_layers=8, d_ff=2048, seq=512)
     params = llama.init_params(cfg)
@@ -506,7 +543,32 @@ def _llama_train_mfu():
     step = llama.make_train_step(cfg)
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(0, cfg.vocab, (B, S)), jnp.int32)
-    per = chain_args_time(lambda p, t: step(p, t)[1], (params, tokens))
+
+    # a REAL chained training loop: each step's updated params feed the
+    # next step's forward, so no part of the backward or the update can
+    # be dead-code-eliminated. (The first cut timed
+    # `lambda p, t: step(p, t)[1]` through chain_args_time — the loss-
+    # only carry let XLA DCE the whole backward+update: 14.6M vs 56.3M
+    # compiled FLOPs, a ~3-4x inflated MFU. Caught by round-5 review.)
+    @jax.jit
+    def run_n(params, tokens, n):
+        def body(_i, carry):
+            p, _l = carry
+            return step(p, tokens)
+        z = jnp.zeros((), jnp.float32)
+        _p2, l = jax.lax.fori_loop(0, n, body, (params, z))
+        return l
+
+    def timed(n):
+        t0 = time.perf_counter()
+        np.asarray(run_n(params, tokens, n))
+        return time.perf_counter() - t0
+
+    timed(3)
+    timed(3)
+    t_lo = min(timed(5) for _ in range(3))
+    t_hi = min(timed(45) for _ in range(3))
+    per = (t_hi - t_lo) / 40
 
     d, L = cfg.d_model, cfg.n_layers
     d_head = d // cfg.n_heads
@@ -521,10 +583,13 @@ def _llama_train_mfu():
     return round(100.0 * model_flops / per / peak, 1)
 
 
-def _llama_serving_line():
+def _llama_serving_line(kv_dtype: str = ""):
     """Captured serving loop tok/s (B=16, ctx~512, 8 layers): N decode
     steps as one executable with the KV cache donated between steps —
-    the TPU form of reference graph-capture replay (client.rs:998)."""
+    the TPU form of reference graph-capture replay (client.rs:998).
+    ``kv_dtype="int8"`` benches the quantized-KV cache (pre-gathered
+    scale windows + the clamped dynamic-grid rules, BENCH_NOTES
+    round-5)."""
     import time
 
     import jax
@@ -533,7 +598,8 @@ def _llama_serving_line():
     from cubecl_tpu.models import llama
 
     cfg = llama.LlamaConfig(vocab=8192, d_model=768, n_heads=12,
-                            n_kv_heads=4, n_layers=8, d_ff=2048, seq=512)
+                            n_kv_heads=4, n_layers=8, d_ff=2048, seq=512,
+                            kv_dtype=kv_dtype)
     params = llama.init_params(cfg)
     Bd = 16
     cache = llama.init_kv_cache(cfg, Bd, max_pages=4)

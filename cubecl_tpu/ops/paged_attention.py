@@ -173,7 +173,11 @@ def paged_attention(q, k_pages, v_pages, page_indices, lengths,
         # flow, where Mosaic dynamic grid bounds abort the backend
         # (see the dynamic_grid docstring note)
         dynamic_grid = not isinstance(lengths, jax.core.Tracer)
-    if k_scales is not None and dynamic_grid:
+    if k_scales is not None and dynamic_grid and window == 0 \
+            and pos_meta is None:
+        # (window/ring modes route to the static capacity grid below
+        # regardless of dynamic_grid, and the static grid runs deeper
+        # int8 unrolls fine — only the LIVE route needs the clamp)
         # int8 KV on the DYNAMIC grid: >4 in-flight int8 page windows
         # per step abort the v5e backend at runtime (round-5 smoke;
         # u=8 "INTERNAL: TPU backend error" in EVERY formulation tried

@@ -152,7 +152,13 @@ def scan_chunked_core(af, uf, chunk: int = 1024, interpret: bool = False,
     n_l = L // lc
     SEG = 8
     if hier is None:
-        hier = lc % SEG == 0 and lc > SEG
+        # auto only when the cross-segment totals tile (R = lc/8 rows)
+        # is itself sublane-tile aligned (R % 8 == 0, i.e. lc % 64):
+        # ragged-R rolls/reshape-slices are exactly the shape class
+        # where interpreter and Mosaic have diverged before (rounds
+        # 3-4); hardware smoke covers R=16/64, bench runs R=128
+        hier = lc % 64 == 0
+    hier = hier and lc % SEG == 0 and lc > SEG   # segmented needs 8|lc
 
     def kernel(a_ref, u_ref, h_ref, carry):
         c = pl.program_id(2)

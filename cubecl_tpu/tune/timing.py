@@ -129,8 +129,16 @@ def chain_args_time(f: Callable[..., Any], args: Sequence[Any],
             def body(_i, s):
                 a2, ss = jax.lax.optimization_barrier((args, s))
                 o = f(*a2)
-                leaf = jax.tree_util.tree_leaves(o)[0]
-                return ss * 1e-30 + leaf.reshape(-1)[0].astype(jnp.float32)
+                # tie EVERY output leaf into the carry — a first-leaf-
+                # only carry lets XLA DCE whole sibling kernels (e.g. a
+                # split dq/dkv backward pair times only dq; round-5
+                # review). NOTE this still cannot stop slice-sinking
+                # through XLA-level composite outputs — functions whose
+                # outputs are not opaque kernel results (e.g. a whole
+                # train step) need a true chained loop instead.
+                t = sum(leaf.reshape(-1)[0].astype(jnp.float32)
+                        for leaf in jax.tree_util.tree_leaves(o))
+                return ss * 1e-30 + t
             return jax.lax.fori_loop(0, n, body, s0)
         return lambda: np.asarray(run(args, 0.0))
 

@@ -865,7 +865,10 @@ def test_selective_scan_chunked_matches_naive():
         Cc = jnp.asarray(rng.randn(B, L, N).astype(np.float32))
         Dsk = jnp.asarray(rng.randn(D).astype(np.float32))
         slow = selective_scan_naive(x, delta, A, Bc, Cc, Dsk)
-        for hier in (None, False):   # segmented (auto) AND flat in-tile
+        # auto (flat at these ragged-R chunks), flat, and forced-
+        # segmented (interpreter checks the math; hardware auto-hier
+        # requires lc % 64 — see scan_chunked_core)
+        for hier in (None, False, True):
             fast = selective_scan_chunked(x, delta, A, Bc, Cc, Dsk,
                                           chunk=chunk, interpret=True,
                                           hier=hier)
