@@ -828,9 +828,13 @@ def _bwd_dq_call(q, k, v, do, lse, di, causal, scale, bq, bk, interpret,
 def _bwd(causal, sm_scale, block_q, block_k, interpret, kv_len, res, do):
     """Flash backward: dKV + dQ Pallas kernels over saved (o, lse)
     residuals (guide §7 structure). KV blocks cap at 1024 — the backward
-    carries more live scratch, and (1024, 1024) measures fastest on v5e
-    (fwd+bwd 1.082ms = 111 TF-equiv at S=2048, 70-call chains; the
-    forward alone prefers (2048, 2048))."""
+    carries more live scratch, and (1024, 1024) measures fastest on v5e.
+    Honest fwd+bwd rates (ALL THREE grads tied into the timing carry —
+    the round-4 "111 TF" chained only dq and let XLA drop the dkv
+    kernel): S=2048 67.7, S=8192 108.5 TF (driver rows
+    flash_fwdbwd_tflops / _8k, model-flops convention: 7 causal-halved
+    matmuls, recompute not credited). The forward alone prefers
+    (2048, 2048) blocks."""
     import jax.numpy as jnp
 
     q, k, v, o, lse = res
