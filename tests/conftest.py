@@ -78,6 +78,8 @@ TPU_SMOKE = {
     # round-5 kernel: hierarchical in-tile selective scan (roll
     # compaction + aligned reshape-slice + sublane broadcast)
     "test_selective_scan_hier_kernel",
+    # round-5: chunked prefill incl. int8 pre-gathered scale windows
+    "test_paged_attention_chunked",
 }
 
 

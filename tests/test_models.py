@@ -809,6 +809,26 @@ def test_mamba_forward_decode_equivalence():
     assert state[0]["h"].shape == (2, cfg.d_inner, cfg.d_state)
 
 
+def test_mamba_scan_impl_equivalence():
+    """scan_impl="chunked" (the single-pass pallas kernel) produces the
+    same logits as the associative-scan default."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from cubecl_tpu.models import mamba
+
+    cfg = mamba.MambaConfig(vocab=61, d_model=32, n_layers=2, seq=256,
+                            scan_impl="assoc")
+    params = mamba.init_params(cfg, seed=7)
+    rng = np.random.RandomState(8)
+    toks = jnp.asarray(rng.randint(0, cfg.vocab, (2, cfg.seq)), jnp.int32)
+    ref = np.asarray(mamba.forward(params, toks, cfg))
+    cfg_c = dataclasses.replace(cfg, scan_impl="chunked")
+    got = np.asarray(mamba.forward(params, toks, cfg_c))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
 def test_mamba_sharded_train_step():
     """dp×tp mamba train step on the 8-device mesh: loss matches the
     single-device step and decreases over a few iterations."""

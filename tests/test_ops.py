@@ -1009,22 +1009,32 @@ def test_paged_attention_chunked(client):
                     out[b, h, i] = p @ vc[:n]
         return out
 
-    o = paged_attention_chunked(q, kp, vp, table, lengths, starts,
-                                interpret=True)
-    np.testing.assert_allclose(np.asarray(o), oracle(kp, vp),
-                               atol=2e-5, rtol=1e-4)
+    # real kernel in --tpu smoke mode (the chunked int8 scale windows
+    # are a distinct lowering from the decode kernels'); interpreter
+    # stays exact f32, hardware MXU runs bf16 passes on f32
+    import jax
 
-    # int8 mode matches the dequantized-pages run exactly
+    interp = jax.default_backend() != "tpu"
+    tol = dict(atol=2e-5, rtol=1e-4) if interp else \
+        dict(atol=3e-3, rtol=2e-2)
+    o = paged_attention_chunked(q, kp, vp, table, lengths, starts,
+                                interpret=interp)
+    np.testing.assert_allclose(np.asarray(o), oracle(kp, vp), **tol)
+
+    # int8 mode matches the dequantized-pages run (exactly, in the
+    # interpreter)
     k8, ks = quantize_kv(kp)
     v8, vs = quantize_kv(vp)
     o8 = paged_attention_chunked(q, k8, v8, table, lengths, starts,
-                                 interpret=True, k_scales=ks, v_scales=vs)
+                                 interpret=interp, k_scales=ks,
+                                 v_scales=vs)
     kd = k8.astype(jnp.float32) * ks[..., None]
     vd = v8.astype(jnp.float32) * vs[..., None]
     od = paged_attention_chunked(q, kd, vd, table, lengths, starts,
-                                 interpret=True)
-    np.testing.assert_allclose(np.asarray(o8), np.asarray(od),
-                               atol=1e-5, rtol=1e-5)
+                                 interpret=interp)
+    tol8 = dict(atol=1e-5, rtol=1e-5) if interp else \
+        dict(atol=3e-3, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(o8), np.asarray(od), **tol8)
 
 
 def test_paged_attention_windowed_sinks(client):
