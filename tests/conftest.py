@@ -80,6 +80,8 @@ TPU_SMOKE = {
     "test_selective_scan_hier_kernel",
     # round-5: chunked prefill incl. int8 pre-gathered scale windows
     "test_paged_attention_chunked",
+    # round-5: StreamingLLM windowed+sinks mode (static capacity grid)
+    "test_paged_attention_windowed_sinks",
 }
 
 

@@ -1055,7 +1055,14 @@ def test_paged_attention_windowed_sinks(client):
             np.int32))
     lengths = jnp.asarray(np.array([700, 300], np.int32))
 
-    o = paged_attention(q, kp, vp, table, lengths, interpret=True,
+    # real kernel in --tpu smoke mode (window/ring mode always takes
+    # the static capacity grid; wider tolerance for bf16 MXU passes)
+    import jax
+
+    interp = jax.default_backend() != "tpu"
+    tol = dict(atol=2e-5, rtol=1e-4) if interp else \
+        dict(atol=3e-3, rtol=2e-2)
+    o = paged_attention(q, kp, vp, table, lengths, interpret=interp,
                         window=window, sinks=sinks)
 
     kn, vn, qn = (np.asarray(x) for x in (kp, vp, q))
@@ -1072,8 +1079,7 @@ def test_paged_attention_windowed_sinks(client):
             pr = np.exp(sco - sco[live].max())
             pr /= pr.sum()
             ref = pr @ vc
-            np.testing.assert_allclose(np.asarray(o)[b, h], ref,
-                                       atol=2e-5, rtol=1e-4)
+            np.testing.assert_allclose(np.asarray(o)[b, h], ref, **tol)
 
 
 def test_expert_matmul_and_moe_dispatch(client):
